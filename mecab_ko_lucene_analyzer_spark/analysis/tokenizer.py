@@ -1,0 +1,215 @@
+"""Document → token stream: the MeCabKoTokenizer equivalent.
+
+``MeCabKoTokenizer.java:95-179``: slurp + lowercase, JNI lattice parse,
+TokenGenerator drain, per-token attributes. Here the lattice provider
+is pluggable: real mecab (mecab-python3) when importable — the
+per-executor model singleton mirrors ``MeCabLoader.java:43-65`` — else
+a deterministic dictionary segmenter over the pinned mini-dict.
+Everything downstream of the node list is provider-independent.
+"""
+
+from __future__ import annotations
+
+from .appenders import (
+    KeywordSearchPosAppender,
+    PosAppender,
+    SimilarityMeasurePosAppender,
+    StandardPosAppender,
+    TokenizerOption,
+)
+from .char_class import CharClass, split_runs
+from .mini_dict import stem_dict, suffix_dict
+from .pos import NO_DECOMPOUND, Pos
+from .token_generator import LatticeNode, TokenGenerator
+
+__all__ = [
+    "DictionaryLatticeProvider",
+    "get_lattice_provider",
+    "make_appender",
+    "tokenize",
+    "token_records",
+]
+
+_SYMBOL_FEATURES = {
+    ".": "SF,*,*,*,*,*,*,*",
+    "!": "SF,*,*,*,*,*,*,*",
+    "?": "SF,*,*,*,*,*,*,*",
+    ",": "SC,*,*,*,*,*,*,*",
+    "(": "SSO,*,*,*,*,*,*,*",
+    ")": "SSC,*,*,*,*,*,*,*",
+}
+
+
+class DictionaryLatticeProvider:
+    """Greedy longest-match segmenter over the pinned mini-dictionary.
+
+    Stands in for mecab's Viterbi lattice (A1) when the native engine is
+    absent: char-class runs (A11) are mapped to SL/SN/symbol nodes; a
+    hangul run is matched as ``stem [+ suffix]*`` with longest-stem
+    preference, falling back to multi-stem splits and UNKNOWN.
+    """
+
+    def __init__(self, stems: dict[str, str] | None = None, suffixes: dict[str, str] | None = None):
+        self.stems = stems if stems is not None else stem_dict()
+        self.suffixes = suffixes if suffixes is not None else suffix_dict()
+        self._max_stem = max(map(len, self.stems), default=1)
+        self._max_suffix = max(map(len, self.suffixes), default=1)
+
+    def parse(self, text: str) -> list[LatticeNode]:
+        nodes: list[LatticeNode] = []
+        for run, cls, space in split_runs(text):
+            first_space = space
+            if cls is CharClass.HANGUL:
+                for k, (surf, feat) in enumerate(self._segment_hangul(run)):
+                    nodes.append(LatticeNode(surf, feat, first_space if k == 0 else 0))
+            elif cls is CharClass.ALPHA:
+                nodes.append(LatticeNode(run, "SL,*,*,*,*,*,*,*", first_space))
+            elif cls is CharClass.NUMBER:
+                nodes.append(LatticeNode(run, "SN,*,*,*,*,*,*,*", first_space))
+            elif cls in (CharClass.JAPANESE, CharClass.CHINESE):
+                nodes.append(LatticeNode(run, "SH,*,*,*,*,*,*,*", first_space))
+            else:  # SYMBOL / JAMO: char-by-char, punctuation classified
+                for k, ch in enumerate(run):
+                    feat = _SYMBOL_FEATURES.get(ch, "SY,*,*,*,*,*,*,*")
+                    nodes.append(LatticeNode(ch, feat, first_space if k == 0 else 0))
+        return nodes
+
+    def _segment_hangul(self, run: str) -> list[tuple[str, str]]:
+        out: list[tuple[str, str]] = []
+        i, n = 0, len(run)
+        unknown_start = -1
+
+        def flush_unknown(upto: int) -> None:
+            nonlocal unknown_start
+            if unknown_start >= 0:
+                out.append((run[unknown_start:upto], "UNKNOWN,*,*,*,*,*,*,*"))
+                unknown_start = -1
+
+        while i < n:
+            # longest stem match at i
+            matched = False
+            for ln in range(min(self._max_stem, n - i), 0, -1):
+                cand = run[i : i + ln]
+                if cand in self.stems:
+                    flush_unknown(i)
+                    out.append((cand, self.stems[cand]))
+                    i += ln
+                    matched = True
+                    break
+            if matched:
+                # drain suffix chain (josa/eomi)
+                while i < n:
+                    sfx = None
+                    for ln in range(min(self._max_suffix, n - i), 0, -1):
+                        cand = run[i : i + ln]
+                        if cand in self.suffixes:
+                            sfx = cand
+                            break
+                    if sfx is None:
+                        break
+                    out.append((sfx, self.suffixes[sfx]))
+                    i += len(sfx)
+                continue
+            if unknown_start < 0:
+                unknown_start = i
+            i += 1
+        flush_unknown(n)
+        return out
+
+
+_PROVIDER = None
+
+
+def get_lattice_provider():
+    """Per-process provider singleton — the MeCabLoader pattern
+    (``MeCabLoader.java:43-65``): one model per executor process,
+    lazily created, reused across Arrow batches."""
+    global _PROVIDER
+    if _PROVIDER is None:
+        try:  # pragma: no cover - exercised only where mecab exists
+            import MeCab  # type: ignore
+
+            class _MeCabProvider:
+                def __init__(self) -> None:
+                    self._tagger = MeCab.Tagger()
+
+                def parse(self, text: str) -> list[LatticeNode]:
+                    nodes = []
+                    node = self._tagger.parseToNode(text)
+                    while node is not None:
+                        if node.stat not in (2, 3):  # BOS/EOS
+                            nodes.append(
+                                LatticeNode(
+                                    node.surface,
+                                    node.feature,
+                                    node.rlength - node.length,
+                                    node.posid,
+                                )
+                            )
+                        node = node.next
+                    return nodes
+
+            _PROVIDER = _MeCabProvider()
+        except ImportError:
+            _PROVIDER = DictionaryLatticeProvider()
+    return _PROVIDER
+
+
+_APPENDERS = {
+    "standard": StandardPosAppender,
+    "keyword": KeywordSearchPosAppender,
+    "similarity": SimilarityMeasurePosAppender,
+}
+
+
+def make_appender(mode: str, option: TokenizerOption | None = None) -> PosAppender:
+    """The three factory presets (``StandardTokenizerFactory.java:42-51``,
+    ``KeywordSearchTokenizerFactory.java:40-54``,
+    ``SimilarityMeasureTokenizerFactory.java:40-54``)."""
+    return _APPENDERS[mode](option or TokenizerOption())
+
+
+def tokenize(
+    text: str,
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+    option: TokenizerOption | None = None,
+    provider=None,
+) -> list[Pos]:
+    """Full tokenizer chain: lowercase (S1, ``MeCabKoTokenizer.java:178``)
+    → lattice parse → eojeol token generation. Returns the flat Pos list."""
+    provider = provider or get_lattice_provider()
+    nodes = provider.parse(text.lower())
+    gen = TokenGenerator(
+        make_appender(mode, option), compound_noun_min_length, nodes
+    )
+    return gen.all_tokens()
+
+
+def token_records(
+    text: str,
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+    option: TokenizerOption | None = None,
+    provider=None,
+) -> list[dict]:
+    """Tokens as plain dicts with *absolute* positions — the running
+    position-increment sum Lucene applies at index time (I2). This is
+    the record shape the Arrow UDF emits."""
+    out = []
+    position = -1
+    for p in tokenize(text, mode, compound_noun_min_length, option, provider):
+        position += p.position_incr
+        out.append(
+            {
+                "term": p.token_string(),
+                "type": p.pos_id.name,
+                "pos": p.pos,
+                "semantic_class": p.semantic_class,
+                "position": position,
+                "pos_len": p.position_length,
+                "start_offset": p.start_offset,
+                "end_offset": p.end_offset,
+            }
+        )
+    return out

@@ -1,0 +1,122 @@
+"""BM25 top-k scoring (I7 / Q1).
+
+Lucene-parameter BM25 (k1=1.2, b=0.75; the defaults pinned by the
+reference's Lucene 6.3.0/8.5.1 deps, ``pom.xml:52``)::
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(t,d) = idf(t) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
+
+(the Lucene-8 form without the constant (k1+1) numerator factor —
+rank-identical to the Lucene-6 form, which scales every term by k1+1).
+
+Two engines that must agree rank-identically (tested):
+
+* :func:`bm25_topk` — the distributed Spark plan: broadcast the query
+  terms into the postings scan (predicate pushdown on ``term``), join
+  stats, partial-aggregate per doc, global top-k via ``orderBy.limit``
+  (Spark executes this as per-partition TakeOrdered + driver merge,
+  never a full sort).
+* :func:`bm25_oracle` — pure-Python brute force over collected rows.
+
+Tie-break everywhere: score desc, doc_id asc (deterministic ranks).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..index.build import InvertedIndex, K1, B
+
+__all__ = ["bm25_topk", "bm25_oracle", "lucene_idf", "score_expr"]
+
+
+def lucene_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def score_expr(k1: float = K1, b: float = B):
+    """Column expression for one (term, doc) partial score; inputs are
+    columns ``idf``, ``tf``, ``doc_len``, ``avgdl``."""
+    tf = F.col("tf").cast("double")
+    norm = tf / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl")))
+    return F.col("idf") * norm
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Distributed scatter-gather BM25: returns ``(doc_id, score)``,
+    rank-deterministic (score desc, doc_id asc), ``k`` rows max.
+
+    Plan shape: postings are filtered with an IN-list on ``term``
+    (pushed to the scan — the posting store is term-partitioned at
+    scale), idf/corpus stats arrive via *broadcast* joins (tiny dims),
+    the per-doc sum is one partial+final hash aggregate, and the top-k
+    is TakeOrdered, not a global sort.
+    """
+    spark = index.postings.sparkSession
+    if not query_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    corpus = index.corpus_stats.first()
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+
+    terms_df = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
+    idf_df = (
+        index.term_stats.join(F.broadcast(terms_df), "term")
+        .withColumn(
+            "idf",
+            F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .select("term", "idf")
+    )
+    scored = (
+        index.postings
+        .filter(F.col("term").isin(list(set(query_terms))))
+        .join(F.broadcast(idf_df), "term")
+        .join(index.doc_stats, "doc_id")
+        .withColumn("avgdl", F.lit(avgdl))
+        .withColumn("partial", score_expr(k1, b))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return scored
+
+
+def bm25_oracle(
+    token_lists: dict[int, list[str]],
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Brute-force reference scorer over in-memory token lists
+    (doc_id → terms). Defines expected output for the golden tests."""
+    n = len(token_lists)
+    if n == 0:
+        return []
+    doc_len = {d: len(ts) for d, ts in token_lists.items()}
+    avgdl = sum(doc_len.values()) / n
+    uniq = sorted(set(query_terms))
+    df = {t: sum(1 for ts in token_lists.values() if t in ts) for t in uniq}
+    scores: dict[int, float] = {}
+    for d, ts in token_lists.items():
+        s = 0.0
+        for t in uniq:
+            tf = ts.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = lucene_idf(n, df[t])
+            s += idf * tf / (tf + k1 * (1 - b + b * doc_len[d] / avgdl))
+        if s > 0.0:
+            scores[d] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]

@@ -1,0 +1,91 @@
+"""End-to-end slice (SURVEY.md §7 M1): synthetic webpages → analyzer UDF
+→ postings → BM25 top-k, validated against the in-repo brute-force
+oracle (rank-identical docIDs, scores within 1e-9)."""
+
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import token_records
+from mecab_ko_lucene_analyzer_spark.index import assign_doc_ids, build_index
+from mecab_ko_lucene_analyzer_spark.query import bm25_oracle, bm25_topk
+from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+N_DOCS = 80
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_webpages(spark, N_DOCS, partitions=5).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, pages):
+    return build_index(pages, lang_filter=None).cache()
+
+
+def test_corpus_deterministic(pages, spark):
+    again = synthesize_webpages(spark, N_DOCS, partitions=3)
+    a = sorted(pages.select("url", "text").collect())
+    b = sorted(again.select("url", "text").collect())
+    assert a == b
+
+
+def test_doc_ids_dense_and_deterministic(spark, pages):
+    ids1 = assign_doc_ids(pages, num_partitions=4).select("doc_id", "url").collect()
+    ids2 = assign_doc_ids(pages, num_partitions=7).select("doc_id", "url").collect()
+    m1 = {r["url"]: r["doc_id"] for r in ids1}
+    m2 = {r["url"]: r["doc_id"] for r in ids2}
+    assert m1 == m2  # partition-count independent
+    assert sorted(m1.values()) == list(range(N_DOCS))  # dense 0..N-1
+    # doc_id order == url order (global rank)
+    by_url = sorted(m1)
+    assert [m1[u] for u in by_url] == list(range(N_DOCS))
+
+
+def test_index_stats_consistent(index):
+    n_docs, avgdl = index.corpus_stats.first()
+    assert n_docs == N_DOCS
+    total_tokens = sum(r["doc_len"] for r in index.doc_stats.collect())
+    assert abs(avgdl - total_tokens / N_DOCS) < 1e-9
+    # df = number of postings rows per term
+    df_check = index.postings.groupBy("term").count().collect()
+    df_map = {r["term"]: r["count"] for r in df_check}
+    for r in index.term_stats.collect():
+        assert df_map[r["term"]] == r["df"]
+
+
+def _oracle_token_lists(pages_df):
+    rows = pages_df.select("url", "text").collect()
+    # oracle recomputes doc ids the same way: rank of url
+    by_url = sorted(rows, key=lambda r: r["url"])
+    return {
+        i: [t["term"] for t in token_records(r["text"])]
+        for i, r in enumerate(by_url)
+    }
+
+
+QUERIES = [
+    ["검색", "엔진"],
+    ["삼성전자"],
+    ["한국어", "문서", "색인"],
+    ["spark", "index"],
+    ["데이터", "처리"],
+    ["없는단어쿼리"],
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["+".join(q) for q in QUERIES])
+def test_bm25_rank_identical_to_oracle(spark, pages, index, terms):
+    expected = bm25_oracle(_oracle_token_lists(pages), terms, k=10)
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(index, terms, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_positions_sorted_and_in_range(index):
+    rows = index.postings.limit(200).collect()
+    for r in rows:
+        ps = r["positions"]
+        assert list(ps) == sorted(ps)
+        assert len(ps) == r["tf"]
+        assert all(p >= 0 for p in ps)
