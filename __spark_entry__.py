@@ -289,12 +289,19 @@ def _q_minhash_near_dup(spark, sf_dir):
     )
     n_hashes = 32
     bands = 8  # rows-per-band = 4
-    sigs = docs.select(
+    # hash each shingle string ONCE; the n_hashes permutations re-hash
+    # the 64-bit base value (8-byte input) instead of the string —
+    # O(shingle chars) string hashing total instead of 32x
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("h"),
+    )
+    sigs = hashed.select(
         "doc_id",
         F.array(
             *[
                 F.array_min(
-                    F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+                    F.transform(F.col("h"), lambda x: F.xxhash64(x, F.lit(i)))
                 )
                 for i in range(n_hashes)
             ]

@@ -1,0 +1,179 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR plus the
+north-rule scaling evidence (same index-build job at two parallelism
+levels on identical input → throughput pair + efficiency).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "indexing": {"docs_per_sec_lowN": ..., "docs_per_sec_highN": ...,
+                   "cores_low": N, "cores_high": 4N,
+                   "scaling_efficiency": ...},
+     "query_p95_ms": ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_DOCS (scaling corpus size, default 120000),
+SPARK_GRAFT_SCALING=0 to skip the two-level run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fresh_spark(cores: int):
+    from mecab_ko_lucene_analyzer_spark.plans import get_spark
+
+    return get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(2 * cores, 8),
+    )
+
+
+def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "postings_tf",
+        "term_stats",
+        "bm25_topk",
+        "dedup_exact",
+        "ngram_jaccard_pairs",
+        "ann_cosine_topk",
+        "minhash_near_dup",
+        "analyze_ko_tokens",
+    ]
+    out = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 10) -> float:
+    """BM25 top-k latency over the Korean index built from the synthetic
+    corpus (query side of the engine)."""
+    from mecab_ko_lucene_analyzer_spark.index import build_index
+    from mecab_ko_lucene_analyzer_spark.query import bm25_topk
+    from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+    pages = synthesize_webpages(spark, 5000)
+    index = build_index(pages, lang_filter="ko").cache()
+    index.postings.count()  # materialize the cache
+    index.doc_stats.count()
+    queries = [
+        ["검색", "엔진"], ["삼성전자"], ["한국어", "문서", "색인"],
+        ["데이터", "처리"], ["웹페이지"], ["형태소분석", "결과"],
+        ["질의", "순위"], ["서울", "부산"], ["spark", "index"], ["점수"],
+    ]
+    lat = []
+    for i in range(reps):
+        q = queries[i % len(queries)]
+        t0 = time.perf_counter()
+        bm25_topk(index, q, k=10).collect()
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    return round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 1)
+
+
+def materialize_corpus(n_docs: int, path: str) -> None:
+    """Write the deterministic corpus to parquet ONCE — both parallelism
+    levels index the *same on-disk input table* (north-rule setup)."""
+    from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return
+    spark = _fresh_spark(8)
+    try:
+        shutil.rmtree(path, ignore_errors=True)
+        synthesize_webpages(spark, n_docs, partitions=32).write.parquet(path)
+    finally:
+        spark.stop()
+        time.sleep(1)
+
+
+def index_build_docs_per_sec(cores: int, n_docs: int, corpus_path: str, out_dir: str) -> float:
+    """Index-build job (scan → docIDs → tokenize UDF → postings shuffle
+    → stats → parquet sink) timed end-to-end on a warmed session.
+
+    Warmup excludes one-time JVM + Python-worker pool startup (cluster
+    provisioning cost, not job throughput); everything the job does —
+    both input passes, the wide shuffle, all writes — is inside t0..t1.
+    """
+    from mecab_ko_lucene_analyzer_spark.index import build_and_write
+    from mecab_ko_lucene_analyzer_spark.functions import analyze_udf
+
+    spark = _fresh_spark(cores)
+    try:
+        import pyspark.sql.functions as F
+
+        # spin up JVM + python workers with a trivial UDF job
+        warm = spark.range(0, cores * 4, numPartitions=cores * 2).select(
+            F.col("id").cast("string").alias("text")
+        )
+        warm.select(analyze_udf()("text")).write.format("noop").mode("overwrite").save()
+
+        pages = spark.read.parquet(corpus_path)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_and_write(pages, out_dir, lang_filter="ko")
+        dt = time.perf_counter() - t0
+    finally:
+        spark.stop()
+        time.sleep(1)
+    return n_docs / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+    spark = _fresh_spark(cpus)
+    try:
+        queries = run_headline_queries(spark, sf_dir)
+        p95 = bm25_query_p95_ms(spark, sf_dir)
+    finally:
+        spark.stop()
+        time.sleep(1)
+
+    indexing = {}
+    if do_scaling:
+        low = max(cpus // 4, 1)
+        corpus_path = f"/tmp/bench_corpus_{n_docs}"
+        materialize_corpus(n_docs, corpus_path)
+        thr_low = index_build_docs_per_sec(low, n_docs, corpus_path, "/tmp/bench_idx_low")
+        thr_high = index_build_docs_per_sec(cpus, n_docs, corpus_path, "/tmp/bench_idx_high")
+        indexing = {
+            "cores_low": low,
+            "cores_high": cpus,
+            "docs_per_sec_lowN": round(thr_low, 1),
+            "docs_per_sec_highN": round(thr_high, 1),
+            "scaling_efficiency": round((thr_high / thr_low) / (cpus / low), 3),
+            "n_docs": n_docs,
+        }
+
+    result = {
+        "metric": "headline query wall-clock (sum) + Korean index-build scaling",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "query_p95_ms": p95,
+        "indexing": indexing,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

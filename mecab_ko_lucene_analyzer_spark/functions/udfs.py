@@ -59,6 +59,18 @@ def analyze_udf(mode: str = "standard", compound_noun_min_length: int = 3):
     return pandas_udf(fn, TOKEN_SCHEMA)
 
 
+FLAT_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("position", T.IntegerType(), False),
+        T.StructField("start_offset", T.IntegerType(), False),
+        T.StructField("end_offset", T.IntegerType(), False),
+    ]
+)
+
+
 def tokens_table(
     pages: DataFrame,
     doc_id: Column | str = "doc_id",
@@ -66,24 +78,49 @@ def tokens_table(
     mode: str = "standard",
     compound_noun_min_length: int = 3,
 ) -> DataFrame:
-    """``webpages`` → exploded token table
+    """``webpages`` → flat token table
     ``(doc_id, term, type, position, start_offset, end_offset)``.
 
-    The explode happens *after* the UDF so each document crosses the
-    Arrow boundary once; Catalyst prunes unused struct fields.
+    Implemented with ``mapInPandas`` emitting flat columnar batches:
+    cheaper than array<struct> + explode because the Arrow conversion
+    is plain string/int columns, not per-token Python dicts.
     """
-    udf = analyze_udf(mode, compound_noun_min_length)
+    from ..analysis.tokenizer import get_lattice_provider, tokenize
+
     doc_col = F.col(doc_id) if isinstance(doc_id, str) else doc_id
     text_col = F.col(text) if isinstance(text, str) else text
-    return (
-        pages.select(doc_col.alias("doc_id"), udf(text_col).alias("tokens"))
-        .select("doc_id", F.explode("tokens").alias("t"))
-        .select(
-            "doc_id",
-            F.col("t.term").alias("term"),
-            F.col("t.type").alias("type"),
-            F.col("t.position").alias("position"),
-            F.col("t.start_offset").alias("start_offset"),
-            F.col("t.end_offset").alias("end_offset"),
-        )
-    )
+    narrow = pages.select(doc_col.alias("doc_id"), text_col.alias("text"))
+
+    def emit(batches):
+        provider = get_lattice_provider()
+        for pdf in batches:
+            doc_ids: list[int] = []
+            terms: list[str] = []
+            types: list[str] = []
+            positions: list[int] = []
+            starts: list[int] = []
+            ends: list[int] = []
+            for d, txt in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                position = -1
+                for p in tokenize(
+                    txt or "", mode, compound_noun_min_length, provider=provider
+                ):
+                    position += p.position_incr
+                    doc_ids.append(d)
+                    terms.append(p.token_string())
+                    types.append(p.pos_id.name)
+                    positions.append(position)
+                    starts.append(p.start_offset)
+                    ends.append(p.end_offset)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "term": terms,
+                    "type": types,
+                    "position": pd.Series(positions, dtype="int32"),
+                    "start_offset": pd.Series(starts, dtype="int32"),
+                    "end_offset": pd.Series(ends, dtype="int32"),
+                }
+            )
+
+    return narrow.mapInPandas(emit, FLAT_TOKENS_SCHEMA)

@@ -30,15 +30,27 @@ __all__ = ["assign_doc_ids"]
 
 
 def assign_doc_ids(
-    pages: DataFrame, key: str = "url", num_partitions: int | None = None
+    pages: DataFrame,
+    key: str = "url",
+    num_partitions: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Return ``pages`` with a dense deterministic ``doc_id`` column,
-    partitioned by contiguous docID range (ascending ``key`` order)."""
+    partitioned by contiguous docID range (ascending ``key`` order).
+
+    ``persist`` pins the range-shuffled relation (memory-and-disk) so
+    the count pass and the tagging pass share ONE shuffle — and,
+    critically, see the *same* range boundaries (RangePartitioner
+    samples per-job otherwise)."""
     spark = pages.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     parts = pages.repartitionByRange(num_partitions, key).sortWithinPartitions(key)
     parts = parts.withColumn("_pid", F.spark_partition_id())
+    if persist:
+        from pyspark import StorageLevel
+
+        parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
     # pass 1: per-partition counts → base offsets (small collect: one row
     # per partition, never per doc)
     counts = {
