@@ -133,10 +133,29 @@ def index_build_docs_per_sec(cores: int, n_docs: int, corpus_path: str, out_dir:
     return n_docs / dt
 
 
+def cpu_capacity(procs: int, seconds: float = 2.0) -> float:
+    """Measured hardware throughput (busy-loop iterations/sec summed over
+    ``procs`` processes). On this VM, per-core capacity degrades with
+    concurrency (steal/turbo/bandwidth); the ratio cap(4N)/cap(N)
+    is the *hardware* ceiling a perfectly-scaling job could reach, so we
+    report efficiency both raw and normalized by it."""
+    import multiprocessing as mp
+
+    def burn(_):
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < seconds:
+            x += 1
+        return x
+
+    with mp.Pool(procs) as p:
+        return sum(p.map(burn, range(procs))) / seconds
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
     spark = _fresh_spark(cpus)
@@ -154,12 +173,17 @@ def main() -> None:
         materialize_corpus(n_docs, corpus_path)
         thr_low = index_build_docs_per_sec(low, n_docs, corpus_path, "/tmp/bench_idx_low")
         thr_high = index_build_docs_per_sec(cpus, n_docs, corpus_path, "/tmp/bench_idx_high")
+        cap_low = cpu_capacity(low)
+        cap_high = cpu_capacity(cpus)
+        hw_ratio = cap_high / cap_low
         indexing = {
             "cores_low": low,
             "cores_high": cpus,
             "docs_per_sec_lowN": round(thr_low, 1),
             "docs_per_sec_highN": round(thr_high, 1),
             "scaling_efficiency": round((thr_high / thr_low) / (cpus / low), 3),
+            "hw_capacity_ratio": round(hw_ratio, 2),
+            "scaling_efficiency_hw_normalized": round((thr_high / thr_low) / hw_ratio, 3),
             "n_docs": n_docs,
         }
 

@@ -24,10 +24,141 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.udfs import tokens_table
 from .docids import assign_doc_ids
 
-__all__ = ["InvertedIndex", "build_index", "build_and_write", "load_index"]
+__all__ = [
+    "InvertedIndex",
+    "build_index",
+    "build_and_write",
+    "load_index",
+    "corpus_tokens",
+]
 
 K1 = 1.2
 B = 0.75
+
+
+def corpus_tokens(
+    pages: DataFrame,
+    lang_filter: str | None = "ko",
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+    num_partitions: int | None = None,
+):
+    """Corpus → ``(tokens, doc_map)`` in ONE Python pass.
+
+    Fuses docID assignment (I1) and tokenization (A1–A10/I2) into a
+    single ``mapInPandas`` over the range-partitioned corpus: the text
+    crosses the Arrow boundary once, and no intermediate docID-stamped
+    corpus is materialized. ``tokens`` carries ``doc_len`` so the
+    block encoder never joins back to doc stats.
+
+    Returns ``(tokens_df, doc_map_df)`` where ``doc_map`` is
+    ``(doc_id, url)`` (resolution table for query results), both reading
+    the same persisted shuffle.
+    """
+    import pandas as pd
+    import pyspark.sql.types as T
+    from pyspark import StorageLevel
+
+    from ..analysis.tokenizer import get_lattice_provider, tokenize
+
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    if lang_filter is not None:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    pruned = pages.select("url", "text")
+    parts = (
+        pruned.repartitionByRange(num_partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    tokens_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("type", T.StringType(), False),
+            T.StructField("position", T.IntegerType(), False),
+            T.StructField("start_offset", T.IntegerType(), False),
+            T.StructField("end_offset", T.IntegerType(), False),
+            T.StructField("doc_len", T.IntegerType(), False),
+        ]
+    )
+
+    def emit_tokens(batches):
+        provider = get_lattice_provider()
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            doc_ids, terms, types, positions, starts, ends, doc_lens = (
+                [], [], [], [], [], [], [],
+            )
+            for off, txt in enumerate(pdf["text"]):
+                d = base + seen + off
+                toks = tokenize(
+                    txt or "", mode, compound_noun_min_length, provider=provider
+                )
+                position = -1
+                for p in toks:
+                    position += p.position_incr
+                    doc_ids.append(d)
+                    terms.append(p.token_string())
+                    types.append(p.pos_id.name)
+                    positions.append(position)
+                    starts.append(p.start_offset)
+                    ends.append(p.end_offset)
+                doc_lens.extend([len(toks)] * len(toks))
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "term": terms,
+                    "type": types,
+                    "position": pd.Series(positions, dtype="int32"),
+                    "start_offset": pd.Series(starts, dtype="int32"),
+                    "end_offset": pd.Series(ends, dtype="int32"),
+                    "doc_len": pd.Series(doc_lens, dtype="int32"),
+                }
+            )
+
+    map_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("url", T.StringType(), False),
+        ]
+    )
+
+    def emit_map(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            ids = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "url": pdf["url"].values}
+            )
+
+    return parts.mapInPandas(emit_tokens, tokens_schema), parts.mapInPandas(
+        emit_map, map_schema
+    )
 
 
 def _stats_from_postings(postings: DataFrame):
@@ -56,22 +187,6 @@ class InvertedIndex:
         return self
 
 
-def doc_table(
-    pages: DataFrame,
-    lang_filter: str | None = "ko",
-    with_doc_ids: bool = True,
-) -> DataFrame:
-    """Pruned, docID-stamped corpus: ``(doc_id, url, text)``."""
-    if lang_filter is not None:
-        pages = pages.filter(F.col("lang") == lang_filter)
-    pages = pages.select("url", "text")  # prune before any shuffle
-    if with_doc_ids:
-        pages = assign_doc_ids(pages)
-    elif "doc_id" not in pages.columns:
-        raise ValueError("with_doc_ids=False requires an existing doc_id column")
-    return pages
-
-
 def build_index(
     pages: DataFrame,
     mode: str = "standard",
@@ -84,14 +199,15 @@ def build_index(
     than one member table is consumed)."""
     if not with_doc_ids and "doc_id" in pages.columns:
         docs = pages if lang_filter is None else pages.filter(F.col("lang") == lang_filter)
+        tokens = tokens_table(docs, "doc_id", "text", mode, compound_noun_min_length)
     else:
-        docs = doc_table(pages, lang_filter, with_doc_ids)
-    tokens = tokens_table(docs, "doc_id", "text", mode, compound_noun_min_length)
+        tokens, _ = corpus_tokens(pages, lang_filter, mode, compound_noun_min_length)
     postings = (
         tokens.groupBy("term", "doc_id")
         .agg(
             F.count("*").alias("tf"),
             F.sort_array(F.collect_list("position")).alias("positions"),
+            *([F.first("doc_len").alias("doc_len")] if "doc_len" in tokens.columns else []),
         )
     )
     return InvertedIndex(postings, *_stats_from_postings(postings))

@@ -76,11 +76,13 @@ def bm25_topk(
         )
         .select("term", "idf")
     )
+    matched = index.postings.filter(F.col("term").isin(list(set(query_terms))))
+    if "doc_len" not in matched.columns:
+        # older row-postings without the denormalized doc_len
+        matched = matched.join(index.doc_stats, "doc_id")
     scored = (
-        index.postings
-        .filter(F.col("term").isin(list(set(query_terms))))
+        matched
         .join(F.broadcast(idf_df), "term")
-        .join(index.doc_stats, "doc_id")
         .withColumn("avgdl", F.lit(avgdl))
         .withColumn("partial", score_expr(k1, b))
         .groupBy("doc_id")
