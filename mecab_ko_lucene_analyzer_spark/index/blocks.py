@@ -4,8 +4,12 @@ Input: row postings ``(term, doc_id, tf, positions, doc_len)`` (the
 ``build.py`` output). Output: ``blocks`` table::
 
     term string, first_doc long, n_docs int,
-    doc_deltas binary, tfs binary, pos_deltas binary,
+    doc_deltas binary, tfs binary, pos_deltas binary, doc_lens binary,
     block_max_tf int, block_max_impact double
+
+``doc_lens`` (varint per doc) makes WAND scoring self-contained: the
+exact BM25 impact is recomputable from (tf, doc_len, avgdl) without a
+doc-stats lookup per candidate.
 
 ``block_max_impact`` is the block's max of ``tf/(tf + k1*(1-b+b*dl/avgdl))``
 — the document-dependent BM25 factor — so a block's score upper bound
@@ -50,14 +54,17 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("doc_deltas", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("pos_deltas", T.BinaryType(), False),
+        T.StructField("doc_lens", T.BinaryType(), False),
         T.StructField("block_max_tf", T.IntegerType(), False),
         T.StructField("block_max_impact", T.DoubleType(), False),
     ]
 )
 
 
-def _hot_terms(term_stats: DataFrame, n_docs: int, share: float) -> list[str]:
-    thresh = max(int(n_docs * share), 1000)
+def _hot_terms(
+    term_stats: DataFrame, n_docs: int, share: float, min_df: int
+) -> list[str]:
+    thresh = max(int(n_docs * share), min_df)
     rows = term_stats.filter(F.col("df") >= thresh).select("term").collect()
     return [r["term"] for r in rows]
 
@@ -69,6 +76,7 @@ def build_blocks(
     avgdl: float,
     num_partitions: int | None = None,
     hot_share: float = 0.05,
+    hot_min_df: int = 1000,
     k1: float = K1,
     b: float = B,
     block_size: int = BLOCK_SIZE,
@@ -78,7 +86,7 @@ def build_blocks(
     spark = postings.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
-    hot = set(_hot_terms(term_stats, n_docs, hot_share))
+    hot = set(_hot_terms(term_stats, n_docs, hot_share, hot_min_df))
     hot_col = F.col("term").isin(list(hot)) if hot else F.lit(False)
     salted = postings.withColumn(
         "salt",
@@ -92,12 +100,11 @@ def build_blocks(
         # stream consecutive same-term runs; block boundaries every
         # `block_size` docs (and at partition edges, which are salt-range
         # edges for hot terms → still globally doc-ordered)
-        carry: dict | None = None
-
-        def flush(term: str, docs, tfs, impacts, poslists) -> dict:
+        def flush(term: str, docs, tfs, impacts, poslists, dls) -> dict:
             docs = np.asarray(docs, dtype=np.uint64)
             tfs_a = np.asarray(tfs, dtype=np.uint64)
             dd, tt, pp = encode_block(docs, tfs_a, poslists)
+            from .codec import encode_varints
             return {
                 "term": term,
                 "first_doc": int(docs[0]),
@@ -105,6 +112,7 @@ def build_blocks(
                 "doc_deltas": dd,
                 "tfs": tt,
                 "pos_deltas": pp,
+                "doc_lens": encode_varints(np.asarray(dls, dtype=np.uint64)),
                 "block_max_tf": int(tfs_a.max()),
                 "block_max_impact": float(max(impacts)),
             }
@@ -115,12 +123,13 @@ def build_blocks(
         tfs: list[int] = []
         impacts: list[float] = []
         poslists: list[np.ndarray] = []
+        dls: list[int] = []
 
         def close_block():
-            nonlocal docs, tfs, impacts, poslists
+            nonlocal docs, tfs, impacts, poslists, dls
             if docs:
-                out_rows.append(flush(cur_term, docs, tfs, impacts, poslists))
-                docs, tfs, impacts, poslists = [], [], [], []
+                out_rows.append(flush(cur_term, docs, tfs, impacts, poslists, dls))
+                docs, tfs, impacts, poslists, dls = [], [], [], [], []
 
         for pdf in batches:
             for term, doc_id, tf, positions, doc_len in zip(
@@ -135,6 +144,7 @@ def build_blocks(
                     tf / (tf + k1 * (1 - b + b * doc_len / avgdl))
                 )
                 poslists.append(np.asarray(positions, dtype=np.uint64))
+                dls.append(int(doc_len))
                 if len(docs) >= block_size:
                     close_block()
             if len(out_rows) >= 256:

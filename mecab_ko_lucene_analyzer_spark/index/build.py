@@ -219,18 +219,84 @@ def build_and_write(
     mode: str = "standard",
     compound_noun_min_length: int = 3,
     lang_filter: str | None = "ko",
+    with_blocks: bool = False,
+    hot_min_df: int = 1000,
 ) -> InvertedIndex:
-    """Materialize the index: ONE tokenize+shuffle pass writes postings;
-    stats derive from the written postings (cheap re-scan of a narrow
-    parquet), then the whole index is reloaded lazily."""
+    """Materialize the index with per-stage checkpoints (I6):
+
+    1. ``postings``  — ONE tokenize + shuffle pass (+ ``doc_map``)
+    2. ``stats``     — derived from the written postings
+    3. ``blocks``    — salted sorted shuffle → compressed block postings
+
+    A rerun skips completed stages (manifest + ``_SUCCESS``); docIDs are
+    deterministic, so resumed output is byte-identical.
+    """
+    from .manifest import BuildManifest, run_stage
+
     spark = pages.sparkSession
-    idx = build_index(pages, mode, compound_noun_min_length, lang_filter)
-    idx.postings.write.mode("overwrite").parquet(f"{base_path}/postings")
-    postings = spark.read.parquet(f"{base_path}/postings")
-    term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
-    term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
-    doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
-    corpus_stats.write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
+    manifest = BuildManifest.load_or_create(
+        base_path,
+        {
+            "mode": mode,
+            "compound_noun_min_length": compound_noun_min_length,
+            "lang_filter": lang_filter,
+            "k1": K1,
+            "b": B,
+        },
+    )
+
+    def stage_postings():
+        tokens, doc_map = corpus_tokens(pages, lang_filter, mode, compound_noun_min_length)
+        postings = tokens.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("positions"),
+            F.first("doc_len").alias("doc_len"),
+        )
+        postings.write.mode("overwrite").parquet(f"{base_path}/postings")
+        doc_map.write.mode("overwrite").parquet(f"{base_path}/doc_map")
+        n_docs = spark.read.parquet(f"{base_path}/doc_map").count()
+        n_postings = spark.read.parquet(f"{base_path}/postings").count()
+        return {"docs_tokenized": n_docs, "postings_emitted": n_postings}
+
+    run_stage(manifest, "postings", f"{base_path}/postings", stage_postings)
+
+    def stage_stats():
+        postings = spark.read.parquet(f"{base_path}/postings")
+        term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
+        term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
+        doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
+        corpus_stats.write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
+        row = spark.read.parquet(f"{base_path}/corpus_stats").first()
+        return {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
+
+    run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
+
+    if with_blocks:
+
+        def stage_blocks():
+            from .blocks import build_blocks
+
+            postings = spark.read.parquet(f"{base_path}/postings")
+            term_stats = spark.read.parquet(f"{base_path}/term_stats")
+            corpus = spark.read.parquet(f"{base_path}/corpus_stats").first()
+            blocks = build_blocks(
+                postings,
+                term_stats,
+                n_docs=corpus["n_docs"],
+                avgdl=corpus["avgdl"],
+                hot_min_df=hot_min_df,
+            )
+            # sort blocks by (term, first_doc) within files so parquet
+            # row-group min/max stats prune term-filtered scans
+            blocks.sortWithinPartitions("term", "first_doc").write.mode(
+                "overwrite"
+            ).parquet(f"{base_path}/blocks")
+            return {
+                "blocks_written": spark.read.parquet(f"{base_path}/blocks").count()
+            }
+
+        run_stage(manifest, "blocks", f"{base_path}/blocks", stage_blocks)
+
     return load_index(spark, base_path)
 
 

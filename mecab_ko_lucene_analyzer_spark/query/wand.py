@@ -1,0 +1,221 @@
+"""Block-max WAND top-k over compressed postings (I7 query path).
+
+The low-latency counterpart to the distributed scatter-gather scorer
+(``bm25.py``): query terms are few, so their block lists are fetched
+with a term-pruned scan (``blocks.filter(term IN ...)``) and scored on
+the driver document-at-a-time with block-max skipping (WAND, Broder et
+al. 2003; block-max refinement, Ding & Suel 2011). Both engines must be
+rank-identical to the brute-force oracle — tested.
+
+Tie-break: score desc, doc_id asc. WAND scores candidates in ascending
+docID order, so on equal scores the earlier (smaller) docID stays in
+the heap — matching the oracle's deterministic sort.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ..index.build import B, K1
+from ..index.codec import decode_varints
+from .bm25 import lucene_idf
+
+__all__ = ["TermCursor", "wand_topk", "load_query_cursors"]
+
+_INF = 1 << 62
+
+
+@dataclass
+class _Block:
+    first_doc: int
+    doc_deltas: bytes
+    tfs: bytes
+    doc_lens: bytes
+    max_impact: float
+
+
+@dataclass
+class TermCursor:
+    """Posting-list iterator over compressed blocks with skipping.
+    Blocks decode lazily — a skipped block is never decompressed."""
+
+    term: str
+    idf: float
+    blocks: list[_Block]
+    k1: float = K1
+    b: float = B
+    avgdl: float = 1.0
+    _bi: int = -1
+    _docs: np.ndarray | None = None
+    _tfs: np.ndarray | None = None
+    _dls: np.ndarray | None = None
+    _pos: int = 0
+    cur_doc: int = _INF
+    _firsts: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+
+    def __post_init__(self):
+        self.blocks.sort(key=lambda blk: blk.first_doc)
+        self._firsts = np.array([blk.first_doc for blk in self.blocks], dtype=np.int64)
+        self.max_impact = max((blk.max_impact for blk in self.blocks), default=0.0)
+        self._open(0)
+
+    @property
+    def ub(self) -> float:
+        return self.idf * self.max_impact
+
+    def block_ub(self) -> float:
+        if self._bi >= len(self.blocks):
+            return 0.0
+        return self.idf * self.blocks[self._bi].max_impact
+
+    def block_last_doc(self) -> int:
+        if self._docs is None:
+            return _INF
+        return int(self._docs[-1])
+
+    def _open(self, bi: int) -> None:
+        if bi >= len(self.blocks):
+            self._bi = len(self.blocks)
+            self._docs = None
+            self.cur_doc = _INF
+            return
+        blk = self.blocks[bi]
+        self._bi = bi
+        self._docs = np.cumsum(decode_varints(blk.doc_deltas).astype(np.int64))
+        self._tfs = decode_varints(blk.tfs).astype(np.int64)
+        self._dls = decode_varints(blk.doc_lens).astype(np.int64)
+        self._pos = 0
+        self.cur_doc = int(self._docs[0])
+
+    def advance(self) -> None:
+        self._pos += 1
+        if self._docs is not None and self._pos < len(self._docs):
+            self.cur_doc = int(self._docs[self._pos])
+        else:
+            self._open(self._bi + 1)
+
+    def next_geq(self, target: int) -> None:
+        if self.cur_doc >= target:
+            return
+        bi = int(np.searchsorted(self._firsts, target, side="right")) - 1
+        if bi > self._bi:
+            self._open(bi)
+        while self._bi < len(self.blocks):
+            assert self._docs is not None
+            if int(self._docs[-1]) >= target:
+                self._pos = int(np.searchsorted(self._docs, target, side="left"))
+                self.cur_doc = int(self._docs[self._pos])
+                return
+            self._open(self._bi + 1)
+
+    def score_current(self) -> float:
+        tf = float(self._tfs[self._pos])
+        dl = float(self._dls[self._pos])
+        return self.idf * tf / (tf + self.k1 * (1 - self.b + self.b * dl / self.avgdl))
+
+    def exhausted(self) -> bool:
+        return self.cur_doc >= _INF
+
+
+def load_query_cursors(
+    blocks: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k1: float = K1,
+    b: float = B,
+) -> list[TermCursor]:
+    """Fetch the query terms' block lists (term-pruned scan — at scale
+    the blocks table is sorted/bucketed by term so parquet row-group
+    stats prune the read) and build driver-side cursors."""
+    terms = sorted(set(query_terms))
+    df_rows = {
+        r["term"]: r["df"]
+        for r in term_stats.filter(F.col("term").isin(terms)).collect()
+    }
+    rows = blocks.filter(F.col("term").isin(terms)).collect()
+    by_term: dict[str, list[_Block]] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(
+            _Block(
+                r["first_doc"],
+                bytes(r["doc_deltas"]),
+                bytes(r["tfs"]),
+                bytes(r["doc_lens"]),
+                r["block_max_impact"],
+            )
+        )
+    return [
+        TermCursor(
+            term=t,
+            idf=lucene_idf(n_docs, df_rows[t]),
+            blocks=blks,
+            k1=k1,
+            b=b,
+            avgdl=avgdl,
+        )
+        for t, blks in by_term.items()
+    ]
+
+
+def wand_topk(cursors: list[TermCursor], k: int = 10) -> list[tuple[int, float]]:
+    """Document-at-a-time block-max WAND. Returns [(doc_id, score)]
+    ordered by (score desc, doc_id asc), length ≤ k."""
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else 0.0
+
+    while True:
+        live = [c for c in cursors if not c.exhausted()]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc)
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc > theta():
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # nothing left can beat theta
+        pivot_doc = live[pivot_idx].cur_doc
+        prefix = live[: pivot_idx + 1]
+        # block-max refinement over the prefix cursors' current blocks
+        if sum(c.block_ub() for c in prefix) <= theta():
+            # no doc up to the shallowest block end can win; skip there.
+            boundary = min(c.block_last_doc() for c in prefix)
+            target = boundary + 1
+            if pivot_idx + 1 < len(live):
+                # docs beyond the next cursor's position would need its
+                # contribution re-counted — don't skip past it
+                target = min(target, live[pivot_idx + 1].cur_doc)
+            target = max(target, pivot_doc + 1) if target <= pivot_doc else target
+            live[0].next_geq(max(target, live[0].cur_doc + 1))
+            continue
+        if live[0].cur_doc == pivot_doc:
+            score = 0.0
+            for c in live:
+                if c.cur_doc == pivot_doc:
+                    score += c.score_current()
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                if score > 0.0:
+                    heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            for c in live:
+                if c.cur_doc == pivot_doc:
+                    c.advance()
+        else:
+            live[0].next_geq(pivot_doc)
+    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(-d, s) for s, d in ranked]

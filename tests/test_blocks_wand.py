@@ -1,0 +1,153 @@
+"""M2/M3 tests: compressed block postings, salted merge equivalence,
+block-max WAND rank-identity, and resumable builds (FIXTURES.md §F4–F6)."""
+
+import shutil
+
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import token_records
+from mecab_ko_lucene_analyzer_spark.index import build_and_write, build_index
+from mecab_ko_lucene_analyzer_spark.index.blocks import build_blocks
+from mecab_ko_lucene_analyzer_spark.index.codec import decode_block, decode_varints
+from mecab_ko_lucene_analyzer_spark.query import bm25_oracle
+from mecab_ko_lucene_analyzer_spark.query.wand import load_query_cursors, wand_topk
+from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+N_DOCS = 120
+BASE = "/tmp/test_index_blocks"
+
+
+@pytest.fixture(scope="module")
+def materialized(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    pages = synthesize_webpages(spark, N_DOCS, partitions=5)
+    index = build_and_write(
+        pages, BASE, lang_filter=None, with_blocks=True, hot_min_df=30
+    )
+    return index
+
+
+@pytest.fixture(scope="module")
+def blocks_df(spark, materialized):
+    return spark.read.parquet(f"{BASE}/blocks").cache()
+
+
+def _decode_all(blocks_rows):
+    """blocks rows (one term) → flat (docs, tfs) lists in first_doc order."""
+    docs, tfs = [], []
+    for r in sorted(blocks_rows, key=lambda r: r["first_doc"]):
+        d, t, _ = decode_block(bytes(r["doc_deltas"]), bytes(r["tfs"]), b"")
+        docs.extend(int(x) for x in d)
+        tfs.extend(int(x) for x in t)
+    return docs, tfs
+
+
+def test_blocks_roundtrip_equals_row_postings(spark, materialized, blocks_df):
+    rows = spark.read.parquet(f"{BASE}/postings").collect()
+    expected = {}
+    for r in rows:
+        expected.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+    for term_rows in expected.values():
+        term_rows.sort()
+    got_rows = blocks_df.collect()
+    by_term = {}
+    for r in got_rows:
+        by_term.setdefault(r["term"], []).append(r)
+    assert set(by_term) == set(expected)
+    for term, brs in by_term.items():
+        docs, tfs = _decode_all(brs)
+        assert docs == [d for d, _ in expected[term]], term
+        assert tfs == [t for _, t in expected[term]], term
+        assert docs == sorted(docs), f"{term}: doc order broken"
+
+
+def test_salted_merge_same_as_unsalted(spark, materialized):
+    postings = spark.read.parquet(f"{BASE}/postings")
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    # every term hot (maximal salting) vs no term hot
+    salted = build_blocks(
+        postings, term_stats, corpus["n_docs"], corpus["avgdl"], hot_min_df=1
+    ).collect()
+    unsalted = build_blocks(
+        postings, term_stats, corpus["n_docs"], corpus["avgdl"], hot_min_df=10**9
+    ).collect()
+
+    def flat(rows):
+        by_term = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        return {t: _decode_all(rs) for t, rs in by_term.items()}
+
+    assert flat(salted) == flat(unsalted)
+
+
+def test_doc_lens_consistent(spark, blocks_df):
+    doc_len = {
+        r["doc_id"]: r["doc_len"]
+        for r in spark.read.parquet(f"{BASE}/doc_stats").collect()
+    }
+    for r in blocks_df.limit(100).collect():
+        docs, _, _ = decode_block(bytes(r["doc_deltas"]), bytes(r["tfs"]), b"")
+        dls = decode_varints(bytes(r["doc_lens"]))
+        for d, dl in zip(docs, dls):
+            assert doc_len[int(d)] == int(dl)
+
+
+QUERIES = [
+    ["검색", "엔진"],
+    ["삼성전자"],
+    ["한국어", "문서", "색인"],
+    ["spark", "index"],
+    ["데이터", "처리", "시스템", "웹페이지"],
+    ["는"],  # hot josa term (salted path)
+    ["없는단어쿼리"],
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["+".join(q) for q in QUERIES])
+def test_wand_rank_identical_to_oracle(spark, materialized, blocks_df, terms):
+    # oracle over the actual tokenized corpus (recompute on driver)
+    pages = synthesize_webpages(spark, N_DOCS, partitions=5)
+    rows = sorted(pages.select("url", "text").collect(), key=lambda r: r["url"])
+    token_lists = {
+        i: [t["term"] for t in token_records(r["text"])] for i, r in enumerate(rows)
+    }
+    expected = bm25_oracle(token_lists, terms, k=10)
+
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    cursors = load_query_cursors(
+        blocks_df,
+        spark.read.parquet(f"{BASE}/term_stats"),
+        corpus["n_docs"],
+        corpus["avgdl"],
+        terms,
+    )
+    got = wand_topk(cursors, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_resume_skips_completed_stages(spark, materialized):
+    import json
+
+    with open(f"{BASE}/manifest.json") as f:
+        m1 = json.load(f)
+    assert set(m1["stages"]) == {"postings", "stats", "blocks"}
+    assert m1["stages"]["postings"]["counters"]["docs_tokenized"] == N_DOCS
+
+    # drop the stats outputs → only that stage reruns
+    shutil.rmtree(f"{BASE}/term_stats")
+    del m1["stages"]["stats"]
+    with open(f"{BASE}/manifest.json", "w") as f:
+        json.dump(m1, f)
+    before = spark.read.parquet(f"{BASE}/postings").count()
+    pages = synthesize_webpages(spark, N_DOCS, partitions=3)
+    build_and_write(pages, BASE, lang_filter=None, with_blocks=True, hot_min_df=30)
+    with open(f"{BASE}/manifest.json") as f:
+        m2 = json.load(f)
+    assert m2["stages"]["stats"]["status"] == "complete"
+    # postings untouched (same row count, stage not re-run)
+    assert spark.read.parquet(f"{BASE}/postings").count() == before
+    assert m2["stages"]["postings"] == m1["stages"]["postings"]
