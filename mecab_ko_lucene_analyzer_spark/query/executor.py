@@ -1,0 +1,199 @@
+"""AST executor: document-at-a-time evaluation of boolean retrieval
+trees over compressed block postings (Q1–Q5 execution).
+
+The flat disjunctive/conjunctive bag-of-terms fast paths go through
+block-max WAND (``wand.py``); nested trees (synonym OR, extra-term
+subtrees, phrases) run through this generic cursor-tree evaluator.
+Scoring semantics are the engine spec documented in ``ast.py``.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from .ast import And, Or, Phrase, Term, ast_terms
+from .wand import TermCursor, load_query_cursors
+
+__all__ = ["execute_ast", "topk_and", "topk_or"]
+
+_INF = 1 << 62
+
+
+class _Empty:
+    cur_doc = _INF
+
+    def next_geq(self, target: int) -> None:
+        pass
+
+    def score(self) -> float:
+        return 0.0
+
+
+class _TermNode:
+    def __init__(self, cursor: TermCursor):
+        self.c = cursor
+
+    @property
+    def cur_doc(self) -> int:
+        return self.c.cur_doc
+
+    def next_geq(self, target: int) -> None:
+        self.c.next_geq(target)
+
+    def score(self) -> float:
+        return self.c.score_current()
+
+
+class _OrNode:
+    def __init__(self, children):
+        self.children = children
+
+    @property
+    def cur_doc(self) -> int:
+        return min(ch.cur_doc for ch in self.children)
+
+    def next_geq(self, target: int) -> None:
+        for ch in self.children:
+            ch.next_geq(target)
+
+    def score(self) -> float:
+        d = self.cur_doc
+        return max(ch.score() for ch in self.children if ch.cur_doc == d)
+
+
+class _AndNode:
+    def __init__(self, children):
+        self.children = children
+
+    @property
+    def cur_doc(self) -> int:
+        # aligned doc, or advance until aligned/exhausted
+        while True:
+            docs = [ch.cur_doc for ch in self.children]
+            hi = max(docs)
+            if hi >= _INF:
+                return _INF
+            if all(d == hi for d in docs):
+                return hi
+            for ch in self.children:
+                if ch.cur_doc < hi:
+                    ch.next_geq(hi)
+
+    def next_geq(self, target: int) -> None:
+        for ch in self.children:
+            ch.next_geq(target)
+
+    def score(self) -> float:
+        return sum(ch.score() for ch in self.children)
+
+
+class _PhraseNode(_AndNode):
+    """Conjunction + consecutive-position check within slop; score 0
+    (``match_phrase(...).boost(0)``, DanawaSearchQueryBuilder.java:287-291)."""
+
+    def __init__(self, children, slop: int = 0):
+        super().__init__(children)
+        self.slop = slop
+
+    @property
+    def cur_doc(self) -> int:
+        while True:
+            d = super().cur_doc
+            if d >= _INF:
+                return _INF
+            if self._phrase_match():
+                return d
+            super().next_geq(d + 1)
+
+    def _phrase_match(self) -> bool:
+        pos_lists = [ch.c.positions_current() for ch in self.children]
+        base = pos_lists[0]
+        for start in base:
+            ok = True
+            expect = start
+            for ps in pos_lists[1:]:
+                nxt = ps[(ps > expect) & (ps <= expect + 1 + self.slop)]
+                if nxt.size == 0:
+                    ok = False
+                    break
+                expect = int(nxt[0])
+            if ok:
+                return True
+        return False
+
+    def score(self) -> float:
+        return 0.0
+
+
+def _build_tree(node, cursors: dict[str, TermCursor]):
+    if isinstance(node, Term):
+        c = cursors.get(node.term)
+        return _TermNode(c) if c is not None else _Empty()
+    if isinstance(node, Phrase):
+        children = []
+        for t in node.terms:
+            c = cursors.get(t)
+            if c is None:
+                return _Empty()
+            children.append(_TermNode(c))
+        return _PhraseNode(children, node.slop)
+    cls = _AndNode if isinstance(node, And) else _OrNode
+    children = [_build_tree(c, cursors) for c in node.children]
+    if isinstance(node, And) and any(isinstance(c, _Empty) for c in children):
+        return _Empty()
+    if isinstance(node, Or):
+        children = [c for c in children if not isinstance(c, _Empty)]
+        if not children:
+            return _Empty()
+    if not children:
+        return _Empty()
+    return cls(children)
+
+
+def execute_ast(
+    ast,
+    blocks: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    """Evaluate an AST → top-k [(doc_id, score)], tie-break
+    (score desc, doc_id asc)."""
+    terms = sorted(ast_terms(ast))
+    cursors = {
+        c.term: c
+        for c in load_query_cursors(blocks, term_stats, n_docs, avgdl, terms)
+    }
+    root = _build_tree(ast, cursors)
+    heap: list[tuple[float, int]] = []
+    d = root.cur_doc
+    while d < _INF:
+        score = root.score()
+        item = (score, -d)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+        root.next_geq(d + 1)
+        d = root.cur_doc
+    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(-dd, s) for s, dd in ranked]
+
+
+def topk_or(blocks, term_stats, n_docs, avgdl, terms, k=10):
+    """Disjunctive bag-of-terms → block-max WAND fast path."""
+    from .wand import load_query_cursors, wand_topk
+
+    cursors = load_query_cursors(blocks, term_stats, n_docs, avgdl, terms)
+    return wand_topk(cursors, k)
+
+
+def topk_and(blocks, term_stats, n_docs, avgdl, terms, k=10):
+    """Conjunctive bag-of-terms (the reference's Q1 semantics)."""
+    ast = And(tuple(Term(t) for t in sorted(set(terms))))
+    return execute_ast(ast, blocks, term_stats, n_docs, avgdl, k)

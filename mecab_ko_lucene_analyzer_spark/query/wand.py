@@ -38,6 +38,7 @@ class _Block:
     tfs: bytes
     doc_lens: bytes
     max_impact: float
+    pos_deltas: bytes = b""
 
 
 @dataclass
@@ -55,6 +56,7 @@ class TermCursor:
     _docs: np.ndarray | None = None
     _tfs: np.ndarray | None = None
     _dls: np.ndarray | None = None
+    _positions: list | None = None
     _pos: int = 0
     cur_doc: int = _INF
     _firsts: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
@@ -90,8 +92,21 @@ class TermCursor:
         self._docs = np.cumsum(decode_varints(blk.doc_deltas).astype(np.int64))
         self._tfs = decode_varints(blk.tfs).astype(np.int64)
         self._dls = decode_varints(blk.doc_lens).astype(np.int64)
+        self._positions = None  # decoded on demand (phrase queries only)
         self._pos = 0
         self.cur_doc = int(self._docs[0])
+
+    def positions_current(self) -> np.ndarray:
+        """Positions of the current doc (lazy per-block decode)."""
+        if self._positions is None:
+            flat = decode_varints(self.blocks[self._bi].pos_deltas).astype(np.int64)
+            bounds = np.cumsum(self._tfs)
+            self._positions = []
+            start = 0
+            for end in bounds:
+                self._positions.append(np.cumsum(flat[start:end]))
+                start = int(end)
+        return self._positions[self._pos]
 
     def advance(self) -> None:
         self._pos += 1
@@ -150,6 +165,7 @@ def load_query_cursors(
                 bytes(r["tfs"]),
                 bytes(r["doc_lens"]),
                 r["block_max_impact"],
+                bytes(r["pos_deltas"]),
             )
         )
     return [

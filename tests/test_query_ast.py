@@ -1,0 +1,181 @@
+"""Q1–Q6 tests: AST construction (synonym OR, extra-term subtree,
+phrase), JSON rendering, and executor correctness (conjunctive AND +
+synonym OR + phrase) against a brute-force evaluator."""
+
+import shutil
+
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.analysis.dictionary import (
+    AnalyzerOption,
+    SetDictionary,
+    SynonymDictionary,
+    analyze_index_tokens,
+    analyze_query,
+)
+from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import token_records
+from mecab_ko_lucene_analyzer_spark.index import build_and_write
+from mecab_ko_lucene_analyzer_spark.query.ast import (
+    And,
+    Or,
+    Phrase,
+    Term,
+    build_query_ast,
+    to_json,
+)
+from mecab_ko_lucene_analyzer_spark.query.bm25 import lucene_idf
+from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast, topk_and
+from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+BASE = "/tmp/test_index_ast"
+N_DOCS = 100
+
+
+# ---------- AST construction --------------------------------------------
+
+
+def test_build_query_ast_synonyms_and_extras():
+    tokens = [
+        {"term": "삼성전자", "synonyms": ["samsung", "삼성 전자"]},
+        {"term": "노트북", "synonyms": [], "extra_terms": ["노트", "북"]},
+        {"term": "가방"},
+    ]
+    ast = build_query_ast(tokens)
+    assert ast == And(
+        (
+            Or((Term("삼성전자"), Term("samsung"), Phrase(("삼성", "전자")))),
+            Or((Term("노트북"), And((Term("노트"), Term("북"))))),
+            Term("가방"),
+        )
+    )
+    j = to_json(ast)
+    assert '"phrase": ["삼성", "전자"]' in j and '"and"' in j
+
+
+def test_synonym_dictionary_two_way_vs_one_way():
+    two = SynonymDictionary.from_groups([["a", "b", "c"]], two_way=True)
+    assert two.get("b") == ["a", "c"]
+    one = SynonymDictionary.from_groups([["a", "b", "c"]], two_way=False)
+    assert one.get("a") == ["b", "c"]
+    assert one.get("b") == []
+
+
+def test_analyze_query_and_index_modes():
+    opt = AnalyzerOption(
+        synonyms=SynonymDictionary.from_groups([["검색", "서치"]]),
+        stopwords=SetDictionary.from_lines(["의"]),
+    )
+    q = analyze_query("검색 엔진의", opt)
+    terms = [t["term"] for t in q]
+    assert "검색" in terms and "의" not in terms
+    syn = next(t for t in q if t["term"] == "검색")["synonyms"]
+    assert syn == ["서치"]
+    idx = analyze_index_tokens("검색 엔진의", opt)
+    idx_terms = [t["term"] for t in idx]
+    assert "서치" in idx_terms  # emitted at same position
+    srch = [t for t in idx if t["term"] in ("검색", "서치")]
+    assert srch[0]["position"] == srch[1]["position"]
+
+
+# ---------- executor vs brute force --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    pages = synthesize_webpages(spark, N_DOCS, partitions=4)
+    build_and_write(pages, BASE, lang_filter=None, with_blocks=True, hot_min_df=25)
+    blocks = spark.read.parquet(f"{BASE}/blocks").cache()
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    rows = sorted(pages.select("url", "text").collect(), key=lambda r: r["url"])
+    docs = {i: token_records(r["text"]) for i, r in enumerate(rows)}
+    return blocks, term_stats, corpus, docs
+
+
+def _brute_force(docs, ast, n_docs, avgdl, k=10, k1=1.2, b=0.75):
+    from mecab_ko_lucene_analyzer_spark.query.ast import And, Or, Phrase, Term
+
+    def df_of(term):
+        return sum(1 for toks in docs.values() if any(t["term"] == term for t in toks))
+
+    def term_score(term, toks, dl):
+        tf = sum(1 for t in toks if t["term"] == term)
+        if tf == 0:
+            return None
+        idf = lucene_idf(n_docs, df_of(term))
+        return idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    def eval_node(node, toks, dl):
+        """returns score or None if no match"""
+        if isinstance(node, Term):
+            return term_score(node.term, toks, dl)
+        if isinstance(node, Phrase):
+            pos = {}
+            for t in toks:
+                pos.setdefault(t["term"], []).append(t["position"])
+            cur = pos.get(node.terms[0], [])
+            for start in cur:
+                expect = start
+                ok = True
+                for w in node.terms[1:]:
+                    nxt = [
+                        p for p in pos.get(w, []) if expect < p <= expect + 1 + node.slop
+                    ]
+                    if not nxt:
+                        ok = False
+                        break
+                    expect = nxt[0]
+                if ok:
+                    return 0.0
+            return None
+        if isinstance(node, And):
+            total = 0.0
+            for c in node.children:
+                s = eval_node(c, toks, dl)
+                if s is None:
+                    return None
+                total += s
+            return total
+        if isinstance(node, Or):
+            scores = [eval_node(c, toks, dl) for c in node.children]
+            scores = [s for s in scores if s is not None]
+            return max(scores) if scores else None
+        raise TypeError(node)
+
+    results = []
+    for d, toks in docs.items():
+        dl = len(toks)
+        s = eval_node(ast, toks, dl)
+        if s is not None:
+            results.append((d, s))
+    results.sort(key=lambda t: (-t[1], t[0]))
+    return results[:k]
+
+
+CASES = [
+    And((Term("검색"), Term("엔진"))),
+    And((Or((Term("검색엔진"), Term("검색"))), Term("문서"))),
+    And((Phrase(("검색", "엔진")),)),
+    And((Or((Term("삼성전자"), Phrase(("삼성", "전자")))),)),
+    And((Term("데이터"), Or((Term("처리"), Term("시스템"))))),
+    And((Term("없는단어"),)),
+]
+
+
+@pytest.mark.parametrize("ast", CASES, ids=[to_json(c)[:40] for c in CASES])
+def test_execute_ast_matches_brute_force(env, ast):
+    blocks, term_stats, corpus, docs = env
+    expected = _brute_force(docs, ast, corpus["n_docs"], corpus["avgdl"], k=10)
+    got = execute_ast(ast, blocks, term_stats, corpus["n_docs"], corpus["avgdl"], k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], to_json(ast)
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_topk_and_requires_all_terms(env):
+    blocks, term_stats, corpus, docs = env
+    got = topk_and(blocks, term_stats, corpus["n_docs"], corpus["avgdl"], ["검색", "엔진", "문서"], k=10)
+    for d, _ in got:
+        terms = {t["term"] for t in docs[d]}
+        assert {"검색", "엔진", "문서"} <= terms
