@@ -59,17 +59,20 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 10) -> float:
-    """BM25 top-k latency over the Korean index built from the synthetic
-    corpus (query side of the engine)."""
-    from mecab_ko_lucene_analyzer_spark.index import build_index
-    from mecab_ko_lucene_analyzer_spark.query import bm25_topk
+def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 20) -> float:
+    """BM25 top-k latency via block-max WAND over the compressed block
+    index (the serving path), Korean query set."""
+    from mecab_ko_lucene_analyzer_spark.index import build_and_write
+    from mecab_ko_lucene_analyzer_spark.query.wand import load_query_cursors, wand_topk
     from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
 
+    base = "/tmp/bench_query_index"
     pages = synthesize_webpages(spark, 5000)
-    index = build_index(pages, lang_filter="ko").cache()
-    index.postings.count()  # materialize the cache
-    index.doc_stats.count()
+    build_and_write(pages, base, lang_filter="ko", with_blocks=True, hot_min_df=250)
+    blocks = spark.read.parquet(f"{base}/blocks").cache()
+    term_stats = spark.read.parquet(f"{base}/term_stats").cache()
+    blocks.count(), term_stats.count()  # warm the serving cache
+    corpus = spark.read.parquet(f"{base}/corpus_stats").first()
     queries = [
         ["검색", "엔진"], ["삼성전자"], ["한국어", "문서", "색인"],
         ["데이터", "처리"], ["웹페이지"], ["형태소분석", "결과"],
@@ -79,7 +82,10 @@ def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 10) -> float:
     for i in range(reps):
         q = queries[i % len(queries)]
         t0 = time.perf_counter()
-        bm25_topk(index, q, k=10).collect()
+        cursors = load_query_cursors(
+            blocks, term_stats, corpus["n_docs"], corpus["avgdl"], q
+        )
+        wand_topk(cursors, k=10)
         lat.append((time.perf_counter() - t0) * 1000)
     lat.sort()
     return round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 1)

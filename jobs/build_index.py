@@ -1,0 +1,57 @@
+"""spark-submit job: build the inverted index from a webpages table.
+
+    spark-submit --py-files mecab_ko_lucene_analyzer_spark.zip \
+        jobs/build_index.py --input /path/webpages_parquet \
+        --output /path/index --lang ko
+
+(or ``--synthesize N`` to index the deterministic synthetic corpus).
+Resumable: rerunning skips checkpointed stages (see index/manifest.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="webpages parquet path")
+    ap.add_argument("--synthesize", type=int, default=0, help="generate N synthetic docs instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lang", default="ko")
+    ap.add_argument("--mode", default="standard", choices=["standard", "keyword", "similarity"])
+    ap.add_argument("--compound-noun-min-length", type=int, default=3)
+    ap.add_argument("--no-blocks", action="store_true")
+    args = ap.parse_args()
+
+    from mecab_ko_lucene_analyzer_spark.index import build_and_write
+    from mecab_ko_lucene_analyzer_spark.plans import get_spark
+    from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+    spark = get_spark(app_name="build-index")
+    if args.synthesize:
+        pages = synthesize_webpages(spark, args.synthesize)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        ap.error("--input or --synthesize required")
+    build_and_write(
+        pages,
+        args.output,
+        mode=args.mode,
+        compound_noun_min_length=args.compound_noun_min_length,
+        lang_filter=args.lang or None,
+        with_blocks=not args.no_blocks,
+    )
+    with open(f"{args.output}/manifest.json") as f:
+        print(json.dumps(json.load(f), indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

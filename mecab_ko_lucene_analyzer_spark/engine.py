@@ -1,0 +1,109 @@
+"""High-level facade: the Spark-native equivalent of the reference's
+plugin surface (Q10 actions analyze / build-index / search,
+``ProductNameAnalysisAction.java:74-229``) as a Python API + CLI jobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .analysis.dictionary import AnalyzerOption, analyze_query
+from .index.build import build_and_write
+from .query.ast import build_query_ast, to_json
+from .query.executor import execute_ast
+from .query.wand import load_query_cursors, wand_topk
+
+__all__ = ["SearchEngine"]
+
+
+@dataclass
+class SearchEngine:
+    spark: SparkSession
+    base_path: str
+    option: AnalyzerOption
+    mode: str = "standard"
+
+    def __post_init__(self):
+        sp = self.spark
+        self.blocks = sp.read.parquet(f"{self.base_path}/blocks")
+        self.term_stats = sp.read.parquet(f"{self.base_path}/term_stats")
+        corpus = sp.read.parquet(f"{self.base_path}/corpus_stats").first()
+        self.n_docs = corpus["n_docs"]
+        self.avgdl = corpus["avgdl"]
+        self.doc_map = sp.read.parquet(f"{self.base_path}/doc_map")
+
+    def cache(self) -> "SearchEngine":
+        """Pin the serving tables (blocks + stats) in executor memory —
+        the Lucene searcher-warm state equivalent."""
+        self.blocks.cache().count()
+        self.term_stats.cache().count()
+        return self
+
+    # -- actions (Q10) -------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        pages: DataFrame,
+        base_path: str,
+        option: AnalyzerOption | None = None,
+        mode: str = "standard",
+        compound_noun_min_length: int = 3,
+        lang_filter: str | None = "ko",
+    ) -> "SearchEngine":
+        build_and_write(
+            pages,
+            base_path,
+            mode=mode,
+            compound_noun_min_length=compound_noun_min_length,
+            lang_filter=lang_filter,
+            with_blocks=True,
+        )
+        return cls(spark, base_path, option or AnalyzerOption(), mode)
+
+    def analyze(self, text: str) -> list[dict]:
+        return analyze_query(text, self.option, self.mode)
+
+    def build_query(self, text: str):
+        return build_query_ast(self.analyze(text))
+
+    def explain_query(self, text: str) -> str:
+        return to_json(self.build_query(text))
+
+    def search(self, text: str, k: int = 10, conjunctive: bool = True) -> list[dict]:
+        """Analyze → AST → execute → resolve URLs.
+
+        ``conjunctive=True`` is the reference's AND-over-tokens semantics
+        (Q1); ``False`` is classic disjunctive WAND top-k.
+        """
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        if conjunctive or any(t.get("synonyms") for t in tokens):
+            ast = build_query_ast(tokens)
+            hits = execute_ast(
+                ast, self.blocks, self.term_stats, self.n_docs, self.avgdl, k
+            )
+        else:
+            cursors = load_query_cursors(
+                self.blocks,
+                self.term_stats,
+                self.n_docs,
+                self.avgdl,
+                [t["term"] for t in tokens],
+            )
+            hits = wand_topk(cursors, k)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        urls = {
+            r["doc_id"]: r["url"]
+            for r in self.doc_map.filter(F.col("doc_id").isin(ids)).collect()
+        }
+        return [
+            {"doc_id": d, "score": s, "url": urls.get(d)} for d, s in hits
+        ]
