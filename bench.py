@@ -139,6 +139,14 @@ def index_build_docs_per_sec(cores: int, n_docs: int, corpus_path: str, out_dir:
     return n_docs / dt
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x
+
+
 def cpu_capacity(procs: int, seconds: float = 2.0) -> float:
     """Measured hardware throughput (busy-loop iterations/sec summed over
     ``procs`` processes). On this VM, per-core capacity degrades with
@@ -147,21 +155,14 @@ def cpu_capacity(procs: int, seconds: float = 2.0) -> float:
     report efficiency both raw and normalized by it."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.perf_counter()
-        x = 0
-        while time.perf_counter() - t0 < seconds:
-            x += 1
-        return x
-
     with mp.Pool(procs) as p:
-        return sum(p.map(burn, range(procs))) / seconds
+        return sum(p.map(_burn, [seconds] * procs)) / seconds
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
     spark = _fresh_spark(cpus)
@@ -174,20 +175,27 @@ def main() -> None:
 
     indexing = {}
     if do_scaling:
-        low = max(cpus // 4, 1)
+        # N vs 4N parallelism: default 4 vs 16 of the 32 hardware threads.
+        # On a real cluster, N and 4N executors each own their cores; on
+        # this single VM, 32 task threads would contend with the 32 JVM
+        # threads, so the 4→16 pair is the faithful analog. The measured
+        # hardware capacity ratio (cpu_capacity) is reported alongside to
+        # separate VM throttling from framework scaling.
+        high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", min(cpus, 16)))
+        low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", max(high // 4, 1)))
         corpus_path = f"/tmp/bench_corpus_{n_docs}"
         materialize_corpus(n_docs, corpus_path)
         thr_low = index_build_docs_per_sec(low, n_docs, corpus_path, "/tmp/bench_idx_low")
-        thr_high = index_build_docs_per_sec(cpus, n_docs, corpus_path, "/tmp/bench_idx_high")
+        thr_high = index_build_docs_per_sec(high, n_docs, corpus_path, "/tmp/bench_idx_high")
         cap_low = cpu_capacity(low)
-        cap_high = cpu_capacity(cpus)
+        cap_high = cpu_capacity(high)
         hw_ratio = cap_high / cap_low
         indexing = {
             "cores_low": low,
-            "cores_high": cpus,
+            "cores_high": high,
             "docs_per_sec_lowN": round(thr_low, 1),
             "docs_per_sec_highN": round(thr_high, 1),
-            "scaling_efficiency": round((thr_high / thr_low) / (cpus / low), 3),
+            "scaling_efficiency": round((thr_high / thr_low) / (high / low), 3),
             "hw_capacity_ratio": round(hw_ratio, 2),
             "scaling_efficiency_hw_normalized": round((thr_high / thr_low) / hw_ratio, 3),
             "n_docs": n_docs,

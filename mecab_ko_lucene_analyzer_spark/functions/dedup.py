@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the part that matters at 10^12 docs):
+
+* exact / fingerprint dedup is a hash ``groupBy`` — one shuffle keyed by
+  the digest, no skew (digests are uniform).
+* shingle self-join (``ngram_jaccard_pairs``) is quadratic in bucket
+  size; it exists as the *exact* oracle-checked baseline. The scale path
+  is MinHash+LSH: signatures are one pass (strings hashed once, the
+  n_hashes permutations re-hash the 64-bit value), banding turns the
+  self-join into equality buckets, and candidate pairs per bucket are
+  bounded by band width.
+* SimHash gives a 64-bit near-dup key: hamming-ball lookup via 4x16-bit
+  block keys (each block exact-matches for distance ≤ 3 by pigeonhole).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import whitespace_tokens
+
+__all__ = [
+    "exact_duplicates",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_candidates",
+]
+
+
+def exact_duplicates(docs: DataFrame, text: str = "text") -> DataFrame:
+    """md5 groups with >1 member; canonical = min doc_id."""
+    return (
+        docs.groupBy(F.md5(F.col(text)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text: Column | str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    toks = whitespace_tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, min_common: int = 5, n: int = 3, text: str = "text"
+) -> DataFrame:
+    """Exact near-dup candidates: pairs sharing >= min_common distinct
+    n-gram shingles (the oracle baseline; use LSH at scale)."""
+    sh = docs.select(
+        "doc_id", F.explode_outer(shingles(text, n)).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common_shingles"))
+        .filter(F.col("common_shingles") >= min_common)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 32, n: int = 3, text: str = "text"
+) -> DataFrame:
+    """MinHash signatures: shingle strings hashed ONCE (xxhash64), the
+    permutation family re-hashes the 64-bit value with the permutation
+    index as seed."""
+    hashed = docs.select(
+        "doc_id", F.transform(shingles(text, n), lambda s: F.xxhash64(s)).alias("h")
+    )
+    return hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("h"), lambda x: F.xxhash64(x, F.lit(i))))
+                for i in range(n_hashes)
+            ]
+        ).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text: str = "text",
+) -> DataFrame:
+    """LSH banding: signature rows bucket by (band, hash(band slice));
+    same-bucket pairs are the near-dup candidates."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, n, text)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    token hashes, built from bit-count aggregation expressions."""
+    toks = whitespace_tokens(text)
+    hashed = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("h"))
+    # for each bit: count tokens with bit set vs total → bit = majority
+    n_tokens = F.size("h")
+    bit_cols = []
+    for bit in range(64):
+        ones = F.aggregate(
+            "h",
+            F.lit(0),
+            lambda acc, x, b=bit: acc
+            + F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        bit_cols.append(
+            F.when(ones * 2 >= n_tokens, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            * F.lit(1 << bit).cast("long")
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return hashed.select("doc_id", total.alias("simhash"))
+
+
+def simhash_candidates(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Near-dup candidates: equal 16-bit SimHash block in any of 4 block
+    positions (pigeonhole: hamming distance ≤ 3 guarantees a match)."""
+    sh = simhash(docs, text)
+    blocked = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.block", "bk.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

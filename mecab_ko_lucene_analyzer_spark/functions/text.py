@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All are pure Catalyst expressions (whole-stage codegen, no Python in
+the row path) over a ``documents``-shaped table ``(doc_id, text, ...)``
+— each has an exact ANSI-SQL oracle (see ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "whitespace_tokens",
+    "token_counts",
+    "quality_features",
+    "language_id",
+    "fingerprint",
+    "EN_STOPWORDS",
+]
+
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
+
+
+def whitespace_tokens(text: Column | str = "text") -> Column:
+    """Whitespace token array with empties removed (the shared exact
+    tokenization for SQL-replicable operators)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+
+
+def token_counts(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy (4-char chunks
+    per token — a deterministic stand-in for a real BPE vocab)."""
+    toks = whitespace_tokens(text)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("int")
+        ).alias("n_subwords"),
+    )
+
+
+def quality_features(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Length/stopword-ratio features + a coarse quality band."""
+    toks = whitespace_tokens(F.lower(F.col(text)))
+    d = docs.select(
+        "doc_id",
+        F.length(text).alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).alias("n_stop"),
+    )
+    return d.select(
+        "doc_id",
+        "text_len",
+        "n_tokens",
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(F.col("n_stop") / F.col("n_tokens") > 0.1, "fluent")
+        .otherwise("listy")
+        .alias("quality_band"),
+    )
+
+
+def language_id(docs: DataFrame, text: str = "text", lang: str = "lang") -> DataFrame:
+    """Heuristic language-ID: hangul character ratio → ko; English
+    stopword hits → en; else unknown. Returns the label column alongside
+    for agreement analysis."""
+    toks = whitespace_tokens(F.lower(F.col(text)))
+    d = docs.select(
+        "doc_id",
+        F.col(lang).alias("lang"),
+        F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).alias("n_stop"),
+        (
+            F.length(F.regexp_replace(text, "[^가-힣]", "")) / F.length(text)
+        ).alias("hangul_ratio"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("hangul_ratio") > 0.3, "ko")
+        .when(F.col("n_stop") >= 2, "en")
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Normalized-token-stream md5 fingerprint (near-dup prefilter /
+    exact-dedup key that ignores case and whitespace runs)."""
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", whitespace_tokens(F.lower(F.col(text))))
+        ).alias("fingerprint"),
+    )

@@ -161,9 +161,138 @@ def corpus_tokens(
     )
 
 
+def corpus_postings(
+    pages: DataFrame,
+    lang_filter: str | None = "ko",
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+    num_partitions: int | None = None,
+):
+    """Corpus → ``(postings, doc_map)`` with ZERO token-level shuffle.
+
+    A document's tokens never leave their partition, so the
+    ``(term, doc_id)`` aggregation is partition-local by construction —
+    the emitter aggregates tf/positions per doc in Python and emits
+    posting rows directly. The only wide exchange in the whole index
+    build is the salted term repartition of the block stage (I4),
+    exactly the shuffle the format needs.
+    """
+    import pandas as pd
+    import pyspark.sql.types as T
+    from pyspark import StorageLevel
+
+    from ..analysis.tokenizer import get_lattice_provider, tokenize
+
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    if lang_filter is not None:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    pruned = pages.select("url", "text")
+    parts = (
+        pruned.repartitionByRange(num_partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    postings_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+            T.StructField("doc_len", T.IntegerType(), False),
+        ]
+    )
+
+    def emit_postings(batches):
+        provider = get_lattice_provider()
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            terms: list[str] = []
+            doc_ids: list[int] = []
+            tfs: list[int] = []
+            positions: list[list[int]] = []
+            doc_lens: list[int] = []
+            for off, txt in enumerate(pdf["text"]):
+                d = base + seen + off
+                toks = tokenize(
+                    txt or "", mode, compound_noun_min_length, provider=provider
+                )
+                per_term: dict[str, list[int]] = {}
+                position = -1
+                for p in toks:
+                    position += p.position_incr
+                    per_term.setdefault(p.token_string(), []).append(position)
+                dl = len(toks)
+                for term, plist in per_term.items():
+                    terms.append(term)
+                    doc_ids.append(d)
+                    tfs.append(len(plist))
+                    positions.append(plist)
+                    doc_lens.append(dl)
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "tf": pd.Series(tfs, dtype="int32"),
+                    "positions": positions,
+                    "doc_len": pd.Series(doc_lens, dtype="int32"),
+                }
+            )
+
+    map_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("url", T.StringType(), False),
+        ]
+    )
+
+    def emit_map(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            ids = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "url": pdf["url"].values}
+            )
+
+    return parts.mapInPandas(emit_postings, postings_schema), parts.mapInPandas(
+        emit_map, map_schema
+    )
+
+
 def _stats_from_postings(postings: DataFrame):
     term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
-    doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    if "doc_len" in postings.columns:
+        # doc_len is denormalized onto every posting row → the per-doc
+        # "aggregation" is a partial-agg first(), ~1 row/doc map-side
+        doc_stats = postings.groupBy("doc_id").agg(
+            F.first("doc_len").cast("long").alias("doc_len")
+        )
+    else:
+        doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     corpus_stats = doc_stats.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
@@ -200,16 +329,12 @@ def build_index(
     if not with_doc_ids and "doc_id" in pages.columns:
         docs = pages if lang_filter is None else pages.filter(F.col("lang") == lang_filter)
         tokens = tokens_table(docs, "doc_id", "text", mode, compound_noun_min_length)
-    else:
-        tokens, _ = corpus_tokens(pages, lang_filter, mode, compound_noun_min_length)
-    postings = (
-        tokens.groupBy("term", "doc_id")
-        .agg(
+        postings = tokens.groupBy("term", "doc_id").agg(
             F.count("*").alias("tf"),
             F.sort_array(F.collect_list("position")).alias("positions"),
-            *([F.first("doc_len").alias("doc_len")] if "doc_len" in tokens.columns else []),
         )
-    )
+    else:
+        postings, _ = corpus_postings(pages, lang_filter, mode, compound_noun_min_length)
     return InvertedIndex(postings, *_stats_from_postings(postings))
 
 
@@ -246,14 +371,12 @@ def build_and_write(
     )
 
     def stage_postings():
-        tokens, doc_map = corpus_tokens(pages, lang_filter, mode, compound_noun_min_length)
-        postings = tokens.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("position")).alias("positions"),
-            F.first("doc_len").alias("doc_len"),
+        postings, doc_map = corpus_postings(
+            pages, lang_filter, mode, compound_noun_min_length
         )
         postings.write.mode("overwrite").parquet(f"{base_path}/postings")
         doc_map.write.mode("overwrite").parquet(f"{base_path}/doc_map")
+        # counters from parquet footers (metadata-only scans)
         n_docs = spark.read.parquet(f"{base_path}/doc_map").count()
         n_postings = spark.read.parquet(f"{base_path}/postings").count()
         return {"docs_tokenized": n_docs, "postings_emitted": n_postings}
@@ -263,9 +386,13 @@ def build_and_write(
     def stage_stats():
         postings = spark.read.parquet(f"{base_path}/postings")
         term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
-        term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
+        # one action: doc_stats written, then term/corpus derive from it
         doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
-        corpus_stats.write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
+        term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
+        ds = spark.read.parquet(f"{base_path}/doc_stats")
+        ds.agg(
+            F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        ).write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
         row = spark.read.parquet(f"{base_path}/corpus_stats").first()
         return {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
 

@@ -1,0 +1,3 @@
+from .incremental import incremental_index_stream
+
+__all__ = ["incremental_index_stream"]

@@ -1,0 +1,109 @@
+"""Incremental indexing via Structured Streaming.
+
+The reference's bulk indexer is batch-pull (``DanawaBulkTextIndexer``);
+for a continuously crawled corpus the Spark-native equivalent is a file
+stream over the webpages table feeding per-microbatch posting appends:
+
+    readStream(webpages dir) → analyzer UDF → postings delta
+        → foreachBatch: append postings partition + upsert stats
+
+Each microbatch appends a *postings delta* partitioned by ``batch_id``;
+deltas are doc-disjoint (docIDs are assigned from a monotonically
+increasing per-batch base recorded in the manifest), so the merged view
+is a UNION ALL — the same property that makes the salted block merge
+(I4) concatenation-safe. A compaction job (rerunning ``build_blocks``
+over the union) folds deltas into the block index.
+
+No watermarks/session windows are needed: analysis is embarrassingly
+parallel per document (SURVEY §2.5 streaming note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.udfs import tokens_table
+
+__all__ = ["incremental_index_stream", "read_incremental_postings"]
+
+
+def _next_doc_base(state_path: str) -> int:
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            return json.load(f)["next_doc_base"]
+    return 0
+
+
+def _save_doc_base(state_path: str, base: int) -> None:
+    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+    with open(state_path, "w") as f:
+        json.dump({"next_doc_base": base}, f)
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    mode: str = "standard",
+    lang_filter: str | None = "ko",
+    trigger_once: bool = True,
+):
+    """Start the incremental indexing stream. ``trigger_once`` processes
+    the backlog and stops (the batch-catchup pattern); set False for a
+    continuous micro-batch stream."""
+    from ..sources.webpages import WEBPAGES_SCHEMA
+
+    pages = (
+        spark.readStream.schema(WEBPAGES_SCHEMA).parquet(input_dir)
+    )
+    if lang_filter is not None:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    state_path = f"{index_path}/_stream_state/doc_base.json"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base = _next_doc_base(state_path)
+        # deterministic within the batch: rank of url, offset by the base
+        from ..index.docids import assign_doc_ids
+
+        docs = assign_doc_ids(batch_df.select("url", "text")).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base)
+        )
+        n_docs = docs.count()
+        tokens = tokens_table(docs, "doc_id", "text", mode)
+        postings = tokens.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("positions"),
+        )
+        (
+            postings.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/postings_delta")
+        )
+        docs.select("doc_id", "url").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").partitionBy("batch_id").parquet(
+            f"{index_path}/doc_map_delta"
+        )
+        _save_doc_base(state_path, base + n_docs)
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_postings(spark: SparkSession, index_path: str) -> DataFrame:
+    """Merged postings view over all appended deltas (doc-disjoint →
+    plain union; no re-aggregation needed)."""
+    return spark.read.parquet(f"{index_path}/postings_delta").drop("batch_id")

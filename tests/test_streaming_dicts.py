@@ -1,0 +1,78 @@
+"""Streaming incremental indexing (availableNow catch-up) and dictionary
+file loading / status lineage."""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+from mecab_ko_lucene_analyzer_spark.sources.dictionaries import (
+    load_dictionary_set,
+    write_dict_status,
+)
+from mecab_ko_lucene_analyzer_spark.streaming import incremental_index_stream
+from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+    read_incremental_postings,
+)
+
+BASE = "/tmp/test_stream_idx"
+
+
+def test_incremental_stream_catchup(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    # two "crawl drops" written to the input dir
+    pages = synthesize_webpages(spark, 40, partitions=2)
+    pages.filter(F.col("url") < "https://example-00000020").write.mode(
+        "overwrite"
+    ).parquet(f"{BASE}/in")
+    q = incremental_index_stream(
+        spark, f"{BASE}/in", f"{BASE}/idx", f"{BASE}/ckpt", lang_filter=None
+    )
+    q.awaitTermination(120)
+    first = read_incremental_postings(spark, f"{BASE}/idx")
+    docs1 = first.select("doc_id").distinct().count()
+    assert docs1 == 20
+
+    pages.filter(F.col("url") >= "https://example-00000020").write.mode(
+        "append"
+    ).parquet(f"{BASE}/in")
+    q = incremental_index_stream(
+        spark, f"{BASE}/in", f"{BASE}/idx", f"{BASE}/ckpt", lang_filter=None
+    )
+    q.awaitTermination(120)
+    merged = read_incremental_postings(spark, f"{BASE}/idx")
+    # doc ids are disjoint across batches → distinct docs = 40
+    assert merged.select("doc_id").distinct().count() == 40
+    # postings per doc are unique (union needs no re-aggregation)
+    dup = merged.groupBy("term", "doc_id").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_dictionary_files_roundtrip(spark, tmp_path):
+    d = tmp_path / "dicts"
+    d.mkdir()
+    (d / "user.txt").write_text("노트북\thigh\n가방\n# comment\n텔레비전\tmax\n")
+    (d / "stop.txt").write_text("세일\n")
+    (d / "unit.txt").write_text("gb\ncm\n")
+    (d / "synonym.txt").write_text("노트북,laptop,랩탑\n삼성=>samsung\n")
+    (d / "space.txt").write_text("노트북가방\t노트북 가방\n")
+    (d / "compound.txt").write_text("삼성전자\t삼성 전자\n")
+    ds = load_dictionary_set(str(d))
+    assert ds.tag_prob.find("노트북") is not None
+    assert ds.tag_prob.find("텔레비전")[0].prob == -5.0
+    assert "세일" in ds.stop
+    assert "gb" in ds.unit
+    assert sorted(ds.synonym.get("laptop")) == ["노트북", "랩탑"]  # two-way
+    assert ds.synonym.get("삼성") == ["samsung"]  # one-way
+    assert ds.synonym.get("samsung") == []
+    assert ds.space["노트북가방"] == ["노트북", "가방"]
+    assert ds.compound["삼성전자"] == ["삼성", "전자"]
+
+    status = str(tmp_path / "dict_status")
+    write_dict_status(spark, str(d), status)
+    write_dict_status(spark, str(d), status)  # reload appends a new epoch
+    rows = spark.read.parquet(status).collect()
+    assert len(rows) == 14  # 7 dicts x 2 epochs
+    syn = [r for r in rows if r["dict_name"] == "synonym"][0]
+    assert syn["entries"] == 2 and len(syn["fingerprint"]) == 32
