@@ -144,198 +144,91 @@ def _q_bm25_topk(spark, sf_dir):
 
 def _q_dedup_exact(spark, sf_dir):
     """Exact dedup: md5-hash groups with the canonical (min) doc kept."""
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5(F.col("text")).alias("text_hash"))
-        .agg(
-            F.count("*").alias("dup_count"),
-            F.min("doc_id").alias("canonical_doc_id"),
-        )
-        .filter(F.col("dup_count") > 1)
-    )
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
 
 
 def _q_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 over the normalized token stream."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ", F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
-            )
-        ).alias("fingerprint"),
-    )
+    from mecab_ko_lucene_analyzer_spark.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
 
 
 def _q_token_count(spark, sf_dir):
     """Token counting: whitespace + BPE-ish subword proxy (4-char chunks)."""
-    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.aggregate(
-            toks, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("int")
-        ).alias("n_subwords"),
-    )
+    from mecab_ko_lucene_analyzer_spark.functions.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
 
 
 def _q_quality_score(spark, sf_dir):
     """Quality scoring: length/stopword-ratio features + band."""
-    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.length("text").alias("text_len"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).alias("n_stop"),
-    )
-    return d.select(
-        "doc_id",
-        "text_len",
-        "n_tokens",
-        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stop_ratio"),
-        F.when(F.col("n_tokens") < 20, "short")
-        .when(F.col("n_stop") / F.col("n_tokens") > 0.1, "fluent")
-        .otherwise("listy")
-        .alias("quality_band"),
-    )
+    from mecab_ko_lucene_analyzer_spark.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
 
 
 def _q_lang_id(spark, sf_dir):
     """Heuristic language-ID (stopword hits + hangul ratio) vs the label."""
-    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).alias("n_stop"),
-        (
-            F.length(F.regexp_replace("text", "[^가-힣]", "")) / F.length("text")
-        ).alias("hangul_ratio"),
-    )
-    return d.select(
-        "doc_id",
-        "lang",
-        F.when(F.col("hangul_ratio") > 0.3, "ko")
-        .when(F.col("n_stop") >= 2, "en")
-        .otherwise("unknown")
-        .alias("pred_lang"),
-    )
+    from mecab_ko_lucene_analyzer_spark.functions.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
-    docs = _docs(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    sh = docs.select(
-        "doc_id",
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-                )
-            )
-        ).alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common_shingles"))
-        .filter(F.col("common_shingles") >= 5)
-    )
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), min_common=5)
 
 
-def _q_ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 neighbors for query vectors 0..2."""
+def _emb_queries(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    dot = F.aggregate(
-        F.zip_with("embedding", "qv", lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
-    )
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6).alias("cosine"),
-    )
-    from pyspark.sql import Window
+    return emb, q
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("query_id", "vec_id", "cosine")
-    )
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors for query vectors 0..2."""
+    from mecab_ko_lucene_analyzer_spark.functions.similarity import cosine_topk
+
+    emb, q = _emb_queries(spark, sf_dir)
+    return cosine_topk(emb, q, k=10)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (rows-only: hash-seeded planes)."""
+    from mecab_ko_lucene_analyzer_spark.functions.similarity import lsh_bucket_topk
+
+    emb, q = _emb_queries(spark, sf_dir)
+    return lsh_bucket_topk(emb, q, dim=64, k=10)
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: centroid assignment)."""
+    from mecab_ko_lucene_analyzer_spark.functions.similarity import ivf_topk
+
+    emb, q = _emb_queries(spark, sf_dir)
+    return ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3)
 
 
 def _q_minhash_near_dup(spark, sf_dir):
     """MinHash+LSH near-dup candidates (rows-only check: the banding
     uses xxhash64, not replicable in ANSI SQL)."""
-    docs = _docs(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        )
-    )
-    n_hashes = 32
-    bands = 8  # rows-per-band = 4
-    # hash each shingle string ONCE; the n_hashes permutations re-hash
-    # the 64-bit base value (8-byte input) instead of the string —
-    # O(shingle chars) string hashing total instead of 32x
-    hashed = docs.select(
-        "doc_id",
-        F.transform(shingles, lambda s: F.xxhash64(s)).alias("h"),
-    )
-    sigs = hashed.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("h"), lambda x: F.xxhash64(x, F.lit(i)))
-                )
-                for i in range(n_hashes)
-            ]
-        ).alias("sig"),
-    )
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[bi * 4 + r] for r in range(4)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash_candidates(spark, sf_dir):
+    """SimHash hamming-block near-dup candidates (rows-only: xxhash64)."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import simhash_candidates
+
+    return simhash_candidates(_docs(spark, sf_dir))
 
 
 def _q_analyze_ko_tokens(spark, sf_dir):
@@ -344,6 +237,18 @@ def _q_analyze_ko_tokens(spark, sf_dir):
     from mecab_ko_lucene_analyzer_spark.functions import tokens_table
 
     return tokens_table(_docs(spark, sf_dir), "doc_id", "text", "standard", 3)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Binary media plumbing: payload → checksum + feature vector via
+    Arrow-batched mapInPandas (rows-only: decode is the stub)."""
+    from mecab_ko_lucene_analyzer_spark.functions.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    feats = extract_features(attach_media(_docs(spark, sf_dir)))
+    return feats.select("doc_id", "media_type", "checksum", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -360,8 +265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_candidates": _q_simhash_candidates,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -482,6 +391,12 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id, 'image' AS media_type,
+                   md5('FAKEIMG0' || text) AS checksum,
+                   octet_length(encode('FAKEIMG0' || text)) AS n_bytes
+            FROM documents
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -149,19 +149,22 @@ def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
     hashed = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("h"))
     # for each bit: count tokens with bit set vs total → bit = majority
     n_tokens = F.size("h")
+
+    def _bit_counter(b: int):
+        return lambda acc, x: acc + F.shiftrightunsigned(x, b).bitwiseAND(
+            F.lit(1)
+        ).cast("int")
+
     bit_cols = []
     for bit in range(64):
-        ones = F.aggregate(
-            "h",
-            F.lit(0),
-            lambda acc, x, b=bit: acc
-            + F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1)).cast("int"),
-        )
+        ones = F.aggregate("h", F.lit(0), _bit_counter(bit))
         bit_cols.append(
-            F.when(ones * 2 >= n_tokens, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
+            F.shiftleft(
+                F.when(ones * 2 >= n_tokens, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                bit,
             )
-            * F.lit(1 << bit).cast("long")
         )
     total = bit_cols[0]
     for c in bit_cols[1:]:
