@@ -1,0 +1,117 @@
+"""Training-data operator library tests: dedup (minhash/simhash find
+planted duplicates), ANN (LSH/IVF recover a planted twin), multimodal
+plumbing determinism."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from mecab_ko_lucene_analyzer_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from mecab_ko_lucene_analyzer_spark.functions.multimodal import (
+    attach_media,
+    extract_features,
+    sample_frames,
+)
+from mecab_ko_lucene_analyzer_spark.functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (0, base.strip(), "en", "s", 1),
+        (1, base.strip(), "en", "s", 1),  # exact duplicate of 0
+        (2, (base + "EXTRA WORD").strip(), "en", "s", 1),  # near dup of 0
+        (3, "completely different text about something else entirely unrelated ok", "en", "s", 1),
+        (4, " ".join(f"tok{i} filler{i%7}" for i in range(60)), "en", "s", 1),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).cache()
+
+
+def test_exact_duplicates_finds_planted_pair(docs):
+    rows = exact_duplicates(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 2 and rows[0]["canonical_doc_id"] == 0
+
+
+def test_ngram_jaccard_and_minhash_agree_on_planted_dups(docs):
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 5).collect()
+    }
+    assert (0, 1) in exact_pairs and (0, 2) in exact_pairs
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert (0, 1) in lsh_pairs  # identical docs always collide
+    assert (0, 2) in lsh_pairs  # near dup shares most shingles
+    assert (0, 3) not in lsh_pairs and (1, 3) not in lsh_pairs
+
+
+def test_simhash_identical_and_distinct(docs):
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[3]
+    cands = {(r["doc_a"], r["doc_b"]) for r in simhash_candidates(docs).collect()}
+    assert (0, 1) in cands
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)], 0))
+    rows.append((50, list(rows[5][1]), 0))  # planted twin of vec 5
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def test_cosine_topk_finds_twin(emb):
+    rows = cosine_topk(emb, _queries(emb), k=3).collect()
+    assert rows[0]["vec_id"] == 50 and rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_finds_twin(emb):
+    rows = lsh_bucket_topk(emb, _queries(emb), dim=16, k=3).collect()
+    # the twin shares every hyperplane sign → same bucket, top hit
+    assert rows and rows[0]["vec_id"] == 50 and rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ivf_topk_finds_twin(emb):
+    rows = ivf_topk(emb, _queries(emb), k=3, n_centroids=5, n_probe=2).collect()
+    assert rows and rows[0]["vec_id"] == 50 and rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_multimodal_features_deterministic(docs):
+    media = attach_media(docs)
+    f1 = {r["doc_id"]: (r["checksum"], r["feature"]) for r in extract_features(media).collect()}
+    f2 = {r["doc_id"]: (r["checksum"], r["feature"]) for r in extract_features(media).collect()}
+    assert f1 == f2
+    assert f1[0] == f1[1]  # identical payloads → identical features
+    assert f1[0] != f1[3]
+    frames = sample_frames(media, every_n_bytes=32, max_frames=4).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 4 for v in per_doc.values())
