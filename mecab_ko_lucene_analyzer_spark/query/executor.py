@@ -129,6 +129,14 @@ class _PhraseNode(_AndNode):
         return 0.0
 
 
+def _has_phrase(node) -> bool:
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, (And, Or)):
+        return any(_has_phrase(c) for c in node.children)
+    return False
+
+
 def _build_tree(node, cursors: dict[str, TermCursor]):
     if isinstance(node, Term):
         c = cursors.get(node.term)
@@ -165,9 +173,12 @@ def execute_ast(
     """Evaluate an AST → top-k [(doc_id, score)], tie-break
     (score desc, doc_id asc)."""
     terms = sorted(ast_terms(ast))
+    needs_positions = _has_phrase(ast)
     cursors = {
         c.term: c
-        for c in load_query_cursors(blocks, term_stats, n_docs, avgdl, terms)
+        for c in load_query_cursors(
+            blocks, term_stats, n_docs, avgdl, terms, with_positions=needs_positions
+        )
     }
     root = _build_tree(ast, cursors)
     heap: list[tuple[float, int]] = []

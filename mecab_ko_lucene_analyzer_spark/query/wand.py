@@ -146,16 +146,24 @@ def load_query_cursors(
     query_terms: list[str],
     k1: float = K1,
     b: float = B,
+    with_positions: bool = False,
 ) -> list[TermCursor]:
     """Fetch the query terms' block lists (term-pruned scan — at scale
     the blocks table is sorted/bucketed by term so parquet row-group
-    stats prune the read) and build driver-side cursors."""
+    stats prune the read) and build driver-side cursors.
+
+    ``with_positions`` reads the position-delta column too (phrase
+    queries); bag-of-words scoring leaves it column-pruned out of the
+    parquet scan entirely."""
     terms = sorted(set(query_terms))
     df_rows = {
         r["term"]: r["df"]
         for r in term_stats.filter(F.col("term").isin(terms)).collect()
     }
-    rows = blocks.filter(F.col("term").isin(terms)).collect()
+    cols = ["term", "first_doc", "doc_deltas", "tfs", "doc_lens", "block_max_impact"]
+    if with_positions:
+        cols.append("pos_deltas")
+    rows = blocks.filter(F.col("term").isin(terms)).select(*cols).collect()
     by_term: dict[str, list[_Block]] = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(
@@ -165,7 +173,7 @@ def load_query_cursors(
                 bytes(r["tfs"]),
                 bytes(r["doc_lens"]),
                 r["block_max_impact"],
-                bytes(r["pos_deltas"]),
+                bytes(r["pos_deltas"]) if with_positions else b"",
             )
         )
     return [
