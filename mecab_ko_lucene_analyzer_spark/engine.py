@@ -74,19 +74,30 @@ class SearchEngine:
     def explain_query(self, text: str) -> str:
         return to_json(self.build_query(text))
 
-    def search(self, text: str, k: int = 10, conjunctive: bool = True) -> list[dict]:
+    def search(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        conjunctive: bool = True,
+        highlight: bool = False,
+    ) -> list[dict]:
         """Analyze → AST → execute → resolve URLs.
 
         ``conjunctive=True`` is the reference's AND-over-tokens semantics
-        (Q1); ``False`` is classic disjunctive WAND top-k.
+        (Q1); ``False`` is classic disjunctive WAND top-k. ``offset``/``k``
+        give scroll-style paging (Q8, ``SearchUtil.java:136-150``):
+        the engine fetches offset+k and slices — the standard deep-paging
+        contract for top-k indexes.
         """
         tokens = self.analyze(text)
         if not tokens:
             return []
+        fetch = offset + k
         if conjunctive or any(t.get("synonyms") for t in tokens):
             ast = build_query_ast(tokens)
             hits = execute_ast(
-                ast, self.blocks, self.term_stats, self.n_docs, self.avgdl, k
+                ast, self.blocks, self.term_stats, self.n_docs, self.avgdl, fetch
             )
         else:
             cursors = load_query_cursors(
@@ -96,7 +107,8 @@ class SearchEngine:
                 self.avgdl,
                 [t["term"] for t in tokens],
             )
-            hits = wand_topk(cursors, k)
+            hits = wand_topk(cursors, fetch)
+        hits = hits[offset : offset + k]
         if not hits:
             return []
         ids = [d for d, _ in hits]
@@ -104,6 +116,32 @@ class SearchEngine:
             r["doc_id"]: r["url"]
             for r in self.doc_map.filter(F.col("doc_id").isin(ids)).collect()
         }
-        return [
-            {"doc_id": d, "score": s, "url": urls.get(d)} for d, s in hits
-        ]
+        out = [{"doc_id": d, "score": s, "url": urls.get(d)} for d, s in hits]
+        if highlight:
+            terms = [t["term"] for t in tokens]
+            for hit in out:
+                hit["highlight_terms"] = terms
+        return out
+
+    def count(self, text: str, conjunctive: bool = True) -> int:
+        """Match count (Q8 ``trackTotalHits`` equivalent): evaluate the
+        query with an unbounded k driver-side... for counts the
+        distributed path is cheaper — intersect/union via DataFrame ops."""
+        tokens = self.analyze(text)
+        if not tokens:
+            return 0
+        terms = [t["term"] for t in tokens]
+        # count over row postings: docs containing all (conjunctive) or
+        # any (disjunctive) of the terms
+        post = self.spark.read.parquet(f"{self.base_path}/postings").filter(
+            F.col("term").isin(list(set(terms)))
+        )
+        if conjunctive:
+            need = len(set(terms))
+            return (
+                post.groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("n"))
+                .filter(F.col("n") == need)
+                .count()
+            )
+        return post.select("doc_id").distinct().count()

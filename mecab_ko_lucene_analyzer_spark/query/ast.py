@@ -26,7 +26,16 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-__all__ = ["Term", "Phrase", "And", "Or", "build_query_ast", "ast_terms", "to_json"]
+__all__ = [
+    "Term",
+    "Phrase",
+    "And",
+    "Or",
+    "build_query_ast",
+    "ast_terms",
+    "to_json",
+    "from_json",
+]
 
 
 @dataclass(frozen=True)
@@ -100,3 +109,25 @@ def to_json(node) -> str:
         raise TypeError(type(n))
 
     return json.dumps(conv(node), ensure_ascii=False)
+
+
+def from_json(spec: str | dict):
+    """Q7: parse a JSON query spec (the CLI/REST input format,
+    ``DanawaSearchQueryBuilder.java:101-143`` parses the ES analog) back
+    into the AST. Accepts the same shape ``to_json`` emits."""
+    import json as _json
+
+    node = _json.loads(spec) if isinstance(spec, str) else spec
+
+    def conv(n):
+        if "term" in n:
+            return Term(n["term"])
+        if "phrase" in n:
+            return Phrase(tuple(n["phrase"]), int(n.get("slop", 0)))
+        if "and" in n:
+            return And(tuple(conv(c) for c in n["and"]))
+        if "or" in n:
+            return Or(tuple(conv(c) for c in n["or"]))
+        raise ValueError(f"unknown node: {n}")
+
+    return conv(node)

@@ -1,0 +1,63 @@
+"""SearchEngine facade + highlight + JSON query spec + paging/count."""
+
+import shutil
+
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.analysis.dictionary import (
+    AnalyzerOption,
+    SynonymDictionary,
+)
+from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
+from mecab_ko_lucene_analyzer_spark.query.ast import And, Or, Phrase, Term, from_json, to_json
+from mecab_ko_lucene_analyzer_spark.query.highlight import highlight, highlight_spans
+from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+BASE = "/tmp/test_engine_api"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    pages = synthesize_webpages(spark, 150, partitions=4)
+    opt = AnalyzerOption(synonyms=SynonymDictionary({"검색": ["서치"]}))
+    return SearchEngine.build(spark, pages, BASE, option=opt, lang_filter=None)
+
+
+def test_search_and_paging(engine):
+    all10 = engine.search("검색 엔진", k=10, conjunctive=False)
+    assert all10
+    page2 = engine.search("검색 엔진", k=5, offset=5, conjunctive=False)
+    assert [h["doc_id"] for h in page2] == [h["doc_id"] for h in all10[5:10]]
+    assert all(h["url"].startswith("https://example-") for h in all10)
+
+
+def test_count_conjunctive_vs_disjunctive(engine):
+    c_and = engine.count("검색 엔진", conjunctive=True)
+    c_or = engine.count("검색 엔진", conjunctive=False)
+    assert 0 < c_and <= c_or
+
+
+def test_query_ast_json_roundtrip(engine):
+    ast = engine.build_query("검색 문서")
+    j = to_json(ast)
+    assert from_json(j) == ast
+    nested = And((Or((Term("a"), Phrase(("b", "c"), 1))), Term("d")))
+    assert from_json(to_json(nested)) == nested
+
+
+def test_synonym_becomes_or_subtree(engine):
+    ast = engine.build_query("검색")
+    assert isinstance(ast.children[0], Or)
+    terms = {getattr(c, "term", None) for c in ast.children[0].children}
+    assert {"검색", "서치"} <= terms
+
+
+def test_highlight():
+    text = "한국어 검색 엔진 테스트"
+    spans = highlight_spans(text, ["검색", "엔진"])
+    assert (4, 6) in spans and (7, 9) in spans
+    marked = highlight(text, ["검색", "엔진"])
+    assert "<em>검색</em>" in marked and "<em>엔진</em>" in marked
+    # adjacent/overlapping spans merge
+    assert highlight("검색 검색", ["검색"]).count("<em>") == 2
