@@ -1,0 +1,86 @@
+"""Integration tier (FIXTURES.md §F3 analog): full ``tokenize()`` golden
+outputs under the pinned dictionary segmenter, locking the fallback
+provider's behavior; plus the documented offset-semantics caveat
+(code points vs Java's UTF-16 units, SURVEY §1.5)."""
+
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import (
+    DictionaryLatticeProvider,
+    token_records,
+    tokenize,
+)
+
+
+def tok_strings(text, **kw):
+    return [repr(p) for p in tokenize(text, **kw)]
+
+
+def test_golden_standard_sentence():
+    # 검색엔진 is a Compound dict entry → decompound + EOJEOL emission
+    assert tok_strings("검색엔진은 한국어 문서를 처리한다.") == [
+        "검색/NNG/null/1/1/0/2",
+        "검색엔진은/EOJEOL/null/0/2/0/5",
+        "검색엔진/COMPOUND/null/0/2/0/4",
+        "엔진/NNG/null/1/1/2/4",
+        "한국어/NNG/null/1/1/6/9",
+        "문서를/EOJEOL/null/1/1/10/13",
+        "문서/NNG/null/0/1/10/12",
+        "처리/NNG/null/1/1/14/16",
+        # 한다 is a contracted conjugation (하+ㄴ다); the surface-matching
+        # fallback segmenter correctly leaves it UNKNOWN (nominal
+        # assumption, same as the reference's unknown-word handling)
+        "한다/UNKNOWN/null/1/1/16/18",
+    ]
+
+
+def test_golden_mixed_alpha_number():
+    assert tok_strings("spark 3 데이터") == [
+        "spark/SL/null/1/1/0/5",
+        "3/SN/null/1/1/6/7",
+        "데이터/NNG/null/1/1/8/11",
+    ]
+
+
+def test_golden_unknown_run():
+    # unknown hangul stays one UNKNOWN token (nominal assumption)
+    out = tok_strings("걀꿀뷁")
+    assert out == ["걀꿀뷁/UNKNOWN/null/1/1/0/3"]
+
+
+def test_lowercasing_applies():
+    # S1: tokenizer lowercases before the lattice (Java toLowerCase)
+    recs = token_records("SPARK 검색")
+    assert recs[0]["term"] == "spark"
+
+
+def test_josa_split_with_positions():
+    recs = token_records("검색은 데이터다.")
+    terms = [(r["term"], r["position"]) for r in recs]
+    # eojeol token shares position with its content token
+    assert ("검색은", 0) in terms and ("검색", 0) in terms
+
+
+def test_offset_semantics_code_points():
+    """Offsets are Python code-point indices. Java's char offsets are
+    UTF-16 units; they coincide for BMP (all Korean) text — asserted —
+    and diverge for astral chars, where the code-point convention is
+    the documented behavior."""
+    recs = token_records("검색 엔진")
+    by_term = {r["term"]: r for r in recs}
+    assert (by_term["검색"]["start_offset"], by_term["검색"]["end_offset"]) == (0, 2)
+    assert (by_term["엔진"]["start_offset"], by_term["엔진"]["end_offset"]) == (3, 5)
+    # astral char (surrogate pair in UTF-16) before a token: code-point
+    # offsets count it as ONE char
+    recs = token_records("\U0001F600 검색")
+    srch = next(r for r in recs if r["term"] == "검색")
+    assert srch["start_offset"] == 2  # would be 3 in UTF-16 units
+
+
+def test_custom_provider_dictionaries():
+    provider = DictionaryLatticeProvider(
+        stems={"커스텀": "NNG,*,T,커스텀,*,*,*,*"},
+        suffixes={"은": "JX,*,T,은,*,*,*,*"},
+    )
+    out = [repr(p) for p in tokenize("커스텀은", provider=provider)]
+    assert out == ["커스텀은/EOJEOL/null/1/1/0/4", "커스텀/NNG/null/0/1/0/3"]
