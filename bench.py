@@ -59,7 +59,7 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 20) -> float:
+def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 20) -> dict:
     """BM25 top-k latency via block-max WAND over the compressed block
     index (the serving path), Korean query set."""
     from mecab_ko_lucene_analyzer_spark.index import build_and_write
@@ -78,17 +78,32 @@ def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 20) -> float:
         ["데이터", "처리"], ["웹페이지"], ["형태소분석", "결과"],
         ["질의", "순위"], ["서울", "부산"], ["spark", "index"], ["점수"],
     ]
-    lat = []
-    for i in range(reps):
-        q = queries[i % len(queries)]
-        t0 = time.perf_counter()
-        cursors = load_query_cursors(
-            blocks, term_stats, corpus["n_docs"], corpus["avgdl"], q
-        )
-        wand_topk(cursors, k=10)
-        lat.append((time.perf_counter() - t0) * 1000)
-    lat.sort()
-    return round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 1)
+    from mecab_ko_lucene_analyzer_spark.query.wand import BlockCache
+
+    cache = BlockCache(blocks)
+
+    def run(use_cache: bool) -> list[float]:
+        lat = []
+        for i in range(reps):
+            q = queries[i % len(queries)]
+            t0 = time.perf_counter()
+            cursors = load_query_cursors(
+                blocks, term_stats, corpus["n_docs"], corpus["avgdl"], q,
+                cache=cache if use_cache else None,
+            )
+            wand_topk(cursors, k=10)
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        return lat
+
+    cold = run(use_cache=False)
+    run(use_cache=True)  # populate
+    warm = run(use_cache=True)
+
+    def p95(lat):
+        return round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 1)
+
+    return {"cold": p95(cold), "warm": p95(warm)}
 
 
 def materialize_corpus(n_docs: int, path: str) -> None:

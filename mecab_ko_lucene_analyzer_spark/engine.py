@@ -27,6 +27,8 @@ class SearchEngine:
     mode: str = "standard"
 
     def __post_init__(self):
+        from .query.wand import BlockCache
+
         sp = self.spark
         self.blocks = sp.read.parquet(f"{self.base_path}/blocks")
         self.term_stats = sp.read.parquet(f"{self.base_path}/term_stats")
@@ -34,6 +36,7 @@ class SearchEngine:
         self.n_docs = corpus["n_docs"]
         self.avgdl = corpus["avgdl"]
         self.doc_map = sp.read.parquet(f"{self.base_path}/doc_map")
+        self.block_cache = BlockCache(self.blocks)
 
     def cache(self) -> "SearchEngine":
         """Pin the serving tables (blocks + stats) in executor memory —
@@ -97,15 +100,22 @@ class SearchEngine:
         if conjunctive or any(t.get("synonyms") for t in tokens):
             ast = build_query_ast(tokens)
             hits = execute_ast(
-                ast, self.blocks, self.term_stats, self.n_docs, self.avgdl, fetch
-            )
-        else:
-            cursors = load_query_cursors(
+                ast,
                 self.blocks,
                 self.term_stats,
                 self.n_docs,
                 self.avgdl,
+                fetch,
+                cache=self.block_cache,
+            )
+        else:
+            cursors = load_query_cursors(
+                self.blocks,
+                None,
+                self.n_docs,
+                self.avgdl,
                 [t["term"] for t in tokens],
+                cache=self.block_cache,
             )
             hits = wand_topk(cursors, fetch)
         hits = hits[offset : offset + k]

@@ -169,6 +169,7 @@ def execute_ast(
     n_docs: int,
     avgdl: float,
     k: int = 10,
+    cache=None,
 ) -> list[tuple[int, float]]:
     """Evaluate an AST → top-k [(doc_id, score)], tie-break
     (score desc, doc_id asc)."""
@@ -177,7 +178,13 @@ def execute_ast(
     cursors = {
         c.term: c
         for c in load_query_cursors(
-            blocks, term_stats, n_docs, avgdl, terms, with_positions=needs_positions
+            blocks,
+            term_stats,
+            n_docs,
+            avgdl,
+            terms,
+            with_positions=needs_positions,
+            cache=cache,
         )
     }
     root = _build_tree(ast, cursors)

@@ -138,35 +138,29 @@ class TermCursor:
         return self.cur_doc >= _INF
 
 
-def load_query_cursors(
+def fetch_term_blocks(
     blocks: DataFrame,
-    term_stats: DataFrame,
-    n_docs: int,
-    avgdl: float,
     query_terms: list[str],
-    k1: float = K1,
-    b: float = B,
     with_positions: bool = False,
-) -> list[TermCursor]:
-    """Fetch the query terms' block lists (term-pruned scan — at scale
-    the blocks table is sorted/bucketed by term so parquet row-group
-    stats prune the read) and build driver-side cursors.
+) -> dict[str, tuple[list[_Block], int]]:
+    """ONE term-pruned scan → per-term block lists + df.
 
-    ``with_positions`` reads the position-delta column too (phrase
-    queries); bag-of-words scoring leaves it column-pruned out of the
-    parquet scan entirely."""
+    ``df`` needs no stats lookup: it equals the sum of ``n_docs`` over a
+    term's blocks (every posting lives in exactly one block), so the
+    whole query needs a single Spark job. ``with_positions`` adds the
+    position-delta column (phrase queries only)."""
     terms = sorted(set(query_terms))
-    df_rows = {
-        r["term"]: r["df"]
-        for r in term_stats.filter(F.col("term").isin(terms)).collect()
-    }
-    cols = ["term", "first_doc", "doc_deltas", "tfs", "doc_lens", "block_max_impact"]
+    cols = [
+        "term", "first_doc", "n_docs", "doc_deltas", "tfs", "doc_lens",
+        "block_max_impact",
+    ]
     if with_positions:
         cols.append("pos_deltas")
     rows = blocks.filter(F.col("term").isin(terms)).select(*cols).collect()
-    by_term: dict[str, list[_Block]] = {}
+    out: dict[str, tuple[list[_Block], int]] = {}
     for r in rows:
-        by_term.setdefault(r["term"], []).append(
+        blks, df = out.get(r["term"], ([], 0))
+        blks.append(
             _Block(
                 r["first_doc"],
                 bytes(r["doc_deltas"]),
@@ -176,16 +170,76 @@ def load_query_cursors(
                 bytes(r["pos_deltas"]) if with_positions else b"",
             )
         )
+        out[r["term"]] = (blks, df + r["n_docs"])
+    return out
+
+
+class BlockCache:
+    """Driver-side LRU of term → (blocks, df) — the serving-node warm
+    cache. Misses batch into one term-pruned scan."""
+
+    def __init__(self, blocks: DataFrame, max_terms: int = 10_000):
+        from collections import OrderedDict
+
+        self.blocks = blocks
+        self.max_terms = max_terms
+        self._cache: "OrderedDict[tuple[str, bool], tuple[list[_Block], int]]" = (
+            OrderedDict()
+        )
+
+    def get(
+        self, terms: list[str], with_positions: bool = False
+    ) -> dict[str, tuple[list[_Block], int]]:
+        out = {}
+        misses = []
+        for t in sorted(set(terms)):
+            key = (t, with_positions)
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                out[t] = self._cache[key]
+            else:
+                misses.append(t)
+        if misses:
+            fetched = fetch_term_blocks(self.blocks, misses, with_positions)
+            for t in misses:
+                entry = fetched.get(t, ([], 0))
+                self._cache[(t, with_positions)] = entry
+                if entry[1] > 0:
+                    out[t] = entry
+                while len(self._cache) > self.max_terms:
+                    self._cache.popitem(last=False)
+        return {t: e for t, e in out.items() if e[1] > 0}
+
+
+def load_query_cursors(
+    blocks: DataFrame,
+    term_stats: DataFrame | None,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k1: float = K1,
+    b: float = B,
+    with_positions: bool = False,
+    cache: BlockCache | None = None,
+) -> list[TermCursor]:
+    """Build driver-side cursors for the query terms (one Spark job, or
+    zero on a warm ``cache``). ``term_stats`` is accepted for API
+    compatibility but unused — df derives from block metadata."""
+    if cache is not None:
+        by_term = cache.get(list(query_terms), with_positions)
+    else:
+        by_term = fetch_term_blocks(blocks, list(query_terms), with_positions)
     return [
         TermCursor(
             term=t,
-            idf=lucene_idf(n_docs, df_rows[t]),
+            idf=lucene_idf(n_docs, df),
             blocks=blks,
             k1=k1,
             b=b,
             avgdl=avgdl,
         )
-        for t, blks in by_term.items()
+        for t, (blks, df) in by_term.items()
+        if df > 0
     ]
 
 
