@@ -222,7 +222,8 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        "query_p95_ms": p95,
+        "query_p95_ms": p95["warm"],  # serving-path (warm term cache)
+        "query_p95_ms_cold": p95["cold"],
         "indexing": indexing,
     }
     print(json.dumps(result))
