@@ -167,6 +167,7 @@ def corpus_postings(
     mode: str = "standard",
     compound_noun_min_length: int = 3,
     num_partitions: int | None = None,
+    order: str = "input",
 ):
     """Corpus → ``(postings, doc_map)`` with ZERO token-level shuffle.
 
@@ -176,6 +177,18 @@ def corpus_postings(
     posting rows directly. The only wide exchange in the whole index
     build is the salted term repartition of the block stage (I4),
     exactly the shuffle the format needs.
+
+    docID order (both dense + deterministic, I1):
+
+    * ``order="input"`` (default): docID = global rank in (input split,
+      row) order. For an immutable table snapshot the file listing and
+      row order are stable, so ids are reproducible across runs/retries
+      — and the count pass is a *narrow* job: at 10^12-doc scale no
+      byte of the corpus ever crosses the network before the term
+      shuffle.
+    * ``order="url"``: docID = global rank of ``url`` (canonical order,
+      partition-count independent) via one range shuffle of the pruned
+      corpus, persisted so both passes share it.
     """
     import pandas as pd
     import pyspark.sql.types as T
@@ -189,12 +202,15 @@ def corpus_postings(
     if lang_filter is not None:
         pages = pages.filter(F.col("lang") == lang_filter)
     pruned = pages.select("url", "text")
-    parts = (
-        pruned.repartitionByRange(num_partitions, "url")
-        .sortWithinPartitions("url")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if order == "url":
+        parts = (
+            pruned.repartitionByRange(num_partitions, "url")
+            .sortWithinPartitions("url")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        parts = pruned.withColumn("_pid", F.spark_partition_id())
     counts = {
         r["_pid"]: r["cnt"]
         for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -346,6 +362,7 @@ def build_and_write(
     lang_filter: str | None = "ko",
     with_blocks: bool = False,
     hot_min_df: int = 1000,
+    doc_order: str = "input",
 ) -> InvertedIndex:
     """Materialize the index with per-stage checkpoints (I6):
 
@@ -365,6 +382,7 @@ def build_and_write(
             "mode": mode,
             "compound_noun_min_length": compound_noun_min_length,
             "lang_filter": lang_filter,
+            "doc_order": doc_order,
             "k1": K1,
             "b": B,
         },
@@ -372,7 +390,7 @@ def build_and_write(
 
     def stage_postings():
         postings, doc_map = corpus_postings(
-            pages, lang_filter, mode, compound_noun_min_length
+            pages, lang_filter, mode, compound_noun_min_length, order=doc_order
         )
         postings.write.mode("overwrite").parquet(f"{base_path}/postings")
         doc_map.write.mode("overwrite").parquet(f"{base_path}/doc_map")
