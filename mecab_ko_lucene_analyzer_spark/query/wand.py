@@ -81,6 +81,31 @@ class TermCursor:
             return _INF
         return int(self._docs[-1])
 
+    def _block_index_for(self, doc: int) -> int:
+        """Index of the only block that can contain ``doc`` (may be the
+        cursor's current or a later block); does NOT move the cursor."""
+        bi = int(np.searchsorted(self._firsts, doc, side="right")) - 1
+        return max(bi, self._bi)
+
+    def block_ub_for(self, doc: int) -> float:
+        """Score upper bound for ``doc`` from block-max metadata only —
+        the bound of the block whose range covers ``doc`` (safe
+        overestimate when ``doc`` falls between blocks)."""
+        bi = self._block_index_for(doc)
+        if bi >= len(self.blocks):
+            return 0.0
+        return self.idf * self.blocks[bi].max_impact
+
+    def block_boundary_for(self, doc: int) -> int:
+        """Last docID for which :meth:`block_ub_for`'s bound stays valid:
+        the end of the covering block's range (next block's first - 1).
+        Past the final block the term contributes 0 ≤ the bound forever,
+        so the boundary is +INF."""
+        bi = self._block_index_for(doc)
+        if bi + 1 < len(self.blocks):
+            return int(self._firsts[bi + 1]) - 1
+        return _INF
+
     def _open(self, bi: int) -> None:
         if bi >= len(self.blocks):
             self._bi = len(self.blocks)
@@ -266,17 +291,25 @@ def wand_topk(cursors: list[TermCursor], k: int = 10) -> list[tuple[int, float]]
         if pivot_idx < 0:
             break  # nothing left can beat theta
         pivot_doc = live[pivot_idx].cur_doc
-        prefix = live[: pivot_idx + 1]
-        # block-max refinement over the prefix cursors' current blocks
-        if sum(c.block_ub() for c in prefix) <= theta():
-            # no doc up to the shallowest block end can win; skip there.
-            boundary = min(c.block_last_doc() for c in prefix)
+        # the covering set must include EVERY cursor positioned at the
+        # pivot doc (ties beyond the pivot index still contribute to its
+        # score), not just the pivot prefix
+        cover_end = pivot_idx + 1
+        while cover_end < len(live) and live[cover_end].cur_doc == pivot_doc:
+            cover_end += 1
+        cover = live[:cover_end]
+        # block-max refinement: bound each covering term by the max
+        # impact of the block COVERING the pivot (peeked, cursors not
+        # moved)
+        if sum(c.block_ub_for(pivot_doc) for c in cover) <= theta():
+            # the bounds hold up to the shallowest covering-block end;
+            # nothing in (cur, boundary] can win — skip past it.
+            boundary = min(c.block_boundary_for(pivot_doc) for c in cover)
             target = boundary + 1
-            if pivot_idx + 1 < len(live):
-                # docs beyond the next cursor's position would need its
-                # contribution re-counted — don't skip past it
-                target = min(target, live[pivot_idx + 1].cur_doc)
-            target = max(target, pivot_doc + 1) if target <= pivot_doc else target
+            if cover_end < len(live):
+                # docs at/beyond the next cursor's position would need
+                # its contribution re-counted — don't skip past it
+                target = min(target, live[cover_end].cur_doc)
             live[0].next_geq(max(target, live[0].cur_doc + 1))
             continue
         if live[0].cur_doc == pivot_doc:
