@@ -405,7 +405,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT q.query_id, e.vec_id,
-                       round(list_cosine_similarity(e.embedding, q.qv), 6) AS cosine
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
                 FROM embeddings e CROSS JOIN q
                 WHERE e.vec_id <> q.query_id
             ),

@@ -23,15 +23,23 @@ __all__ = ["cosine_topk", "lsh_bucket_topk", "ivf_topk"]
 
 
 def _dot(a, b) -> Column:
+    # multiply in double: float32 products differ from the SQL oracle's
+    # double math at the 6th decimal
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
 
 
 def _norm(c) -> Column:
-    return F.sqrt(F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+    return F.sqrt(
+        F.aggregate(
+            c,
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
