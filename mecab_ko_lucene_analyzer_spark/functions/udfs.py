@@ -20,7 +20,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..analysis.tokenizer import get_lattice_provider, token_records
 
-__all__ = ["TOKEN_SCHEMA", "analyze_udf", "tokens_table"]
+__all__ = ["TOKEN_SCHEMA", "analyze_udf", "tokens_table", "product_tokens_table"]
 
 #: per-token struct emitted by the analyzer (SURVEY.md §1.1 Spark mapping)
 TOKEN_SCHEMA = T.ArrayType(
@@ -112,6 +112,54 @@ def tokens_table(
                     positions.append(position)
                     starts.append(p.start_offset)
                     ends.append(p.end_offset)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "term": terms,
+                    "type": types,
+                    "position": pd.Series(positions, dtype="int32"),
+                    "start_offset": pd.Series(starts, dtype="int32"),
+                    "end_offset": pd.Series(ends, dtype="int32"),
+                }
+            )
+
+    return narrow.mapInPandas(emit, FLAT_TOKENS_SCHEMA)
+
+
+def product_tokens_table(
+    docs: DataFrame,
+    dicts,
+    option=None,
+    doc_id: Column | str = "doc_id",
+    text: Column | str = "text",
+) -> DataFrame:
+    """Product-name analysis chain (A11–A23) as a flat Spark token table.
+
+    ``dicts`` is a :class:`...analysis.product.ProductDictionarySet` —
+    plain picklable dicts/sets, shipped to executors in the UDF closure
+    (≙ broadcast; rebuild + rerun = the reference's dictionary reload).
+    Index-mode emission: sub-entries/synonyms appear as same-position
+    tokens.
+    """
+    from ..analysis.product import ProductAnalyzerOption, ProductNameAnalyzer
+
+    option = option or ProductAnalyzerOption(use_for_query=False)
+    doc_col = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    text_col = F.col(text) if isinstance(text, str) else text
+    narrow = docs.select(doc_col.alias("doc_id"), text_col.alias("text"))
+
+    def emit(batches):
+        analyzer = ProductNameAnalyzer(dicts, option)
+        for pdf in batches:
+            doc_ids, terms, types, positions, starts, ends = [], [], [], [], [], []
+            for d, txt in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                for t in analyzer.analyze(txt or ""):
+                    doc_ids.append(d)
+                    terms.append(t["term"])
+                    types.append(t["type"])
+                    positions.append(t["position"])
+                    starts.append(t["start_offset"])
+                    ends.append(t["end_offset"])
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(doc_ids, dtype="int64"),
