@@ -80,6 +80,7 @@ def build_blocks(
     k1: float = K1,
     b: float = B,
     block_size: int = BLOCK_SIZE,
+    salt_shift: int = SALT_SHIFT,
 ) -> DataFrame:
     """Row postings → block postings via one salted sorted shuffle +
     per-partition NumPy encode."""
@@ -90,7 +91,7 @@ def build_blocks(
     hot_col = F.col("term").isin(list(hot)) if hot else F.lit(False)
     salted = postings.withColumn(
         "salt",
-        F.when(hot_col, F.shiftright(F.col("doc_id"), SALT_SHIFT)).otherwise(F.lit(0)),
+        F.when(hot_col, F.shiftright(F.col("doc_id"), salt_shift)).otherwise(F.lit(0)),
     )
     arranged = salted.repartitionByRange(
         num_partitions, "term", "salt"

@@ -362,6 +362,7 @@ def build_and_write(
     lang_filter: str | None = "ko",
     with_blocks: bool = False,
     hot_min_df: int = 1000,
+    salt_shift: int | None = None,
     doc_order: str = "input",
 ) -> InvertedIndex:
     """Materialize the index with per-stage checkpoints (I6):
@@ -424,12 +425,15 @@ def build_and_write(
             postings = spark.read.parquet(f"{base_path}/postings")
             term_stats = spark.read.parquet(f"{base_path}/term_stats")
             corpus = spark.read.parquet(f"{base_path}/corpus_stats").first()
+            from .blocks import SALT_SHIFT
+
             blocks = build_blocks(
                 postings,
                 term_stats,
                 n_docs=corpus["n_docs"],
                 avgdl=corpus["avgdl"],
                 hot_min_df=hot_min_df,
+                salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
             )
             # sort blocks by (term, first_doc) within files so parquet
             # row-group min/max stats prune term-filtered scans

@@ -65,13 +65,22 @@ def test_salted_merge_same_as_unsalted(spark, materialized):
     postings = spark.read.parquet(f"{BASE}/postings")
     term_stats = spark.read.parquet(f"{BASE}/term_stats")
     corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
-    # every term hot (maximal salting) vs no term hot
+    # every term hot with 8-doc salt ranges (so salting GENUINELY splits
+    # terms across many salt groups/partitions) vs no term hot
     salted = build_blocks(
-        postings, term_stats, corpus["n_docs"], corpus["avgdl"], hot_min_df=1
+        postings, term_stats, corpus["n_docs"], corpus["avgdl"],
+        hot_min_df=1, salt_shift=3, num_partitions=48,
     ).collect()
     unsalted = build_blocks(
         postings, term_stats, corpus["n_docs"], corpus["avgdl"], hot_min_df=10**9
     ).collect()
+    # hot terms really get split across partitions (block runs start at
+    # partition edges → >1 block for a ≤128-doc list proves the salted
+    # cross-partition concatenation path actually ran)
+    import collections
+
+    per_term = collections.Counter(r["term"] for r in salted)
+    assert max(per_term.values()) > 1
 
     def flat(rows):
         by_term = {}
