@@ -146,7 +146,9 @@ def index_build_docs_per_sec(cores: int, n_docs: int, corpus_path: str, out_dir:
         pages = spark.read.parquet(corpus_path)
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        build_and_write(pages, out_dir, lang_filter="ko")
+        # the FULL product: postings + stats + compressed block-max
+        # postings (salted term shuffle included)
+        build_and_write(pages, out_dir, lang_filter="ko", with_blocks=True)
         dt = time.perf_counter() - t0
     finally:
         spark.stop()

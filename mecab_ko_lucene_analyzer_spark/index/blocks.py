@@ -98,60 +98,99 @@ def build_blocks(
     ).sortWithinPartitions("term", "salt", "doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # stream consecutive same-term runs; block boundaries every
-        # `block_size` docs (and at partition edges, which are salt-range
-        # edges for hot terms → still globally doc-ordered)
-        def flush(term: str, docs, tfs, impacts, poslists, dls) -> dict:
-            docs = np.asarray(docs, dtype=np.uint64)
-            tfs_a = np.asarray(tfs, dtype=np.uint64)
-            dd, tt, pp = encode_block(docs, tfs_a, poslists)
-            from .codec import encode_varints
-            return {
-                "term": term,
-                "first_doc": int(docs[0]),
-                "n_docs": len(docs),
-                "doc_deltas": dd,
-                "tfs": tt,
-                "pos_deltas": pp,
-                "doc_lens": encode_varints(np.asarray(dls, dtype=np.uint64)),
-                "block_max_tf": int(tfs_a.max()),
-                "block_max_impact": float(max(impacts)),
-            }
+        """Vectorized block encoder: term-run boundaries via NumPy
+        comparison, per-block work on array slices (never per row).
+        Blocks break on term change, every `block_size` docs, and at
+        partition edges — which are salt-range edges for hot terms, so
+        output stays globally doc-ordered per term."""
+        from .codec import encode_varints
 
         out_rows: list[dict] = []
-        cur_term = None
-        docs: list[int] = []
-        tfs: list[int] = []
-        impacts: list[float] = []
-        poslists: list[np.ndarray] = []
-        dls: list[int] = []
+        # cross-batch carry for a term run split by an Arrow batch edge
+        carry_term = None
+        c_docs = c_tfs = c_dls = None
+        c_pos: list = []
 
-        def close_block():
-            nonlocal docs, tfs, impacts, poslists, dls
-            if docs:
-                out_rows.append(flush(cur_term, docs, tfs, impacts, poslists, dls))
-                docs, tfs, impacts, poslists, dls = [], [], [], [], []
+        def flush(term, docs, tfs, dls, poslists):
+            dd, tt, pp = encode_block(docs, tfs, poslists)
+            tfs_f = tfs.astype(np.float64)
+            impacts = tfs_f / (
+                tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl)
+            )
+            out_rows.append(
+                {
+                    "term": term,
+                    "first_doc": int(docs[0]),
+                    "n_docs": len(docs),
+                    "doc_deltas": dd,
+                    "tfs": tt,
+                    "pos_deltas": pp,
+                    "doc_lens": encode_varints(dls),
+                    "block_max_tf": int(tfs.max()),
+                    "block_max_impact": float(impacts.max()),
+                }
+            )
+
+        def emit_run(term, docs, tfs, dls, poslists, final: bool):
+            """Encode a term run into blocks; keep a sub-block tail as
+            carry unless `final`."""
+            nonlocal carry_term, c_docs, c_tfs, c_dls, c_pos
+            n = len(docs)
+            start = 0
+            while n - start >= block_size:
+                end = start + block_size
+                flush(term, docs[start:end], tfs[start:end], dls[start:end],
+                      poslists[start:end])
+                start = end
+            if start < n:
+                if final:
+                    flush(term, docs[start:], tfs[start:], dls[start:],
+                          poslists[start:])
+                else:
+                    carry_term = term
+                    c_docs = docs[start:]
+                    c_tfs = tfs[start:]
+                    c_dls = dls[start:]
+                    c_pos = list(poslists[start:])
+                    return
+            carry_term = None
 
         for pdf in batches:
-            for term, doc_id, tf, positions, doc_len in zip(
-                pdf["term"], pdf["doc_id"], pdf["tf"], pdf["positions"], pdf["doc_len"]
-            ):
-                if term != cur_term:
-                    close_block()
-                    cur_term = term
-                docs.append(int(doc_id))
-                tfs.append(int(tf))
-                impacts.append(
-                    tf / (tf + k1 * (1 - b + b * doc_len / avgdl))
-                )
-                poslists.append(np.asarray(positions, dtype=np.uint64))
-                dls.append(int(doc_len))
-                if len(docs) >= block_size:
-                    close_block()
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
+            tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+            dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
+            poslists = pdf["positions"].to_numpy()
+            # run boundaries where the term changes
+            change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            bounds = [0, *change.tolist(), len(terms)]
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                term = terms[lo]
+                run_docs, run_tfs = docs[lo:hi], tfs[lo:hi]
+                run_dls, run_pos = dls[lo:hi], poslists[lo:hi]
+                if carry_term is not None:
+                    if term == carry_term:
+                        run_docs = np.concatenate([c_docs, run_docs])
+                        run_tfs = np.concatenate([c_tfs, run_tfs])
+                        run_dls = np.concatenate([c_dls, run_dls])
+                        merged = np.empty(len(c_pos) + len(run_pos), dtype=object)
+                        merged[: len(c_pos)] = c_pos
+                        merged[len(c_pos):] = run_pos
+                        run_pos = merged
+                    else:
+                        flush(carry_term, c_docs, c_tfs, c_dls, c_pos)
+                        carry_term = None
+                # a run ending at the batch edge may continue next batch
+                final = hi < len(terms)
+                emit_run(term, run_docs, run_tfs, run_dls, run_pos, final)
             if len(out_rows) >= 256:
                 yield pd.DataFrame(out_rows)
                 out_rows = []
-        close_block()
+        if carry_term is not None:
+            flush(carry_term, c_docs, c_tfs, c_dls, c_pos)
         if out_rows:
             yield pd.DataFrame(out_rows)
 

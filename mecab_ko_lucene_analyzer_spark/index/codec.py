@@ -83,7 +83,7 @@ def encode_block(
     deltas = np.empty_like(doc_ids)
     deltas[0] = doc_ids[0]
     np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
-    if positions_per_doc:
+    if len(positions_per_doc) > 0:
         flat = []
         for ps in positions_per_doc:
             ps = np.asarray(ps, dtype=np.uint64)
