@@ -1,7 +1,8 @@
 """Block-compressed posting lists with block-max metadata (I3/I4).
 
 Input: row postings ``(term, doc_id, tf, positions, doc_len)`` (the
-``build.py`` output). Output: ``blocks`` table::
+``build.py`` output; ``positions`` is the per-doc delta+varint byte
+string, so block position payloads are plain concatenation). Output: ``blocks`` table::
 
     term string, first_doc long, n_docs int,
     doc_deltas binary, tfs binary, pos_deltas binary, doc_lens binary,
@@ -112,7 +113,8 @@ def build_blocks(
         c_pos: list = []
 
         def flush(term, docs, tfs, dls, poslists):
-            dd, tt, pp = encode_block(docs, tfs, poslists)
+            dd, tt, _ = encode_block(docs, tfs, [])
+            pp = b"".join(poslists)  # per-doc varint runs concatenate
             tfs_f = tfs.astype(np.float64)
             impacts = tfs_f / (
                 tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl)

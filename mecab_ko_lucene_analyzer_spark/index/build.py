@@ -226,12 +226,18 @@ def corpus_postings(
             T.StructField("term", T.StringType(), False),
             T.StructField("doc_id", T.LongType(), False),
             T.StructField("tf", T.IntegerType(), False),
-            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+            # per-doc positions as delta+varint bytes: ~2 bytes/posting
+            # through the term shuffle instead of a 12+ byte array slot,
+            # and block encoding becomes pure byte concatenation
+            T.StructField("positions", T.BinaryType(), False),
             T.StructField("doc_len", T.IntegerType(), False),
         ]
     )
 
     def emit_postings(batches):
+        from .codec import encode_varints
+        import numpy as np
+
         provider = get_lattice_provider()
         seen = 0
         base = None
@@ -243,7 +249,7 @@ def corpus_postings(
             terms: list[str] = []
             doc_ids: list[int] = []
             tfs: list[int] = []
-            positions: list[list[int]] = []
+            positions: list[bytes] = []
             doc_lens: list[int] = []
             for off, txt in enumerate(pdf["text"]):
                 d = base + seen + off
@@ -260,7 +266,11 @@ def corpus_postings(
                     terms.append(term)
                     doc_ids.append(d)
                     tfs.append(len(plist))
-                    positions.append(plist)
+                    arr = np.asarray(plist, dtype=np.uint64)
+                    deltas = np.empty_like(arr)
+                    deltas[0] = arr[0]
+                    np.subtract(arr[1:], arr[:-1], out=deltas[1:])
+                    positions.append(encode_varints(deltas))
                     doc_lens.append(dl)
             seen += len(pdf)
             yield pd.DataFrame(
@@ -345,10 +355,14 @@ def build_index(
     if not with_doc_ids and "doc_id" in pages.columns:
         docs = pages if lang_filter is None else pages.filter(F.col("lang") == lang_filter)
         tokens = tokens_table(docs, "doc_id", "text", mode, compound_noun_min_length)
+        from ..functions.udfs import encode_positions_udf
+
         postings = tokens.groupBy("term", "doc_id").agg(
             F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("position")).alias("positions"),
-        )
+            F.sort_array(F.collect_list("position")).alias("positions_arr"),
+        ).withColumn(
+            "positions", encode_positions_udf()(F.col("positions_arr"))
+        ).drop("positions_arr")
     else:
         postings, _ = corpus_postings(pages, lang_filter, mode, compound_noun_min_length)
     return InvertedIndex(postings, *_stats_from_postings(postings))

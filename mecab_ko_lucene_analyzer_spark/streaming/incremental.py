@@ -77,10 +77,14 @@ def incremental_index_stream(
         )
         n_docs = docs.count()
         tokens = tokens_table(docs, "doc_id", "text", mode)
+        from ..functions.udfs import encode_positions_udf
+
         postings = tokens.groupBy("term", "doc_id").agg(
             F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("position")).alias("positions"),
-        )
+            F.sort_array(F.collect_list("position")).alias("positions_arr"),
+        ).withColumn(
+            "positions", encode_positions_udf()(F.col("positions_arr"))
+        ).drop("positions_arr")
         (
             postings.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")

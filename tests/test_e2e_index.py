@@ -82,10 +82,14 @@ def test_bm25_rank_identical_to_oracle(spark, pages, index, terms):
         assert s1 == pytest.approx(s2, abs=1e-9)
 
 
-def test_positions_sorted_and_in_range(index):
+def test_positions_decode_consistent(index):
+    import numpy as np
+
+    from mecab_ko_lucene_analyzer_spark.index.codec import decode_varints
+
     rows = index.postings.limit(200).collect()
     for r in rows:
-        ps = r["positions"]
+        ps = np.cumsum(decode_varints(bytes(r["positions"])).astype(np.int64))
         assert list(ps) == sorted(ps)
         assert len(ps) == r["tf"]
         assert all(p >= 0 for p in ps)
