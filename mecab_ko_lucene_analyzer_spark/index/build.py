@@ -235,8 +235,7 @@ def corpus_postings(
     )
 
     def emit_postings(batches):
-        from .codec import encode_varints
-        import numpy as np
+        from .codec import encode_varint_groups
 
         provider = get_lattice_provider()
         seen = 0
@@ -249,8 +248,8 @@ def corpus_postings(
             terms: list[str] = []
             doc_ids: list[int] = []
             tfs: list[int] = []
-            positions: list[bytes] = []
             doc_lens: list[int] = []
+            flat_deltas: list[int] = []  # all position deltas, batch-wide
             for off, txt in enumerate(pdf["text"]):
                 d = base + seen + off
                 toks = tokenize(
@@ -266,12 +265,13 @@ def corpus_postings(
                     terms.append(term)
                     doc_ids.append(d)
                     tfs.append(len(plist))
-                    arr = np.asarray(plist, dtype=np.uint64)
-                    deltas = np.empty_like(arr)
-                    deltas[0] = arr[0]
-                    np.subtract(arr[1:], arr[:-1], out=deltas[1:])
-                    positions.append(encode_varints(deltas))
                     doc_lens.append(dl)
+                    prev = 0
+                    for q in plist:
+                        flat_deltas.append(q - prev)
+                        prev = q
+            # ONE vectorized varint pass for the whole batch
+            positions = encode_varint_groups(flat_deltas, tfs)
             seen += len(pdf)
             yield pd.DataFrame(
                 {
