@@ -449,11 +449,11 @@ def build_and_write(
                 hot_min_df=hot_min_df,
                 salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
             )
-            # sort blocks by (term, first_doc) within files so parquet
-            # row-group min/max stats prune term-filtered scans
-            blocks.sortWithinPartitions("term", "first_doc").write.mode(
-                "overwrite"
-            ).parquet(f"{base_path}/blocks")
+            # block rows leave the encoder already (term, first_doc)-
+            # sorted within partitions (the exchange sorted its input),
+            # so parquet row-group min/max stats prune term-filtered
+            # scans without re-sorting
+            blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
             return {
                 "blocks_written": spark.read.parquet(f"{base_path}/blocks").count()
             }
