@@ -268,9 +268,48 @@ def load_query_cursors(
     ]
 
 
+def _single_term_topk(c: TermCursor, k: int) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time top-k for one-term queries: decode each
+    block once, score the whole array, keep a running candidate pool —
+    no per-posting Python loop."""
+    docs_all = []
+    scores_all = []
+    for blk in c.blocks:
+        docs = np.cumsum(decode_varints(blk.doc_deltas).astype(np.int64))
+        tf = decode_varints(blk.tfs).astype(np.float64)
+        dl = decode_varints(blk.doc_lens).astype(np.float64)
+        scores = c.idf * tf / (tf + c.k1 * (1 - c.b + c.b * dl / c.avgdl))
+        docs_all.append(docs)
+        scores_all.append(scores)
+    if not docs_all:
+        return []
+    docs = np.concatenate(docs_all)
+    scores = np.concatenate(scores_all)
+    if len(docs) > k:
+        idx = np.argpartition(-scores, k - 1)[: max(k * 2, k)]
+    else:
+        idx = np.arange(len(docs))
+    cand = sorted(
+        ((float(scores[i]), -int(docs[i])) for i in idx), reverse=True
+    )[:k]
+    # argpartition may cut ties at the boundary; verify against a full
+    # sort when the kth score has ties beyond the partition
+    if len(docs) > k:
+        kth = cand[-1][0]
+        n_ge = int(np.count_nonzero(scores > kth))
+        n_eq = int(np.count_nonzero(scores == kth))
+        if n_ge + n_eq > len(cand):
+            order = np.lexsort((docs, -scores))[: k]
+            cand = [(float(scores[i]), -int(docs[i])) for i in order]
+    return [(-d, s) for s, d in cand[:k]]
+
+
 def wand_topk(cursors: list[TermCursor], k: int = 10) -> list[tuple[int, float]]:
     """Document-at-a-time block-max WAND. Returns [(doc_id, score)]
     ordered by (score desc, doc_id asc), length ≤ k."""
+    cursors = [c for c in cursors if not c.exhausted()]
+    if len(cursors) == 1:
+        return _single_term_topk(cursors[0], k)
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
 
     def theta() -> float:
