@@ -38,6 +38,15 @@ def _fresh_spark(cores: int):
 
 def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.functions import analyze_udf
+
+    # one-time JVM/python-worker warmup excluded from per-query timings
+    warm = spark.range(0, 64, numPartitions=16).select(
+        F.col("id").cast("string").alias("text")
+    )
+    warm.select(analyze_udf()("text")).write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
     headline = [

@@ -63,6 +63,9 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         "doc_id", F.explode_outer(shingles(text, n)).alias("shingle")
     ).filter(F.col("shingle").isNotNull())
+    # NOTE: a `shingle appears >1 doc` semi-join prefilter helps on real
+    # web text (mostly-unique shingles) but measured slower on the dense
+    # synthetic corpus — at true scale prefer minhash_lsh_pairs anyway
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
