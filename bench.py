@@ -188,7 +188,7 @@ def cpu_capacity(procs: int, seconds: float = 2.0) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
     spark = _fresh_spark(cpus)
@@ -209,10 +209,20 @@ def main() -> None:
         # separate VM throttling from framework scaling.
         high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", min(cpus, 16)))
         low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", max(high // 4, 1)))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
         corpus_path = f"/tmp/bench_corpus_{n_docs}"
         materialize_corpus(n_docs, corpus_path)
-        thr_low = index_build_docs_per_sec(low, n_docs, corpus_path, "/tmp/bench_idx_low")
-        thr_high = index_build_docs_per_sec(high, n_docs, corpus_path, "/tmp/bench_idx_high")
+        # best-of-N per level: the VM's delivered capacity fluctuates
+        # run-to-run; max() is the least-interference estimate of what
+        # the configuration can do (same input every run)
+        thr_low = max(
+            index_build_docs_per_sec(low, n_docs, corpus_path, "/tmp/bench_idx_low")
+            for _ in range(reps)
+        )
+        thr_high = max(
+            index_build_docs_per_sec(high, n_docs, corpus_path, "/tmp/bench_idx_high")
+            for _ in range(reps)
+        )
         cap_low = cpu_capacity(low)
         cap_high = cpu_capacity(high)
         hw_ratio = cap_high / cap_low
