@@ -188,7 +188,7 @@ def cpu_capacity(procs: int, seconds: float = 2.0) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
     spark = _fresh_spark(cpus)
@@ -209,7 +209,7 @@ def main() -> None:
         # separate VM throttling from framework scaling.
         high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", min(cpus, 16)))
         low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", max(high // 4, 1)))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
         corpus_path = f"/tmp/bench_corpus_{n_docs}"
         materialize_corpus(n_docs, corpus_path)
         # best-of-N per level: the VM's delivered capacity fluctuates
