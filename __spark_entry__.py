@@ -201,7 +201,7 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (rows-only: hash-seeded planes)."""
+    """Hyperplane-LSH bucketed ANN (md5-seeded planes → exact oracle)."""
     from mecab_ko_lucene_analyzer_spark.functions.similarity import lsh_bucket_topk
 
     emb, q = _emb_queries(spark, sf_dir)
@@ -209,7 +209,7 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN (rows-only: centroid assignment)."""
+    """IVF coarse-quantizer ANN (md5-mod centroid sample → exact oracle)."""
     from mecab_ko_lucene_analyzer_spark.functions.similarity import ivf_topk
 
     emb, q = _emb_queries(spark, sf_dir)
@@ -217,15 +217,15 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only check: the banding
-    uses xxhash64, not replicable in ANSI SQL)."""
+    """MinHash+LSH near-dup candidates (md5 + universal-hash family →
+    exact oracle)."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 def _q_simhash_candidates(spark, sf_dir):
-    """SimHash hamming-block near-dup candidates (rows-only: xxhash64)."""
+    """SimHash hamming-block near-dup candidates (md5 → exact oracle)."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import simhash_candidates
 
     return simhash_candidates(_docs(spark, sf_dir))
@@ -272,6 +272,199 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_ko_tokens": _q_analyze_ko_tokens,
         "multimodal_features": _q_multimodal_features,
     }
+
+
+# --------------------------------------------------------------------------
+# oracle-SQL generators for the md5-hashed operators (the hash family is
+# shared with the Spark side via mecab_ko_lucene_analyzer_spark.functions
+# .hashing — same seeds, same literals, byte-identical results)
+# --------------------------------------------------------------------------
+
+
+def _md5h64_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _minhash_near_dup_sql(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import P31, perm_coeffs
+
+    coeffs = perm_coeffs(n_hashes, seed)
+    rows_per_band = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {P31})) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n                UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"m{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(len(toks) - 1, 1)),
+                              i -> array_to_string(toks[i:i+2], ' ')) AS sl
+                FROM t
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(sl, s -> {_md5h64_sql("s")} % {P31}) AS hs
+                FROM sh
+                WHERE len(sl) > 0
+            ),
+            sig AS (
+                SELECT doc_id,
+                   {mins}
+                FROM h
+            ),
+            banded AS (
+                {band_selects}
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """
+
+
+def _simhash_candidates_sql(bits: int = 60) -> str:
+    bit_terms = "\n                     + ".join(
+        f"CASE WHEN 2 * coalesce(list_sum(list_transform(hs,"
+        f" x -> CAST((x >> {b}) & 1 AS INT))), 0) >= len(hs)"
+        f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(bits)
+    )
+    block_selects = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {i} AS block, (simhash >> {15 * i}) & 32767 AS key FROM sh"
+        for i in range(4)
+    )
+    return f"""
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split(text, ' '), x -> x <> ''),
+                           t -> {_md5h64_sql("t")}) AS hs
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       ({bit_terms}) AS simhash
+                FROM h
+            ),
+            blocked AS (
+                {block_selects}
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocked a JOIN blocked b
+              ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+        """
+
+
+def _lit_list_sql(vals) -> str:
+    return "[" + ", ".join(str(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _ann_lsh_topk_sql(dim: int = 64, n_planes: int = 4, seed: int = 42, k: int = 10) -> str:
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import hyperplane_components
+
+    planes = hyperplane_components(n_planes, dim, seed)
+    terms = []
+    for p, row in enumerate(planes):
+        mult = 2 ** (n_planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product(v::DOUBLE[], {_lit_list_sql(row)}) > 0"
+            f" THEN 1 ELSE 0 END) * {mult}"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            eb AS (
+                SELECT vec_id, embedding,
+                       ({bucket.replace("v::DOUBLE[]", "embedding::DOUBLE[]")}) AS bucket
+                FROM embeddings
+            ),
+            qb AS (
+                SELECT query_id, qv,
+                       ({bucket.replace("v::DOUBLE[]", "qv::DOUBLE[]")}) AS bucket
+                FROM q
+            ),
+            scored AS (
+                SELECT qb.query_id, eb.vec_id,
+                       round(list_cosine_similarity(
+                           eb.embedding::DOUBLE[], qb.qv::DOUBLE[]), 6) AS cosine
+                FROM eb JOIN qb ON eb.bucket = qb.bucket
+                WHERE eb.vec_id <> qb.query_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
+        """
+
+
+def _ann_ivf_topk_sql(
+    n_centroids: int = 8, n_probe: int = 3, k: int = 10, sample_mod: int = 16
+) -> str:
+    cos = (
+        "round(list_dot_product({v}::DOUBLE[], c.cv::DOUBLE[])"
+        " / (sqrt(list_dot_product({v}::DOUBLE[], {v}::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))), 6)"
+    )
+    return f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            cents AS (
+                SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                WHERE {_md5h64_sql("vec_id::VARCHAR")} % {sample_mod} = 0
+                ORDER BY vec_id LIMIT {n_centroids}
+            ),
+            assigned AS (
+                SELECT vec_id, embedding, centroid_id FROM (
+                    SELECT e.vec_id, e.embedding, c.centroid_id,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {cos.format(v="e.embedding")} DESC,
+                               c.centroid_id ASC) AS rn
+                    FROM embeddings e CROSS JOIN cents c
+                ) WHERE rn = 1
+            ),
+            probed AS (
+                SELECT query_id, qv, centroid_id FROM (
+                    SELECT q.query_id, q.qv, c.centroid_id,
+                           row_number() OVER (PARTITION BY q.query_id ORDER BY
+                               {cos.format(v="q.qv")} DESC,
+                               c.centroid_id ASC) AS rn
+                    FROM q CROSS JOIN cents c
+                ) WHERE rn <= {n_probe}
+            ),
+            scored AS (
+                SELECT p.query_id, a.vec_id,
+                       round(list_cosine_similarity(
+                           a.embedding::DOUBLE[], p.qv::DOUBLE[]), 6) AS cosine
+                FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+                WHERE a.vec_id <> p.query_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -338,8 +531,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, len(toks) AS n_tokens,
-                   list_sum(list_transform(toks,
-                       x -> CAST(ceil(length(x) / 4.0) AS INT))) AS n_subwords
+                   CAST(list_sum(list_transform(toks,
+                       x -> CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT) AS n_subwords
             FROM t
         """,
         "quality_score": f"""
@@ -416,4 +609,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
         """,
+        "minhash_near_dup": _minhash_near_dup_sql(),
+        "simhash_candidates": _simhash_candidates_sql(),
+        "ann_lsh_topk": _ann_lsh_topk_sql(),
+        "ann_ivf_topk": _ann_ivf_topk_sql(),
     }

@@ -7,11 +7,14 @@ Scale notes (the part that matters at 10^12 docs):
 * shingle self-join (``ngram_jaccard_pairs``) is quadratic in bucket
   size; it exists as the *exact* oracle-checked baseline. The scale path
   is MinHash+LSH: signatures are one pass (strings hashed once, the
-  n_hashes permutations re-hash the 64-bit value), banding turns the
-  self-join into equality buckets, and candidate pairs per bucket are
-  bounded by band width.
-* SimHash gives a 64-bit near-dup key: hamming-ball lookup via 4x16-bit
+  n_hashes permutations are arithmetic over the 31-bit value), banding
+  turns the self-join into equality buckets, and candidate pairs per
+  bucket are bounded by band width.
+* SimHash gives a 60-bit near-dup key: hamming-ball lookup via 4x15-bit
   block keys (each block exact-matches for distance ≤ 3 by pigeonhole).
+
+All hashing is md5-derived (see :mod:`.hashing`) so every operator has
+an exact DuckDB oracle — xxhash64 (round 1) had none.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .hashing import P31, md5_h64, perm_coeffs
 from .text import whitespace_tokens
 
 __all__ = [
@@ -45,13 +49,16 @@ def exact_duplicates(docs: DataFrame, text: str = "text") -> DataFrame:
 
 
 def shingles(text: Column | str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
+    """Distinct word n-gram shingles; [] for docs shorter than ``n``
+    tokens (without the guard, ``sequence(1, size-n+1)`` DESCENDS
+    through 0 for short docs and ``slice`` rejects start=0 — real web
+    text has one-word documents)."""
     toks = whitespace_tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
 
 
@@ -80,20 +87,32 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = 32, n: int = 3, text: str = "text"
+    docs: DataFrame, n_hashes: int = 32, n: int = 3, text: str = "text", seed: int = 42
 ) -> DataFrame:
-    """MinHash signatures: shingle strings hashed ONCE (xxhash64), the
-    permutation family re-hashes the 64-bit value with the permutation
-    index as seed."""
+    """MinHash signatures: shingle strings hashed ONCE (md5 → 31-bit),
+    the permutation family is universal hashing ``(a_i*h + b_i) mod
+    (2^31-1)`` with driver-expanded literal coefficients — one string
+    hash per shingle, ``n_hashes`` integer FMAs per shingle, all
+    whole-stage codegen, and exactly replicable in the DuckDB oracle.
+
+    Docs with zero shingles (< n tokens) are dropped: an all-NULL
+    signature would put every short doc in one bucket — a skew bomb at
+    web scale and semantically wrong."""
     hashed = docs.select(
-        "doc_id", F.transform(shingles(text, n), lambda s: F.xxhash64(s)).alias("h")
-    )
+        "doc_id",
+        F.transform(shingles(text, n), lambda s: md5_h64(s) % F.lit(P31)).alias("h"),
+    ).filter(F.size("h") > 0)
+    coeffs = perm_coeffs(n_hashes, seed)
+
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P31)
+
     return hashed.select(
         "doc_id",
         F.array(
             *[
-                F.array_min(F.transform(F.col("h"), lambda x: F.xxhash64(x, F.lit(i))))
-                for i in range(n_hashes)
+                F.array_min(F.transform(F.col("h"), _perm(a, b)))
+                for a, b in coeffs
             ]
         ).alias("sig"),
     )
@@ -105,11 +124,14 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     text: str = "text",
+    seed: int = 42,
 ) -> DataFrame:
-    """LSH banding: signature rows bucket by (band, hash(band slice));
-    same-bucket pairs are the near-dup candidates."""
+    """LSH banding: signature rows bucket by (band, band-slice key);
+    same-bucket pairs are the near-dup candidates. The bucket key is the
+    comma-joined slice itself (equality is all the join needs — no
+    re-hash, and the oracle reproduces it verbatim)."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, n, text)
+    sigs = minhash_signatures(docs, n_hashes, n, text, seed)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -117,14 +139,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bi * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bi * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
@@ -145,11 +165,15 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 60  # md5_h64 yields 60 bits; 4 blocks of 15
+
+
 def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    token hashes, built from bit-count aggregation expressions."""
+    """60-bit SimHash over whitespace tokens: per-bit majority vote of
+    md5-derived token hashes, built from bit-count aggregation
+    expressions (whole-stage codegen; exact DuckDB oracle)."""
     toks = whitespace_tokens(text)
-    hashed = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("h"))
+    hashed = docs.select("doc_id", F.transform(toks, md5_h64).alias("h"))
     # for each bit: count tokens with bit set vs total → bit = majority
     n_tokens = F.size("h")
 
@@ -159,7 +183,7 @@ def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
         ).cast("int")
 
     bit_cols = []
-    for bit in range(64):
+    for bit in range(SIMHASH_BITS):
         ones = F.aggregate("h", F.lit(0), _bit_counter(bit))
         bit_cols.append(
             F.shiftleft(
@@ -176,7 +200,7 @@ def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
 
 
 def simhash_candidates(docs: DataFrame, text: str = "text") -> DataFrame:
-    """Near-dup candidates: equal 16-bit SimHash block in any of 4 block
+    """Near-dup candidates: equal 15-bit SimHash block in any of 4 block
     positions (pigeonhole: hamming distance ≤ 3 guarantees a match)."""
     sh = simhash(docs, text)
     blocked = sh.select(
@@ -186,8 +210,8 @@ def simhash_candidates(docs: DataFrame, text: str = "text") -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("key"),
                     )
                     for i in range(4)

@@ -1,0 +1,78 @@
+"""SQL-replicable 64-bit hashing primitives.
+
+Round 1 used ``xxhash64`` for MinHash / SimHash / hyperplane-LSH; fast,
+but DuckDB has no xxhash64, so those operators could only get rows-only
+driver checks. This module derives every hash from **md5** — present in
+both engines with identical output — so each operator gets an *exact*
+ANSI-SQL oracle:
+
+* :func:`md5_h64` — first 15 md5 nibbles as a non-negative int64
+  (60 bits).  Spark: ``conv(substring(md5(x),1,15),16,10)::long``;
+  DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``.  Verified identical
+  (e.g. md5('hello') → 419982666956583591 in both).
+* :func:`perm_coeffs` — deterministic universal-hash family
+  ``h_i(x) = (a_i*x + b_i) mod (2^31-1)`` with coefficients expanded
+  from a seed via hashlib.md5 on the DRIVER (pure Python, no Spark),
+  embedded as literals in both the Spark plan and the oracle SQL.
+  Operands stay < 2^31 so the product stays < 2^62: no overflow in
+  either engine (DuckDB raises on BIGINT overflow; Spark would wrap).
+* :func:`hyperplane_components` — ±1 random-hyperplane components for
+  LSH, likewise driver-expanded and embedded as literal arrays (round 1
+  recomputed them per ROW via xxhash64 — wasted codegen work).
+
+Everything here is a pure function of (seed, index): reproducible
+across runs, executors, and engines — the property the reference gets
+from its fixed dictionary files (mecab-ko-dic is versioned data, e.g.
+``TagProbDictionary.java`` loads a frozen binary image).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+__all__ = [
+    "P31",
+    "md5_h64",
+    "md5_h64_sql",
+    "perm_coeffs",
+    "hyperplane_components",
+]
+
+P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: the universal-hash modulus
+
+
+def md5_h64(c: Column) -> Column:
+    """Non-negative 60-bit int64 from the first 15 md5 hex nibbles."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_h64_sql(expr: str) -> str:
+    """The DuckDB rendering of :func:`md5_h64` (same bits)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def perm_coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """``n`` deterministic (a, b) pairs for ``(a*x + b) mod P31``,
+    a in [1, P31-1], b in [0, P31-1]."""
+    out = []
+    for i in range(n):
+        d = hashlib.md5(f"minhash-{seed}-{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (P31 - 1) + 1
+        b = int(d[8:16], 16) % P31
+        out.append((a, b))
+    return out
+
+
+def hyperplane_components(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """±1.0 components of ``n_planes`` deterministic hyperplanes."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            digest = hashlib.md5(f"plane-{seed}-{p}-{j}".encode()).digest()
+            row.append(1.0 if digest[0] & 1 else -1.0)
+        planes.append(row)
+    return planes

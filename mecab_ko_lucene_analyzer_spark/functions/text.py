@@ -37,9 +37,13 @@ def token_counts(docs: DataFrame, text: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        # long on purpose: the DuckDB oracle's list_sum returns a wide
+        # integer — both sides pin BIGINT so the driver's value hash agrees
         F.aggregate(
             toks, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("int")
-        ).alias("n_subwords"),
+        )
+        .cast("long")
+        .alias("n_subwords"),
     )
 
 

@@ -29,10 +29,19 @@ def duck():
 
 
 def _normalize(v):
-    if isinstance(v, float):
+    # type-tagged: the driver's value hash distinguishes 36 from 36.0
+    # (round-1 token_count lesson), so int-vs-float must FAIL here too
+    import numbers
+
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, numbers.Integral):
+        return ("i", int(v))
+    if isinstance(v, numbers.Real):
+        v = float(v)
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return ("f", round(v, 6))
     return v
 
 
