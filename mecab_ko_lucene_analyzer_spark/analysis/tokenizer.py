@@ -41,19 +41,22 @@ _SYMBOL_FEATURES = {
 
 
 class DictionaryLatticeProvider:
-    """Greedy longest-match segmenter over the pinned mini-dictionary.
+    """Viterbi lattice segmenter over the pinned mini-dictionary.
 
-    Stands in for mecab's Viterbi lattice (A1) when the native engine is
-    absent: char-class runs (A11) are mapped to SL/SN/symbol nodes; a
-    hangul run is matched as ``stem [+ suffix]*`` with longest-stem
-    preference, falling back to multi-stem splits and UNKNOWN.
+    Stands in for mecab's native Viterbi (A1) when the engine is absent:
+    char-class runs (A11) are mapped to SL/SN/symbol nodes; a hangul run
+    goes through the min-cost lattice DP (:mod:`.viterbi` — word costs +
+    POS-class connection matrix, the same shape MeCab computes through
+    JNI). Round 1's greedy longest-match stranded remainders
+    (stem + UNKNOWN) where a full parse existed; the DP recovers them.
     """
 
     def __init__(self, stems: dict[str, str] | None = None, suffixes: dict[str, str] | None = None):
+        from .viterbi import ViterbiSegmenter
+
         self.stems = stems if stems is not None else stem_dict()
         self.suffixes = suffixes if suffixes is not None else suffix_dict()
-        self._max_stem = max(map(len, self.stems), default=1)
-        self._max_suffix = max(map(len, self.suffixes), default=1)
+        self._segmenter = ViterbiSegmenter({**self.stems, **self.suffixes})
 
     def parse(self, text: str) -> list[LatticeNode]:
         nodes: list[LatticeNode] = []
@@ -75,46 +78,7 @@ class DictionaryLatticeProvider:
         return nodes
 
     def _segment_hangul(self, run: str) -> list[tuple[str, str]]:
-        out: list[tuple[str, str]] = []
-        i, n = 0, len(run)
-        unknown_start = -1
-
-        def flush_unknown(upto: int) -> None:
-            nonlocal unknown_start
-            if unknown_start >= 0:
-                out.append((run[unknown_start:upto], "UNKNOWN,*,*,*,*,*,*,*"))
-                unknown_start = -1
-
-        while i < n:
-            # longest stem match at i
-            matched = False
-            for ln in range(min(self._max_stem, n - i), 0, -1):
-                cand = run[i : i + ln]
-                if cand in self.stems:
-                    flush_unknown(i)
-                    out.append((cand, self.stems[cand]))
-                    i += ln
-                    matched = True
-                    break
-            if matched:
-                # drain suffix chain (josa/eomi)
-                while i < n:
-                    sfx = None
-                    for ln in range(min(self._max_suffix, n - i), 0, -1):
-                        cand = run[i : i + ln]
-                        if cand in self.suffixes:
-                            sfx = cand
-                            break
-                    if sfx is None:
-                        break
-                    out.append((sfx, self.suffixes[sfx]))
-                    i += len(sfx)
-                continue
-            if unknown_start < 0:
-                unknown_start = i
-            i += 1
-        flush_unknown(n)
-        return out
+        return self._segmenter.segment(run)
 
 
 _PROVIDER = None

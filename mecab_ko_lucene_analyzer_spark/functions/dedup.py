@@ -152,15 +152,37 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    return _bucket_pairs(banded, ["band", "bucket"])
+
+
+def _bucket_pairs(rows: DataFrame, keys: list[str]) -> DataFrame:
+    """(doc_id, *keys) → distinct candidate pairs (doc_a < doc_b) per
+    equal-key bucket.
+
+    One ``groupBy`` + per-bucket array pair expansion — NOT a self-join:
+    a self-join would recompute the (expensive) upstream signature plan
+    on both sides and shuffle it twice. Bucket membership lists are
+    bounded by the LSH/blocking design (that is the point of banding),
+    so the per-bucket quadratic expansion is the intended candidate
+    cost; run exact dedup first so identical docs don't degenerate a
+    bucket."""
+    grouped = (
+        rows.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -219,14 +241,4 @@ def simhash_candidates(docs: DataFrame, text: str = "text") -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.block", "bk.key")
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(blocked, ["block", "key"])

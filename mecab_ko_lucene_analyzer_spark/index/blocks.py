@@ -94,20 +94,28 @@ def build_blocks(
         "salt",
         F.when(hot_col, F.shiftright(F.col("doc_id"), salt_shift)).otherwise(F.lit(0)),
     )
-    arranged = salted.repartitionByRange(
+    # hash exchange, NOT repartitionByRange: range partitioning runs a
+    # hidden sampling job (a second full scan of the postings relation)
+    # to pick bounds; the encoder only needs (term, salt)-group locality
+    # plus the within-partition sort, which hash partitioning gives with
+    # one scan. Blocks stay doc-ordered per term (salt = doc_id range),
+    # and the serving side orders by first_doc at load (wand.py).
+    arranged = salted.repartition(
         num_partitions, "term", "salt"
     ).sortWithinPartitions("term", "salt", "doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Vectorized block encoder: term-run boundaries via NumPy
-        comparison, per-block work on array slices (never per row).
-        Blocks break on term change, every `block_size` docs, and at
-        partition edges — which are salt-range edges for hot terms, so
-        output stays globally doc-ordered per term."""
+        """Vectorized block encoder: run boundaries via NumPy comparison,
+        per-block work on array slices (never per row). Blocks break on
+        (term, salt) change and every `block_size` docs. Breaking on salt
+        — not just term — matters under the hash exchange: NON-adjacent
+        salt groups of one hot term can share a partition, and a block
+        spanning them would interleave doc ranges; within one salt range
+        blocks are doc-contiguous, so first_doc order ≡ doc order."""
         from .codec import encode_varints
 
         out_rows: list[dict] = []
-        # cross-batch carry for a term run split by an Arrow batch edge
+        # cross-batch carry for a run split by an Arrow batch edge
         carry_term = None
         c_docs = c_tfs = c_dls = None
         c_pos: list = []
@@ -133,23 +141,23 @@ def build_blocks(
                 }
             )
 
-        def emit_run(term, docs, tfs, dls, poslists, final: bool):
-            """Encode a term run into blocks; keep a sub-block tail as
-            carry unless `final`."""
+        def emit_run(key, docs, tfs, dls, poslists, final: bool):
+            """Encode a (term, salt) run into blocks; keep a sub-block
+            tail as carry unless `final`."""
             nonlocal carry_term, c_docs, c_tfs, c_dls, c_pos
             n = len(docs)
             start = 0
             while n - start >= block_size:
                 end = start + block_size
-                flush(term, docs[start:end], tfs[start:end], dls[start:end],
+                flush(key[0], docs[start:end], tfs[start:end], dls[start:end],
                       poslists[start:end])
                 start = end
             if start < n:
                 if final:
-                    flush(term, docs[start:], tfs[start:], dls[start:],
+                    flush(key[0], docs[start:], tfs[start:], dls[start:],
                           poslists[start:])
                 else:
-                    carry_term = term
+                    carry_term = key
                     c_docs = docs[start:]
                     c_tfs = tfs[start:]
                     c_dls = dls[start:]
@@ -161,20 +169,23 @@ def build_blocks(
             if len(pdf) == 0:
                 continue
             terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy(dtype=np.int64)
             docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
             tfs = pdf["tf"].to_numpy(dtype=np.uint64)
             dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
             poslists = pdf["positions"].to_numpy()
-            # run boundaries where the term changes
-            change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            # run boundaries where the (term, salt) key changes
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+            ) + 1
             bounds = [0, *change.tolist(), len(terms)]
             for i in range(len(bounds) - 1):
                 lo, hi = bounds[i], bounds[i + 1]
-                term = terms[lo]
+                key = (terms[lo], int(salts[lo]))
                 run_docs, run_tfs = docs[lo:hi], tfs[lo:hi]
                 run_dls, run_pos = dls[lo:hi], poslists[lo:hi]
                 if carry_term is not None:
-                    if term == carry_term:
+                    if key == carry_term:
                         run_docs = np.concatenate([c_docs, run_docs])
                         run_tfs = np.concatenate([c_tfs, run_tfs])
                         run_dls = np.concatenate([c_dls, run_dls])
@@ -183,16 +194,16 @@ def build_blocks(
                         merged[len(c_pos):] = run_pos
                         run_pos = merged
                     else:
-                        flush(carry_term, c_docs, c_tfs, c_dls, c_pos)
+                        flush(carry_term[0], c_docs, c_tfs, c_dls, c_pos)
                         carry_term = None
                 # a run ending at the batch edge may continue next batch
                 final = hi < len(terms)
-                emit_run(term, run_docs, run_tfs, run_dls, run_pos, final)
+                emit_run(key, run_docs, run_tfs, run_dls, run_pos, final)
             if len(out_rows) >= 256:
                 yield pd.DataFrame(out_rows)
                 out_rows = []
         if carry_term is not None:
-            flush(carry_term, c_docs, c_tfs, c_dls, c_pos)
+            flush(carry_term[0], c_docs, c_tfs, c_dls, c_pos)
         if out_rows:
             yield pd.DataFrame(out_rows)
 

