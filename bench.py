@@ -221,19 +221,29 @@ def main() -> None:
         # separate VM throttling from framework scaling.
         high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", min(cpus, 16)))
         low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", max(high // 4, 1)))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
         corpus_path = f"/tmp/bench_corpus_{n_docs}"
         materialize_corpus(n_docs, corpus_path)
-        # best-of-N in-session reps per level: the VM's delivered
-        # capacity fluctuates run-to-run; min-time is the least-
-        # interference estimate of what the configuration can do
-        # (same input every run)
-        thr_low = index_build_docs_per_sec(
-            low, n_docs, corpus_path, "/tmp/bench_idx_low", reps=reps
-        )
-        thr_high = index_build_docs_per_sec(
-            high, n_docs, corpus_path, "/tmp/bench_idx_high", reps=reps
-        )
+        # ALTERNATE the legs (low, high, low, high) and take the best of
+        # each: the VM's delivered capacity drifts over minutes, and a
+        # sequential low-then-high schedule lets one leg absorb a slow
+        # window — interleaving spreads the weather across both, so the
+        # ratio measures the framework, not the hypervisor. Per-leg
+        # timing is itself best-of-2 in-session (post-JIT).
+        thr_low, thr_high = 0.0, 0.0
+        for _ in range(max(reps // 2, 1)):
+            thr_low = max(
+                thr_low,
+                index_build_docs_per_sec(
+                    low, n_docs, corpus_path, "/tmp/bench_idx_low", reps=2
+                ),
+            )
+            thr_high = max(
+                thr_high,
+                index_build_docs_per_sec(
+                    high, n_docs, corpus_path, "/tmp/bench_idx_high", reps=2
+                ),
+            )
         cap_low = cpu_capacity(low)
         cap_high = cpu_capacity(high)
         hw_ratio = cap_high / cap_low

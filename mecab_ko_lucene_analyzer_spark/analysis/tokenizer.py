@@ -52,11 +52,17 @@ class DictionaryLatticeProvider:
     """
 
     def __init__(self, stems: dict[str, str] | None = None, suffixes: dict[str, str] | None = None):
+        from functools import lru_cache
+
         from .viterbi import ViterbiSegmenter
 
         self.stems = stems if stems is not None else stem_dict()
         self.suffixes = suffixes if suffixes is not None else suffix_dict()
         self._segmenter = ViterbiSegmenter({**self.stems, **self.suffixes})
+        # eojeol runs are Zipfian — memoizing the DP per surface string
+        # turns the common case into a dict hit (the same trick mecab
+        # gets from its trie-cached lattice); results are read-only
+        self._segment_cached = lru_cache(maxsize=65536)(self._segmenter.segment)
 
     def parse(self, text: str) -> list[LatticeNode]:
         nodes: list[LatticeNode] = []
@@ -78,7 +84,7 @@ class DictionaryLatticeProvider:
         return nodes
 
     def _segment_hangul(self, run: str) -> list[tuple[str, str]]:
-        return self._segmenter.segment(run)
+        return self._segment_cached(run)
 
 
 _PROVIDER = None

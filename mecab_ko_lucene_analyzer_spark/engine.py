@@ -134,24 +134,46 @@ class SearchEngine:
         return out
 
     def count(self, text: str, conjunctive: bool = True) -> int:
-        """Match count (Q8 ``trackTotalHits`` equivalent): evaluate the
-        query with an unbounded k driver-side... for counts the
-        distributed path is cheaper — intersect/union via DataFrame ops."""
+        """Match count (Q8 ``trackTotalHits`` equivalent), served from
+        the block index — never the row-postings table:
+
+        * single term: df = sum of block ``n_docs`` (exact, ZERO decode
+          and zero Spark jobs on a warm :class:`BlockCache`);
+        * multi term: decode the terms' docID arrays from their blocks
+          (one term-pruned scan at most) and intersect/union in NumPy.
+
+        Round 1 ran a groupBy over the full row-postings parquet per
+        call — an avoidable whole-table scan at serving time."""
+        import numpy as np
+
+        from .index.codec import decode_varints
+
         tokens = self.analyze(text)
         if not tokens:
             return 0
-        terms = [t["term"] for t in tokens]
-        # count over row postings: docs containing all (conjunctive) or
-        # any (disjunctive) of the terms
-        post = self.spark.read.parquet(f"{self.base_path}/postings").filter(
-            F.col("term").isin(list(set(terms)))
-        )
-        if conjunctive:
-            need = len(set(terms))
-            return (
-                post.groupBy("doc_id")
-                .agg(F.countDistinct("term").alias("n"))
-                .filter(F.col("n") == need)
-                .count()
+        terms = sorted({t["term"] for t in tokens})
+        by_term = self.block_cache.get(terms)
+        if conjunctive and len(by_term) < len(terms):
+            return 0  # a required term matches nothing
+        if not by_term:
+            return 0
+        if len(terms) == 1:
+            return by_term[terms[0]][1]
+        doc_sets = [
+            np.concatenate(
+                [
+                    np.cumsum(decode_varints(b.doc_deltas).astype(np.int64))
+                    for b in blks
+                ]
             )
-        return post.select("doc_id").distinct().count()
+            for blks, _df in by_term.values()
+        ]
+        doc_sets.sort(key=len)
+        if conjunctive:
+            acc = doc_sets[0]
+            for d in doc_sets[1:]:
+                acc = np.intersect1d(acc, d, assume_unique=True)
+                if acc.size == 0:
+                    return 0
+            return int(acc.size)
+        return int(np.unique(np.concatenate(doc_sets)).size)

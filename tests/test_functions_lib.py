@@ -115,3 +115,64 @@ def test_multimodal_features_deterministic(docs):
     for r in frames:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == list(range(len(v))) and len(v) <= 4 for v in per_doc.values())
+
+
+def test_jaccard_prefilter_output_identical(docs):
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
+
+    def rows(prefilter):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["common_shingles"])
+            for r in ngram_jaccard_pairs(docs, min_common=1, prefilter=prefilter).collect()
+        )
+
+    on, off, auto = rows(True), rows(False), rows(None)
+    assert on == off == auto
+    assert len(on) > 0  # planted dups actually pair
+
+
+def test_bmp_decode_roundtrip():
+    from mecab_ko_lucene_analyzer_spark.functions.multimodal import (
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    payload = synthesize_bmp(17, 9, seed=3)
+    meta = decode_bmp(payload)
+    assert meta == {"width": 17, "height": 9, "bpp": 24}
+    assert decode_bmp(b"NOTABMP" * 20) is None
+
+
+def test_wav_decode_roundtrip():
+    from mecab_ko_lucene_analyzer_spark.functions.multimodal import (
+        decode_wav,
+        synthesize_wav,
+    )
+
+    payload = synthesize_wav(n_samples=8000, sample_rate=16000, channels=2)
+    meta = decode_wav(payload)
+    assert meta == {"sample_rate": 16000, "channels": 2, "duration_ms": 500}
+    assert decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 64) is None
+
+
+def test_probe_media_real_decode(spark):
+    """The REAL decode path end-to-end through Spark: BMP and WAV
+    payloads produce measured metadata; unknown containers stay NULL
+    (the honest stub boundary)."""
+    from mecab_ko_lucene_analyzer_spark.functions.multimodal import (
+        probe_media,
+        synthesize_bmp,
+        synthesize_wav,
+    )
+
+    rows = [
+        (0, synthesize_bmp(32, 8, seed=1)),
+        (1, synthesize_wav(1600, sample_rate=8000)),
+        (2, b"\xff\xd8\xff\xe0 not decodable without a jpeg codec"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r.asDict() for r in probe_media(media).collect()}
+    assert out[0]["format"] == "bmp" and out[0]["width"] == 32 and out[0]["height"] == 8
+    assert out[1]["format"] == "wav" and out[1]["duration_ms"] == 200
+    assert out[1]["sample_rate"] == 8000 and out[1]["width"] is None
+    assert out[2]["format"] == "unknown" and out[2]["width"] is None
