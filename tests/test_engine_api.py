@@ -61,3 +61,34 @@ def test_highlight():
     assert "<em>검색</em>" in marked and "<em>엔진</em>" in marked
     # adjacent/overlapping spans merge
     assert highlight("검색 검색", ["검색"]).count("<em>") == 2
+
+
+def test_highlight_overlapping_compound_spans():
+    """A compound query term and its decomposed parts produce nested/
+    overlapping token spans (검색엔진 + 검색 + 엔진 all match) — they
+    must merge into ONE span, not nested tags (the reference's span
+    semantics, TermHighlightingQuery.java:26)."""
+    text = "검색엔진은 빠르다"
+    spans = highlight_spans(text, ["검색엔진", "검색", "엔진"])
+    assert spans == [(0, 4)]
+    marked = highlight(text, ["검색엔진", "검색", "엔진"])
+    assert marked == "<em>검색엔진</em>은 빠르다"
+    assert marked.count("<em>") == 1
+
+
+def test_highlight_adjacent_spans_stay_separate():
+    # adjacent-but-not-overlapping tokens each get their own span
+    text = "검색 엔진"
+    spans = highlight_spans(text, ["검색", "엔진"])
+    assert spans == [(0, 2), (3, 5)]
+
+
+def test_highlight_synonym_expanded_terms():
+    """Query-side synonym expansion hands the highlighter BOTH surfaces;
+    only the one present in the doc is marked, and eojeol-surface
+    matches (검색엔진은) don't leak tag boundaries mid-character."""
+    text = "삼성전자 제품과 검색엔진은 다르다"
+    marked = highlight(text, ["samsung", "삼성전자", "검색엔진"])
+    assert "<em>삼성전자</em>" in marked
+    assert "<em>검색엔진은</em>" in marked or "<em>검색엔진</em>은" in marked
+    assert "samsung" not in marked

@@ -24,3 +24,108 @@ def test_bulk_text_reader(spark, tmp_path):
     assert rows["삼성 노트북"]["REGISTERDATE"] == datetime.date(2024, 1, 31)
     assert rows["LG 모니터"]["MAKER"] is None  # empty value → null
     assert rows["가방만 있는 줄"]["MAKER"] is None
+
+
+# -- compiled binary dictionary images (S5 migration path, round 2) ---------
+
+
+def test_tag_prob_binary_roundtrip():
+    from mecab_ko_lucene_analyzer_spark.sources.binary_dicts import (
+        read_tag_prob_dict,
+        write_tag_prob_dict,
+    )
+
+    d = {
+        "진달래": [("N", -2.5), ("V", -7.125)],
+        "하": [("V", -1.0)],
+        "ascii": [("N", 0.0)],
+    }
+    assert read_tag_prob_dict(write_tag_prob_dict(d)) == d
+
+
+def test_set_binary_roundtrip():
+    from mecab_ko_lucene_analyzer_spark.sources.binary_dicts import (
+        read_set_dict,
+        write_set_dict,
+    )
+
+    s = {"은", "는", "stopword", "불용어"}
+    assert read_set_dict(write_set_dict(s)) == s
+
+
+def test_map_binary_roundtrip():
+    from mecab_ko_lucene_analyzer_spark.sources.binary_dicts import (
+        read_map_dict,
+        write_map_dict,
+    )
+
+    d = {"삼성": ["samsung", "쌤숭"], "엘지": ["lg"]}
+    assert read_map_dict(write_map_dict(d)) == d
+
+
+def test_binary_dict_wire_format_pinned():
+    """Byte-level pin of the reference wire format (DataInput.java:109,
+    121, 390): int = 4-byte BE; vint = 7-bit LE-continuation; ustring =
+    vint byte count + UTF-16-BE units. A format drift fails here even
+    if roundtrip still passes."""
+    from mecab_ko_lucene_analyzer_spark.sources.binary_dicts import write_set_dict
+
+    raw = write_set_dict({"아"})
+    # int count=1, then vint byteSize=2, then U+C544 big-endian
+    assert raw == b"\x00\x00\x00\x01" + b"\x02" + "아".encode("utf-16-be")
+
+
+# -- S4: paged-HTTP migrator (round 2) ---------------------------------------
+
+
+def _fake_legacy_api(n_rows=37, page=10):
+    """A deterministic stand-in for the legacy engine's JSON endpoint."""
+
+    def fetch(sn, ln):
+        rows = [
+            {"ID": str(i), "TITLE": f"doc-{i}\ttab", "BODY": f"본문 {i}\n줄"}
+            for i in range(sn, min(sn + ln, n_rows))
+        ]
+        return {
+            "total_count": n_rows,
+            "fieldname_list": ["ID", "TITLE", "BODY"],
+            "result": rows,
+        }
+
+    return fetch
+
+
+def test_migrate_paged_fetches_all_pages(spark):
+    from mecab_ko_lucene_analyzer_spark.sources.http_migrate import migrate_paged
+
+    df = migrate_paged(spark, _fake_legacy_api(37, 10), length=10)
+    rows = {r["ID"]: r for r in df.collect()}
+    assert len(rows) == 37 and df.columns == ["ID", "TITLE", "BODY"]
+    # control chars sanitized exactly like the reference ([\t\r\n\0] -> ' ')
+    assert rows["3"]["TITLE"] == "doc-3 tab"
+    assert rows["3"]["BODY"] == "본문 3 줄"
+
+
+def test_migrate_single_page(spark):
+    from mecab_ko_lucene_analyzer_spark.sources.http_migrate import migrate_paged
+
+    df = migrate_paged(spark, _fake_legacy_api(5, 10), length=10)
+    assert df.count() == 5
+
+
+def test_migrate_to_bulk_text_roundtrip(spark, tmp_path):
+    """Migrated rows → [%FIELD%] bulk file → S3 reader: end-to-end
+    format compatibility with the reference's file path."""
+    from mecab_ko_lucene_analyzer_spark.sources.bulk_text import read_bulk_text
+    from mecab_ko_lucene_analyzer_spark.sources.http_migrate import (
+        migrate_paged,
+        to_bulk_text,
+    )
+
+    df = migrate_paged(spark, _fake_legacy_api(12, 5), length=5)
+    out = str(tmp_path / "bulk")
+    to_bulk_text(df).write.mode("overwrite").text(out)
+    back = read_bulk_text(spark, out, ["ID", "TITLE", "BODY"])
+    assert back.count() == 12
+    got = {r["ID"] for r in back.select("ID").collect()}
+    assert got == {str(i) for i in range(12)}
