@@ -67,28 +67,22 @@ def ngram_jaccard_pairs(
     min_common: int = 5,
     n: int = 3,
     text: str = "text",
-    prefilter: bool | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exact near-dup candidates: pairs sharing >= min_common distinct
     n-gram shingles (the oracle baseline; use LSH at scale).
 
-    ``prefilter`` gates a ``df > 1`` shingle semi-join that drops
-    never-pairing shingles before the quadratic self-join. On real web
-    text shingles are mostly unique (high distinct ratio) and the
-    prefilter removes the bulk of the join input; on dense synthetic
-    corpora it only adds a pass. ``None`` decides adaptively from ONE
-    cheap aggregation (``approx_count_distinct`` — narrow, map-side
-    partials): distinct ratio > 0.5 → prefilter on. The output is
-    identical either way (a df=1 shingle cannot produce a pair)."""
+    ``prefilter`` (default on) runs a ``df > 1`` shingle semi-join that
+    drops never-pairing shingles before the quadratic self-join. On
+    real web text shingles are mostly unique, so this removes the bulk
+    of the join input; measured on the dense synthetic corpus it still
+    wins (7.2s vs 8.6s at sf0.1 — the df groupBy's shuffle is reused by
+    the join side). Output is identical either way (a df=1 shingle
+    cannot produce a pair) — the DuckDB oracle keeps the direct-join
+    formulation."""
     sh = docs.select(
         "doc_id", F.explode_outer(shingles(text, n)).alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    if prefilter is None:
-        row = sh.agg(
-            F.approx_count_distinct("shingle").alias("d"),
-            F.count("*").alias("t"),
-        ).first()
-        prefilter = row["t"] > 0 and row["d"] / row["t"] > 0.5
     if prefilter:
         repeated = (
             sh.groupBy("shingle")

@@ -126,8 +126,8 @@ def test_jaccard_prefilter_output_identical(docs):
             for r in ngram_jaccard_pairs(docs, min_common=1, prefilter=prefilter).collect()
         )
 
-    on, off, auto = rows(True), rows(False), rows(None)
-    assert on == off == auto
+    on, off = rows(True), rows(False)
+    assert on == off
     assert len(on) > 0  # planted dups actually pair
 
 
