@@ -231,6 +231,69 @@ def _q_simhash_candidates(spark, sf_dir):
     return simhash_candidates(_docs(spark, sf_dir))
 
 
+def _q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (5th dedup flavor): LSH-bucketed
+    candidates, rounded cosine >= 0.4 (the synthetic table has no true
+    twins; the threshold sits between p99 and max pairwise cosine so
+    the operator exercises non-trivially)."""
+    from mecab_ko_lucene_analyzer_spark.functions.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
+
+
+def _q_streaming_postings_tf(spark, sf_dir):
+    """Incremental (Structured Streaming) indexing ≡ batch indexing:
+    the documents table arrives as TWO file batches (stream restarted
+    between them, docID bases from the manifest), whitespace tokenizer
+    (pure Catalyst) so the merged deltas are exactly SQL-replicable —
+    the oracle is the very same postings_tf SQL over the full table."""
+    import shutil
+    import tempfile
+
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        incremental_index_stream,
+        read_incremental_postings,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ptf_")
+    inp, idx, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        "text",
+        "lang",
+    )
+
+    def ws_tokens(d):
+        return d.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("position", "term"),
+        )
+
+    # two arrivals; docIDs are dense 0..N-1 and urls are zero-padded, so
+    # per-batch rank + base reproduces the original ids exactly
+    half = docs.count() // 2
+    cut = F.format_string("%012d", F.lit(half))
+    pages.filter(F.col("url") < cut).coalesce(1).write.mode("overwrite").parquet(inp)
+    incremental_index_stream(
+        spark, inp, idx, ckpt, lang_filter=None, tokens_fn=ws_tokens
+    ).awaitTermination()
+    pages.filter(F.col("url") >= cut).coalesce(1).write.mode("append").parquet(inp)
+    incremental_index_stream(
+        spark, inp, idx, ckpt, lang_filter=None, tokens_fn=ws_tokens
+    ).awaitTermination()
+    out = read_incremental_postings(spark, idx).select("term", "doc_id", "tf")
+    result = out.cache()
+    result.count()  # materialize before the temp dir can be cleaned
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def _q_analyze_ko_tokens(spark, sf_dir):
     """Korean analysis chain over the documents table via the Arrow UDF
     (rows-only: tokenization semantics are pytest-golden-gated)."""
@@ -269,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_candidates": _q_simhash_candidates,
+        "emb_near_dup": _q_emb_near_dup,
+        "streaming_postings_tf": _q_streaming_postings_tf,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
         "multimodal_features": _q_multimodal_features,
     }
@@ -412,6 +477,34 @@ def _ann_lsh_topk_sql(dim: int = 64, n_planes: int = 4, seed: int = 42, k: int =
                 FROM scored
             )
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
+        """
+
+
+def _emb_near_dup_sql(
+    dim: int = 64, n_planes: int = 4, seed: int = 42, threshold: float = 0.4
+) -> str:
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import hyperplane_components
+
+    planes = hyperplane_components(n_planes, dim, seed)
+    terms = []
+    for p, row in enumerate(planes):
+        mult = 2 ** (n_planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_lit_list_sql(row)}) > 0"
+            f" THEN 1 ELSE 0 END) * {mult}"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+            WITH e AS (
+                SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM e a JOIN e b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
         """
 
 
@@ -613,4 +706,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _simhash_candidates_sql(),
         "ann_lsh_topk": _ann_lsh_topk_sql(),
         "ann_ivf_topk": _ann_ivf_topk_sql(),
+        "emb_near_dup": _emb_near_dup_sql(),
+        # incremental streaming index ≡ batch: same oracle as postings_tf
+        "streaming_postings_tf": f"""
+            WITH toks AS ({_TOKS_SQL})
+            SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+        """,
     }

@@ -27,7 +27,13 @@ from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import hyperplane_components, md5_h64
 
-__all__ = ["cosine_topk", "lsh_bucket_topk", "ivf_topk", "IVF_SAMPLE_MOD"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "lsh_near_dup_pairs",
+    "ivf_topk",
+    "IVF_SAMPLE_MOD",
+]
 
 IVF_SAMPLE_MOD = 16  # centroid candidates ≈ corpus/16, capped at n_centroids
 
@@ -110,6 +116,54 @@ def lsh_bucket_topk(
         cos = F.round(cos, round_digits)
     scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
     return _topk_per_query(scored, k)
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup flavor):
+    vectors bucket by hyperplane-LSH sign pattern, same-bucket pairs
+    (vec_a < vec_b) keep when rounded cosine ≥ threshold.
+
+    Same scale shape as the other blocking dedups: candidates come from
+    equality buckets (one shuffle), never an all-pairs join; the cosine
+    is computed only on candidates. Recall is the LSH collision
+    probability (raise ``n_planes`` bands/multi-probe for tighter
+    thresholds); the DuckDB oracle replicates the buckets exactly."""
+    planes = hyperplane_components(n_planes, dim, seed)
+
+    def bucket(vec: Column) -> Column:
+        b = F.lit(0)
+        for row in planes:
+            comp = F.array(*[F.lit(v) for v in row])
+            b = b * 2 + (_dot(vec, comp) > 0).cast("int")
+        return b
+
+    e = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        round_digits,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def ivf_topk(

@@ -52,10 +52,15 @@ def incremental_index_stream(
     mode: str = "standard",
     lang_filter: str | None = "ko",
     trigger_once: bool = True,
+    tokens_fn=None,
 ):
     """Start the incremental indexing stream. ``trigger_once`` processes
     the backlog and stops (the batch-catchup pattern); set False for a
-    continuous micro-batch stream."""
+    continuous micro-batch stream. ``tokens_fn`` overrides the
+    tokenizer: a callable ``docs_df -> (doc_id, term, position, ...)``
+    — e.g. a pure-Catalyst whitespace tokenizer, which makes the whole
+    incremental pipeline exactly SQL-replicable (the driver oracle
+    uses this to assert incremental ≡ batch postings)."""
     from ..sources.webpages import WEBPAGES_SCHEMA
 
     pages = (
@@ -76,7 +81,10 @@ def incremental_index_stream(
             "doc_id", F.col("doc_id") + F.lit(base)
         )
         n_docs = docs.count()
-        tokens = tokens_table(docs, "doc_id", "text", mode)
+        if tokens_fn is not None:
+            tokens = tokens_fn(docs)
+        else:
+            tokens = tokens_table(docs, "doc_id", "text", mode)
         from ..functions.udfs import encode_positions_udf
 
         postings = tokens.groupBy("term", "doc_id").agg(
