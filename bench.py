@@ -139,7 +139,7 @@ WARM_DOCS = 4000  # JIT-warm corpus size (not timed)
 
 def index_build_docs_per_sec(
     cores: int, n_docs: int, corpus_path: str, out_dir: str, reps: int = 2
-) -> float:
+) -> tuple[float, float]:
     """Index-build job (scan → docIDs → tokenize UDF → postings shuffle
     → stats → salted block shuffle → parquet sinks) timed end-to-end on
     a warmed session; best of ``reps`` in-session runs.
@@ -164,17 +164,26 @@ def index_build_docs_per_sec(
 
         pages = spark.read.parquet(corpus_path)
         best = float("inf")
+        best_cap = 0.0
         for _ in range(max(reps, 1)):
+            # delivered hardware capacity sampled ADJACENT to the timed
+            # run: this VM's effective core count swings with hypervisor
+            # weather (asymmetrically — a 4-thread leg almost always
+            # gets 4 real cores, a 16-thread leg often doesn't), so the
+            # capacity that normalizes a run must be measured next to it
+            cap = cpu_capacity(cores, seconds=1.0)
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
             # the FULL product: postings + stats + compressed block-max
             # postings (salted term shuffle included)
             build_and_write(pages, out_dir, lang_filter="ko", with_blocks=True)
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, best_cap = dt, cap
     finally:
         spark.stop()
         time.sleep(1)
-    return n_docs / best
+    return n_docs / best, best_cap
 
 
 def _burn(seconds: float) -> int:
@@ -231,21 +240,22 @@ def main() -> None:
         # ratio measures the framework, not the hypervisor. Per-leg
         # timing is itself best-of-2 in-session (post-JIT).
         thr_low, thr_high = 0.0, 0.0
+        cap_low, cap_high = 0.0, 0.0
         for _ in range(max(reps // 2, 1)):
-            thr_low = max(
-                thr_low,
-                index_build_docs_per_sec(
-                    low, n_docs, corpus_path, "/tmp/bench_idx_low", reps=2
-                ),
+            t, c = index_build_docs_per_sec(
+                low, n_docs, corpus_path, "/tmp/bench_idx_low", reps=2
             )
-            thr_high = max(
-                thr_high,
-                index_build_docs_per_sec(
-                    high, n_docs, corpus_path, "/tmp/bench_idx_high", reps=2
-                ),
+            if t > thr_low:
+                thr_low, cap_low = t, c
+            t, c = index_build_docs_per_sec(
+                high, n_docs, corpus_path, "/tmp/bench_idx_high", reps=2
             )
-        cap_low = cpu_capacity(low)
-        cap_high = cpu_capacity(high)
+            if t > thr_high:
+                thr_high, cap_high = t, c
+        # capacities sampled adjacent to the BEST run of each leg: the
+        # normalized figure is docs-per-delivered-capacity-unit, robust
+        # to the VM's asymmetric steal (16 busy threads often see less
+        # than 4x the delivered capacity of 4 threads)
         hw_ratio = cap_high / cap_low
         indexing = {
             "cores_low": low,
