@@ -38,7 +38,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 from .build import B, K1
-from .codec import BLOCK_SIZE, encode_block
+from .codec import BLOCK_SIZE
 
 __all__ = ["build_blocks", "BLOCKS_SCHEMA", "SALT_SHIFT"]
 
@@ -106,106 +106,73 @@ def build_blocks(
     ).sortWithinPartitions("term", "salt", "doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Vectorized block encoder: run boundaries via NumPy comparison,
-        per-block work on array slices (never per row). Blocks break on
-        (term, salt) change and every `block_size` docs. Breaking on salt
-        — not just term — matters under the hash exchange: NON-adjacent
-        salt groups of one hot term can share a partition, and a block
-        spanning them would interleave doc ranges; within one salt range
-        blocks are doc-contiguous, so first_doc order ≡ doc order."""
-        from .codec import encode_varints
+        """Fully vectorized block encoder — zero per-block Python.
 
-        out_rows: list[dict] = []
-        # cross-batch carry for a run split by an Arrow batch edge
-        carry_term = None
-        c_docs = c_tfs = c_dls = None
-        c_pos: list = []
+        The partition (already (term, salt, doc_id)-sorted by the
+        exchange) is materialized once, then: run bounds from one NumPy
+        comparison, block starts from offset arithmetic (runs split
+        every `block_size` docs), per-block byte payloads from THREE
+        `encode_varint_groups` calls (the same one-pass grouped codec
+        the postings emitter uses), maxima via `np.maximum.reduceat`.
+        Breaking runs on salt — not just term — keeps blocks inside one
+        salt range, so first_doc order ≡ doc order per term under any
+        partitioner. Materializing the partition is what the shuffle
+        already sized for (it sorted the same rows); output is ~1 row
+        per block."""
+        from .codec import encode_varint_groups
 
-        def flush(term, docs, tfs, dls, poslists):
-            dd, tt, _ = encode_block(docs, tfs, [])
-            pp = b"".join(poslists)  # per-doc varint runs concatenate
-            tfs_f = tfs.astype(np.float64)
-            impacts = tfs_f / (
-                tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl)
-            )
-            out_rows.append(
-                {
-                    "term": term,
-                    "first_doc": int(docs[0]),
-                    "n_docs": len(docs),
-                    "doc_deltas": dd,
-                    "tfs": tt,
-                    "pos_deltas": pp,
-                    "doc_lens": encode_varints(dls),
-                    "block_max_tf": int(tfs.max()),
-                    "block_max_impact": float(impacts.max()),
-                }
-            )
-
-        def emit_run(key, docs, tfs, dls, poslists, final: bool):
-            """Encode a (term, salt) run into blocks; keep a sub-block
-            tail as carry unless `final`."""
-            nonlocal carry_term, c_docs, c_tfs, c_dls, c_pos
-            n = len(docs)
-            start = 0
-            while n - start >= block_size:
-                end = start + block_size
-                flush(key[0], docs[start:end], tfs[start:end], dls[start:end],
-                      poslists[start:end])
-                start = end
-            if start < n:
-                if final:
-                    flush(key[0], docs[start:], tfs[start:], dls[start:],
-                          poslists[start:])
-                else:
-                    carry_term = key
-                    c_docs = docs[start:]
-                    c_tfs = tfs[start:]
-                    c_dls = dls[start:]
-                    c_pos = list(poslists[start:])
-                    return
-            carry_term = None
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            terms = pdf["term"].to_numpy()
-            salts = pdf["salt"].to_numpy(dtype=np.int64)
-            docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
-            tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-            dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
-            poslists = pdf["positions"].to_numpy()
-            # run boundaries where the (term, salt) key changes
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-            ) + 1
-            bounds = [0, *change.tolist(), len(terms)]
-            for i in range(len(bounds) - 1):
-                lo, hi = bounds[i], bounds[i + 1]
-                key = (terms[lo], int(salts[lo]))
-                run_docs, run_tfs = docs[lo:hi], tfs[lo:hi]
-                run_dls, run_pos = dls[lo:hi], poslists[lo:hi]
-                if carry_term is not None:
-                    if key == carry_term:
-                        run_docs = np.concatenate([c_docs, run_docs])
-                        run_tfs = np.concatenate([c_tfs, run_tfs])
-                        run_dls = np.concatenate([c_dls, run_dls])
-                        merged = np.empty(len(c_pos) + len(run_pos), dtype=object)
-                        merged[: len(c_pos)] = c_pos
-                        merged[len(c_pos):] = run_pos
-                        run_pos = merged
-                    else:
-                        flush(carry_term[0], c_docs, c_tfs, c_dls, c_pos)
-                        carry_term = None
-                # a run ending at the batch edge may continue next batch
-                final = hi < len(terms)
-                emit_run(key, run_docs, run_tfs, run_dls, run_pos, final)
-            if len(out_rows) >= 256:
-                yield pd.DataFrame(out_rows)
-                out_rows = []
-        if carry_term is not None:
-            flush(carry_term[0], c_docs, c_tfs, c_dls, c_pos)
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy(dtype=np.int64)
+        docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
+        poslists = pdf["positions"].to_numpy()
+        n = len(docs)
+        run_change = np.empty(n, dtype=bool)
+        run_change[0] = True
+        run_change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        run_id = np.cumsum(run_change) - 1
+        run_starts = np.flatnonzero(run_change)
+        offset_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+        bstarts = np.flatnonzero(offset_in_run % block_size == 0)
+        bsizes = np.diff(np.append(bstarts, n))
+        # doc deltas: absolute at block starts (run starts are block
+        # starts by construction), docID diffs inside a block
+        deltas = docs.copy()
+        deltas[1:] = docs[1:] - docs[:-1]
+        deltas[bstarts] = docs[bstarts]
+        dd = encode_varint_groups(deltas, bsizes)
+        tt = encode_varint_groups(tfs, bsizes)
+        ll = encode_varint_groups(dls, bsizes)
+        # per-doc position payloads concatenate per block: one big join,
+        # then byte-bound slicing
+        pos_lens = np.fromiter((len(x) for x in poslists), np.int64, count=n)
+        allpos = b"".join(poslists)
+        pos_bounds = np.zeros(len(bstarts) + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(pos_lens, bstarts), out=pos_bounds[1:])
+        tfs_f = tfs.astype(np.float64)
+        impacts = tfs_f / (tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl))
+        out = pd.DataFrame(
+            {
+                "term": terms[bstarts],
+                "first_doc": docs[bstarts].astype(np.int64),
+                "n_docs": bsizes.astype(np.int32),
+                "doc_deltas": dd,
+                "tfs": tt,
+                "pos_deltas": [
+                    allpos[pos_bounds[i] : pos_bounds[i + 1]]
+                    for i in range(len(bstarts))
+                ],
+                "doc_lens": ll,
+                "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
+                "block_max_impact": np.maximum.reduceat(impacts, bstarts),
+            }
+        )
+        for i in range(0, len(out), 4096):
+            yield out.iloc[i : i + 4096]
 
     return arranged.mapInPandas(encode, BLOCKS_SCHEMA)
