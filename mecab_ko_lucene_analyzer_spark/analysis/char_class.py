@@ -24,7 +24,7 @@ class CharClass(Enum):
     WHITESPACE = "WHITESPACE"
 
 
-def classify_char(ch: str) -> CharClass:
+def _classify_uncached(ch: str) -> CharClass:
     cp = ord(ch)
     if ch.isspace():
         return CharClass.WHITESPACE
@@ -41,6 +41,19 @@ def classify_char(ch: str) -> CharClass:
     if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF:
         return CharClass.CHINESE
     return CharClass.SYMBOL
+
+
+# per-char memo: this sits on the per-character hot path of every
+# tokenized document; real corpora use a few thousand distinct chars,
+# so a plain dict turns the range checks into one hash lookup
+_CLS_CACHE: dict[str, CharClass] = {}
+
+
+def classify_char(ch: str) -> CharClass:
+    cls = _CLS_CACHE.get(ch)
+    if cls is None:
+        cls = _CLS_CACHE[ch] = _classify_uncached(ch)
+    return cls
 
 
 def split_runs(text: str) -> list[tuple[str, CharClass, int]]:

@@ -230,6 +230,25 @@ class Pos:
     def has_space(self) -> bool:
         return self.space_len > 0
 
+    def clone_shifted(self, shift: int) -> "Pos":
+        """Copy with offsets moved by ``shift`` — cached chunk tokens
+        are relocated per occurrence (tokenizer eojeol cache)."""
+        p = Pos(
+            self.surface,
+            self.pos_id,
+            self.start_offset + shift,
+            self.position_incr,
+            self.position_length,
+        )
+        p.start_pos_id = self.start_pos_id
+        p.end_pos_id = self.end_pos_id
+        p.pos = self.pos
+        p.semantic_class = self.semantic_class
+        p.expression = self.expression
+        p.space_len = self.space_len
+        p.is_node = self.is_node
+        return p
+
     def equals_offset(self, other: "Pos") -> bool:
         return (
             self.start_offset == other.start_offset

@@ -51,6 +51,10 @@ class DictionaryLatticeProvider:
     (stem + UNKNOWN) where a full parse existed; the DP recovers them.
     """
 
+    #: this lattice never looks across whitespace, so the full-chain
+    #: per-eojeol cache in :func:`tokenize` is sound for it
+    supports_chunk_cache = True
+
     def __init__(self, stems: dict[str, str] | None = None, suffixes: dict[str, str] | None = None):
         from functools import lru_cache
 
@@ -139,6 +143,11 @@ def make_appender(mode: str, option: TokenizerOption | None = None) -> PosAppend
     return _APPENDERS[mode](option or TokenizerOption())
 
 
+_CHUNK_RE = __import__("re").compile(r"\S+")
+_CHUNK_CACHE: dict[tuple, list[Pos]] = {}
+_CHUNK_CACHE_MAX = 131072
+
+
 def tokenize(
     text: str,
     mode: str = "standard",
@@ -147,13 +156,46 @@ def tokenize(
     provider=None,
 ) -> list[Pos]:
     """Full tokenizer chain: lowercase (S1, ``MeCabKoTokenizer.java:178``)
-    → lattice parse → eojeol token generation. Returns the flat Pos list."""
+    → lattice parse → eojeol token generation. Returns the flat Pos list.
+
+    For providers that declare ``supports_chunk_cache`` (the bundled
+    dictionary provider; real mecab does NOT, its lattice may look
+    across whitespace), the whole chain is memoized per whitespace
+    chunk: eojeols never span whitespace in the standard chain (the
+    appenders break on ``has_space()``), so a chunk's token stream is
+    context-free and relocatable — cached once, offset-shifted per
+    occurrence. Web text is Zipfian in eojeols; this turns the steady
+    state into a dict hit + clone per word.
+    """
     provider = provider or get_lattice_provider()
-    nodes = provider.parse(text.lower())
-    gen = TokenGenerator(
-        make_appender(mode, option), compound_noun_min_length, nodes
+    lowered = text.lower()
+    if not getattr(provider, "supports_chunk_cache", False):
+        nodes = provider.parse(lowered)
+        gen = TokenGenerator(
+            make_appender(mode, option), compound_noun_min_length, nodes
+        )
+        return gen.all_tokens()
+    okey = (
+        (option.compound_noun_min_length, option.use_adjective_and_verb_original_form)
+        if option is not None
+        else None
     )
-    return gen.all_tokens()
+    out: list[Pos] = []
+    for m in _CHUNK_RE.finditer(lowered):
+        chunk = m.group(0)
+        key = (chunk, mode, compound_noun_min_length, okey)
+        toks = _CHUNK_CACHE.get(key)
+        if toks is None:
+            nodes = provider.parse(chunk)
+            toks = TokenGenerator(
+                make_appender(mode, option), compound_noun_min_length, nodes
+            ).all_tokens()
+            if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+                _CHUNK_CACHE.clear()  # bulk reset beats LRU bookkeeping here
+            _CHUNK_CACHE[key] = toks
+        shift = m.start()
+        out.extend(p.clone_shifted(shift) for p in toks)
+    return out
 
 
 def token_records(
