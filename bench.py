@@ -170,8 +170,10 @@ def index_build_docs_per_sec(
             # run: this VM's effective core count swings with hypervisor
             # weather (asymmetrically — a 4-thread leg almost always
             # gets 4 real cores, a 16-thread leg often doesn't), so the
-            # capacity that normalizes a run must be measured next to it
-            cap = cpu_capacity(cores, seconds=1.0)
+            # capacity that normalizes a run must be measured next to
+            # it. Median of 3 short probes: a single probe is noisy
+            # enough to produce impossible (>4x) capacity ratios.
+            cap = sorted(cpu_capacity(cores, seconds=1.0) for _ in range(3))[1]
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
             # the FULL product: postings + stats + compressed block-max

@@ -17,13 +17,16 @@ doc-stats lookup per candidate.
 for WAND is ``idf(term) * block_max_impact`` (classic Block-Max WAND,
 Ding & Suel 2011).
 
-Skew handling (I4): the merge shuffle is ``repartitionByRange(term,
-salt)`` where ``salt = doc_id >> SALT_SHIFT`` for *hot* terms (df above
-a corpus-share threshold — in Korean web text these are exactly the
-josa/particle terms the reference hardcodes,
-``KoreanWordExtractor.java:62``) and 0 for the long tail. Salt ranges
-are doc-contiguous, so per-salt block runs concatenate into a globally
-doc-ordered posting list without any re-merge pass.
+Skew handling (I4): hot terms (df above a corpus-share threshold — in
+Korean web text exactly the josa/particle terms the reference hardcodes,
+``KoreanWordExtractor.java:62``) are salted by docID range
+(``doc_id >> SALT_SHIFT``); salt ranges are doc-contiguous, so per-salt
+block runs concatenate into a globally doc-ordered posting list without
+any re-merge pass.
+
+Shuffle discipline (the 100× story): the wide exchange carries
+MAP-SIDE-COMBINED partial blocks, not posting rows — see
+:func:`build_blocks`.
 """
 
 from __future__ import annotations
@@ -61,6 +64,19 @@ BLOCKS_SCHEMA = T.StructType(
     ]
 )
 
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.LongType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("doc_deltas", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("pos_deltas", T.BinaryType(), False),
+        T.StructField("doc_lens", T.BinaryType(), False),
+    ]
+)
+
 
 def _hot_terms(
     term_stats: DataFrame, n_docs: int, share: float, min_df: int
@@ -68,6 +84,186 @@ def _hot_terms(
     thresh = max(int(n_docs * share), min_df)
     rows = term_stats.filter(F.col("df") >= thresh).select("term").collect()
     return [r["term"] for r in rows]
+
+
+def _pack_stage(hot: frozenset, salt_shift: int, block_size: int):
+    """Narrow map-side combine: one input partition (a contiguous docID
+    range — the postings emitter is doc-local) → partial-block rows in
+    the block wire format, ≤ ``block_size`` docs each."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import encode_varint_groups
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
+        poslists = pdf["positions"].to_numpy()
+        salts = np.where(
+            pdf["term"].isin(hot).to_numpy() if hot else False,
+            docs >> salt_shift,
+            0,
+        ).astype(np.int64)
+        # int term codes for the sort: lexsort over an object (string)
+        # array falls back to per-element Python comparisons; grouping
+        # only needs EQUAL terms adjacent, not alphabetical order
+        codes = pd.factorize(pdf["term"], sort=False)[0]
+        order = np.lexsort((docs, salts, codes))
+        codes = codes[order]
+        terms, docs, tfs, dls = terms[order], docs[order], tfs[order], dls[order]
+        salts, poslists = salts[order], poslists[order]
+        n = len(docs)
+        run_change = np.empty(n, dtype=bool)
+        run_change[0] = True
+        run_change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+        run_id = np.cumsum(run_change) - 1
+        run_starts = np.flatnonzero(run_change)
+        offset_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+        gstarts = np.flatnonzero(offset_in_run % block_size == 0)
+        gsizes = np.diff(np.append(gstarts, n))
+        deltas = docs.astype(np.uint64).copy()
+        deltas[1:] = docs[1:].astype(np.uint64) - docs[:-1].astype(np.uint64)
+        deltas[gstarts] = docs[gstarts].astype(np.uint64)
+        dd = encode_varint_groups(deltas, gsizes)
+        tt = encode_varint_groups(tfs, gsizes)
+        ll = encode_varint_groups(dls, gsizes)
+        pos_lens = np.fromiter((len(x) for x in poslists), np.int64, count=n)
+        allpos = b"".join(poslists)
+        pos_bounds = np.zeros(len(gstarts) + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(pos_lens, gstarts), out=pos_bounds[1:])
+        yield pd.DataFrame(
+            {
+                "term": terms[gstarts],
+                "salt": salts[gstarts],
+                "first_doc": docs[gstarts],
+                "n_docs": gsizes.astype(np.int32),
+                "doc_deltas": dd,
+                "tfs": tt,
+                "pos_deltas": [
+                    allpos[pos_bounds[i] : pos_bounds[i + 1]]
+                    for i in range(len(gstarts))
+                ],
+                "doc_lens": ll,
+            }
+        )
+
+    return pack
+
+
+def _reblock_stage(avgdl: float, k1: float, b: float, block_size: int):
+    """Partials → final ≤block_size blocks, fully vectorized.
+
+    The whole partition's payload streams are decoded in ONE
+    `decode_varints` call each (varint streams concatenate safely),
+    docIDs are reconstructed with a segmented cumsum (each partial's
+    first value is absolute), rows are re-sorted by docID within each
+    (term, salt) group (identity in the common case; required when the
+    scan coalesced small files and partition doc ranges interleave),
+    and block cuts fall every ``block_size`` docs within a group —
+    byte-identical boundaries to a row-level global encode. Position
+    payloads are never re-encoded: per-doc byte widths (from
+    ``varint_byte_lens``) let the re-blocker slice the original bytes.
+    """
+
+    def reblock(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import decode_varints, encode_varint_groups, varint_byte_lens
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        p_terms = pdf["term"].to_numpy()
+        p_salts = pdf["salt"].to_numpy(dtype=np.int64)
+        p_ndocs = pdf["n_docs"].to_numpy(dtype=np.int64)
+        npart = len(p_terms)
+        # --- batch-decode doc/tf/doclen streams --------------------
+        raw_docs = decode_varints(b"".join(pdf["doc_deltas"]))
+        tfs = decode_varints(b"".join(pdf["tfs"]))
+        dls = decode_varints(b"".join(pdf["doc_lens"]))
+        n = len(raw_docs)
+        part_starts = np.zeros(npart, dtype=np.int64)
+        np.cumsum(p_ndocs[:-1], out=part_starts[1:])
+        # segmented cumsum: partial-first values are absolute, so
+        # subtracting the running prefix before each partial restores
+        # absolute docIDs throughout
+        csum = np.cumsum(raw_docs.astype(np.int64))
+        prefix = np.zeros(npart, dtype=np.int64)
+        prefix[1:] = csum[part_starts[1:] - 1]
+        part_of_row = np.repeat(np.arange(npart), p_ndocs)
+        docs = csum - prefix[part_of_row]
+        # --- group membership per row -------------------------------
+        grp_change = np.empty(npart, dtype=bool)
+        grp_change[0] = True
+        grp_change[1:] = (p_terms[1:] != p_terms[:-1]) | (
+            p_salts[1:] != p_salts[:-1]
+        )
+        row_grp_change = np.zeros(n, dtype=bool)
+        row_grp_change[part_starts[grp_change]] = True
+        grp_id = np.cumsum(row_grp_change) - 1
+        # --- positions byte geometry (ORIGINAL row order) ------------
+        allpos = b"".join(pdf["pos_deltas"])
+        pos_vals = decode_varints(allpos)
+        val_widths = varint_byte_lens(pos_vals)
+        doc_pos_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(tfs.astype(np.int64)[:-1], out=doc_pos_starts[1:])
+        per_doc_bytes = np.add.reduceat(val_widths, doc_pos_starts)
+        doc_byte_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(per_doc_bytes[:-1], out=doc_byte_starts[1:])
+        # --- per-group doc sort --------------------------------------
+        order = np.lexsort((docs, grp_id))
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        terms_by_row = np.repeat(p_terms, p_ndocs)[order]
+        src_starts = doc_byte_starts[order]
+        src_lens = per_doc_bytes[order]
+        total_pos_bytes = int(src_lens.sum())
+        out_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(src_lens[:-1], out=out_starts[1:])
+        gather = (
+            np.repeat(src_starts - out_starts, src_lens)
+            + np.arange(total_pos_bytes, dtype=np.int64)
+        )
+        allpos_sorted = np.frombuffer(allpos, dtype=np.uint8)[gather].tobytes()
+        # --- block cuts every block_size docs within a group ---------
+        grp_row_starts = np.flatnonzero(row_grp_change)
+        offset_in_grp = np.arange(n, dtype=np.int64) - grp_row_starts[grp_id]
+        bstarts = np.flatnonzero(offset_in_grp % block_size == 0)
+        bsizes = np.diff(np.append(bstarts, n))
+        # --- re-encode docs/tfs/doclens at the new cuts --------------
+        deltas = docs.astype(np.uint64).copy()
+        deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+        deltas[bstarts] = docs[bstarts].astype(np.uint64)
+        dd = encode_varint_groups(deltas, bsizes)
+        tt = encode_varint_groups(tfs, bsizes)
+        ll = encode_varint_groups(dls, bsizes)
+        pos_bounds = np.zeros(len(bstarts) + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(src_lens, bstarts), out=pos_bounds[1:])
+        # --- block metadata ------------------------------------------
+        tfs_f = tfs.astype(np.float64)
+        impacts = tfs_f / (tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl))
+        out = pd.DataFrame(
+            {
+                "term": terms_by_row[bstarts],
+                "first_doc": docs[bstarts],
+                "n_docs": bsizes.astype(np.int32),
+                "doc_deltas": dd,
+                "tfs": tt,
+                "pos_deltas": [
+                    allpos_sorted[pos_bounds[i] : pos_bounds[i + 1]]
+                    for i in range(len(bstarts))
+                ],
+                "doc_lens": ll,
+                "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
+                "block_max_impact": np.maximum.reduceat(impacts, bstarts),
+            }
+        )
+        for i in range(0, len(out), 4096):
+            yield out.iloc[i : i + 4096]
+
+    return reblock
 
 
 def build_blocks(
@@ -83,96 +279,44 @@ def build_blocks(
     block_size: int = BLOCK_SIZE,
     salt_shift: int = SALT_SHIFT,
 ) -> DataFrame:
-    """Row postings → block postings via one salted sorted shuffle +
-    per-partition NumPy encode."""
+    """Row postings → block postings in two phases with a MAP-SIDE
+    COMBINE, so the one wide exchange carries partial blocks, not rows.
+
+    Phase 1 (:func:`_pack_stage`, narrow): each input partition covers
+    a contiguous docID range (the postings emitter is doc-local), so
+    its (term, salt) runs are globally doc-contiguous SEGMENTS of the
+    final posting lists — encode them into partial-block payloads.
+    Shuffle volume drops ~15–30×: ~13M posting rows → ~400k compact
+    partials on the 240k-doc bench.
+
+    Phase 2 (:func:`_reblock_stage`): range-partition the partials by
+    (term, salt) — a group never splits, and the parquet file layout
+    stays globally term-sorted for pruned serving scans — sort by
+    first_doc, batch-decode, and re-cut into exactly the blocks a
+    row-level global encode would produce (same boundaries, same
+    bytes).
+    """
+    from pyspark import StorageLevel
+
     spark = postings.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
-    hot = set(_hot_terms(term_stats, n_docs, hot_share, hot_min_df))
-    hot_col = F.col("term").isin(list(hot)) if hot else F.lit(False)
-    salted = postings.withColumn(
-        "salt",
-        F.when(hot_col, F.shiftright(F.col("doc_id"), salt_shift)).otherwise(F.lit(0)),
-    )
-    # repartitionByRange on purpose: the encoder itself only needs
-    # (term, salt)-group locality (hash would do, one scan, no sampling
-    # job) — but range partitioning yields a globally term-sorted FILE
-    # layout, so a query term's blocks live in 1–2 parquet files instead
-    # of every file. Measured on the serving path: cold term fetch p95
-    # ~4× better than the hash layout; the range sampler's extra narrow
-    # pass at build time is the textbook price of a sorted layout.
-    arranged = salted.repartitionByRange(
+    hot = frozenset(_hot_terms(term_stats, n_docs, hot_share, hot_min_df))
+    partials = postings.mapInPandas(
+        _pack_stage(hot, salt_shift, block_size), PARTIAL_SCHEMA
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist on purpose: repartitionByRange SAMPLES its input with an
+    # extra job, which would re-run the whole pack pass — the cache
+    # makes the sampler a cache read. The partials ARE the compact
+    # combined form (≈ the compressed index size), the natural
+    # checkpoint unit at scale; spills to disk if memory-tight.
+    # Range partitioning keeps the FILE layout globally term-sorted
+    # (cold term-pruned scans hit 1–2 files).
+    arranged = partials.repartitionByRange(
         num_partitions, "term", "salt"
-    ).sortWithinPartitions("term", "salt", "doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Fully vectorized block encoder — zero per-block Python.
-
-        The partition (already (term, salt, doc_id)-sorted by the
-        exchange) is materialized once, then: run bounds from one NumPy
-        comparison, block starts from offset arithmetic (runs split
-        every `block_size` docs), per-block byte payloads from THREE
-        `encode_varint_groups` calls (the same one-pass grouped codec
-        the postings emitter uses), maxima via `np.maximum.reduceat`.
-        Breaking runs on salt — not just term — keeps blocks inside one
-        salt range, so first_doc order ≡ doc order per term under any
-        partitioner. Materializing the partition is what the shuffle
-        already sized for (it sorted the same rows); output is ~1 row
-        per block."""
-        from .codec import encode_varint_groups
-
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy(dtype=np.int64)
-        docs = pdf["doc_id"].to_numpy(dtype=np.uint64)
-        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
-        poslists = pdf["positions"].to_numpy()
-        n = len(docs)
-        run_change = np.empty(n, dtype=bool)
-        run_change[0] = True
-        run_change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-        run_id = np.cumsum(run_change) - 1
-        run_starts = np.flatnonzero(run_change)
-        offset_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
-        bstarts = np.flatnonzero(offset_in_run % block_size == 0)
-        bsizes = np.diff(np.append(bstarts, n))
-        # doc deltas: absolute at block starts (run starts are block
-        # starts by construction), docID diffs inside a block
-        deltas = docs.copy()
-        deltas[1:] = docs[1:] - docs[:-1]
-        deltas[bstarts] = docs[bstarts]
-        dd = encode_varint_groups(deltas, bsizes)
-        tt = encode_varint_groups(tfs, bsizes)
-        ll = encode_varint_groups(dls, bsizes)
-        # per-doc position payloads concatenate per block: one big join,
-        # then byte-bound slicing
-        pos_lens = np.fromiter((len(x) for x in poslists), np.int64, count=n)
-        allpos = b"".join(poslists)
-        pos_bounds = np.zeros(len(bstarts) + 1, dtype=np.int64)
-        np.cumsum(np.add.reduceat(pos_lens, bstarts), out=pos_bounds[1:])
-        tfs_f = tfs.astype(np.float64)
-        impacts = tfs_f / (tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl))
-        out = pd.DataFrame(
-            {
-                "term": terms[bstarts],
-                "first_doc": docs[bstarts].astype(np.int64),
-                "n_docs": bsizes.astype(np.int32),
-                "doc_deltas": dd,
-                "tfs": tt,
-                "pos_deltas": [
-                    allpos[pos_bounds[i] : pos_bounds[i + 1]]
-                    for i in range(len(bstarts))
-                ],
-                "doc_lens": ll,
-                "block_max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
-                "block_max_impact": np.maximum.reduceat(impacts, bstarts),
-            }
-        )
-        for i in range(0, len(out), 4096):
-            yield out.iloc[i : i + 4096]
-
-    return arranged.mapInPandas(encode, BLOCKS_SCHEMA)
+    ).sortWithinPartitions("term", "salt", "first_doc")
+    out = arranged.mapInPandas(
+        _reblock_stage(avgdl, k1, b, block_size), BLOCKS_SCHEMA
+    )
+    out._partials_df = partials  # callers may unpersist after the action
+    return out

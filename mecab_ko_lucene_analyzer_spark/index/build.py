@@ -327,7 +327,10 @@ def _stats_from_postings(postings: DataFrame):
     term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
     if "doc_len" in postings.columns:
         # doc_len is denormalized onto every posting row → the per-doc
-        # "aggregation" is a partial-agg first(), ~1 row/doc map-side
+        # "aggregation" is a partial-agg first(): the exchange carries
+        # ~1 row/doc. (A zero-shuffle mapInPandas dedup was considered
+        # and rejected: a parquet file bigger than maxPartitionBytes
+        # splits mid-document and would double-count — not 100×-safe.)
         doc_stats = postings.groupBy("doc_id").agg(
             F.first("doc_len").cast("long").alias("doc_len")
         )
@@ -404,9 +407,43 @@ def build_and_write(
     A rerun skips completed stages (manifest + ``_SUCCESS``); docIDs are
     deterministic, so resumed output is byte-identical.
     """
+    from contextlib import contextmanager
+
     from .manifest import BuildManifest, run_stage
 
     spark = pages.sparkSession
+
+    @contextmanager
+    def _build_confs():
+        """Size scans and Arrow batches to the build's row shapes for
+        the duration of every stage action:
+
+        * 16384-row Arrow batches — the session default (2048, sized
+          for page-text rows) quadruples Python-crossing overhead on
+          the narrow posting/partial rows; measured 3× on the pack
+          stage. (Scan-split sizing is left to Spark's own
+          bytes-per-core targeting — explicit overrides measured
+          neutral here and would be wrong at other scales.)
+        """
+        overrides = {
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "16384",
+        }
+        saved = {}
+        for key, val in overrides.items():
+            try:
+                saved[key] = spark.conf.get(key)
+            except Exception:
+                saved[key] = None
+            spark.conf.set(key, val)
+        try:
+            yield
+        finally:
+            for key, val in saved.items():
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
+
     manifest = BuildManifest.load_or_create(
         base_path,
         {
@@ -433,7 +470,8 @@ def build_and_write(
             "postings_emitted": acc_postings.value,
         }
 
-    run_stage(manifest, "postings", f"{base_path}/postings", stage_postings)
+    with _build_confs():
+        run_stage(manifest, "postings", f"{base_path}/postings", stage_postings)
 
     def stage_stats():
         postings = spark.read.parquet(f"{base_path}/postings")
@@ -457,7 +495,8 @@ def build_and_write(
         ).write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
         return {"n_docs": n_docs, "avgdl": avgdl}
 
-    run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
+    with _build_confs():
+        run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
 
     if with_blocks:
 
@@ -484,16 +523,22 @@ def build_and_write(
                 hot_min_df=hot_min_df,
                 salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
             )
-            # block rows leave the encoder (term, first_doc)-sorted
-            # within partitions (the exchange sorted its input), so
-            # parquet row-group min/max stats prune term-filtered scans
-            blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
+            try:
+                # block rows leave the re-blocker (term, first_doc)-
+                # sorted within partitions, so parquet row-group min/max
+                # stats prune term-filtered scans
+                blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
+            finally:
+                partials = getattr(blocks, "_partials_df", None)
+                if partials is not None:
+                    partials.unpersist()
             # footer-only count (metadata scan) for the lineage counter
             return {
                 "blocks_written": spark.read.parquet(f"{base_path}/blocks").count()
             }
 
-        run_stage(manifest, "blocks", f"{base_path}/blocks", stage_blocks)
+        with _build_confs():
+            run_stage(manifest, "blocks", f"{base_path}/blocks", stage_blocks)
 
     return load_index(spark, base_path)
 

@@ -23,6 +23,7 @@ __all__ = [
     "encode_varints",
     "decode_varints",
     "encode_varint_groups",
+    "varint_byte_lens",
     "encode_block",
     "decode_block",
     "BLOCK_SIZE",
@@ -79,6 +80,17 @@ def encode_varints(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
     return out.tobytes()
+
+
+def varint_byte_lens(values: np.ndarray) -> np.ndarray:
+    """Encoded byte width per value (1 + crossed 7-bit thresholds) —
+    lets a re-blocker slice an existing varint stream at value
+    boundaries without re-encoding it."""
+    vals = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(vals.shape, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += vals >= np.uint64(1 << (7 * k))
+    return nbytes
 
 
 def decode_varints(data: bytes) -> np.ndarray:
