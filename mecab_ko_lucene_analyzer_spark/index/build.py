@@ -421,12 +421,24 @@ def build_and_write(
         * 16384-row Arrow batches — the session default (2048, sized
           for page-text rows) quadruples Python-crossing overhead on
           the narrow posting/partial rows; measured 3× on the pack
-          stage. (Scan-split sizing is left to Spark's own
-          bytes-per-core targeting — explicit overrides measured
-          neutral here and would be wrong at other scales.)
+          stage.
+        * 4MB scan splits + 256KB open cost — Spark's bytes-per-core
+          targeting yields ~1 split per core, so every stage runs one
+          task wave and a single straggler stretches the whole stage
+          (and the postings table inherits that coarse file layout,
+          capping downstream parallelism). ~4 waves of small tasks
+          smooth stragglers at any core count; override per deployment
+          via SPARK_GRAFT_MAX_PARTITION_BYTES when input files are
+          large enough that Spark's own targeting is already fine.
         """
+        import os as _os
+
         overrides = {
             "spark.sql.execution.arrow.maxRecordsPerBatch": "16384",
+            "spark.sql.files.maxPartitionBytes": _os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)
+            ),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
         }
         saved = {}
         for key, val in overrides.items():
