@@ -150,6 +150,9 @@ def index_build_docs_per_sec(
     every stage shape, so the codegen cache is hot). Everything the job
     itself does — both input passes, the wide shuffles, all writes — is
     inside the timed window.
+
+    Returns ``(docs_per_sec, (cpu_capacity, churn_capacity))`` with the
+    capacities sampled adjacent to the best run.
     """
     from mecab_ko_lucene_analyzer_spark.index import build_and_write
 
@@ -166,14 +169,19 @@ def index_build_docs_per_sec(
         best = float("inf")
         best_cap = 0.0
         for _ in range(max(reps, 1)):
-            # delivered hardware capacity sampled ADJACENT to the timed
-            # run: this VM's effective core count swings with hypervisor
-            # weather (asymmetrically — a 4-thread leg almost always
-            # gets 4 real cores, a 16-thread leg often doesn't), so the
-            # capacity that normalizes a run must be measured next to
-            # it. Median of 3 short probes: a single probe is noisy
-            # enough to produce impossible (>4x) capacity ratios.
-            cap = sorted(cpu_capacity(cores, seconds=1.0) for _ in range(3))[1]
+            # delivered capacity sampled ADJACENT to the timed run: this
+            # VM's effective core count swings with hypervisor weather
+            # (asymmetrically — a 4-thread leg almost always gets 4 real
+            # cores, a 16-thread leg often doesn't), so the capacity
+            # that normalizes a run must be measured next to it. Median
+            # of 3 short probes: a single probe is noisy enough to
+            # produce impossible (>4x) capacity ratios. Two instruments:
+            # register busy-loop (steal ceiling) and python-churn (the
+            # job's actual resource mix — see churn_capacity).
+            cap = (
+                sorted(cpu_capacity(cores, seconds=1.0) for _ in range(3))[1],
+                sorted(churn_capacity(cores, seconds=1.0) for _ in range(3))[1],
+            )
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
             # the FULL product: postings + stats + compressed block-max
@@ -196,16 +204,45 @@ def _burn(seconds: float) -> int:
     return x
 
 
+def _churn(seconds: float) -> int:
+    """Python object churn (dict/list/str) — the resource profile of the
+    tokenize/posting emitters. Allocator + cache traffic bound."""
+    words = [f"w{i % 997}" for i in range(1000)]
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        d: dict = {}
+        pos = -1
+        for w in words:
+            pos += 1
+            d.setdefault(w, []).append(pos)
+        n += sum(len(v) for v in d.values())
+    return n
+
+
 def cpu_capacity(procs: int, seconds: float = 2.0) -> float:
-    """Measured hardware throughput (busy-loop iterations/sec summed over
-    ``procs`` processes). On this VM, per-core capacity degrades with
-    concurrency (steal/turbo/bandwidth); the ratio cap(4N)/cap(N)
-    is the *hardware* ceiling a perfectly-scaling job could reach, so we
-    report efficiency both raw and normalized by it."""
+    """Delivered register-ALU throughput (busy-loop iterations/sec over
+    ``procs`` processes) — the hypervisor-steal ceiling."""
     import multiprocessing as mp
 
     with mp.Pool(procs) as p:
         return sum(p.map(_burn, [seconds] * procs)) / seconds
+
+
+def churn_capacity(procs: int, seconds: float = 1.5) -> float:
+    """Delivered PYTHON-WORKLOAD throughput over ``procs`` processes.
+
+    The index build's hot loops are CPython dict/list/str churn — a
+    resource mix (allocator, L2/DRAM traffic) whose multi-core ceiling
+    on one socket is well below the busy-loop's (~3.3× for 4→16 procs
+    on this VM vs ~4.0× register-only; pure DRAM streams only ~1.3×).
+    A 4N-executor CLUSTER brings 4N memory channels, so this single-box
+    ceiling is what the normalized figure must divide by — the busy-loop
+    alone over-promises."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        return sum(p.map(_churn, [seconds] * procs)) / seconds
 
 
 def main() -> None:
@@ -242,7 +279,7 @@ def main() -> None:
         # ratio measures the framework, not the hypervisor. Per-leg
         # timing is itself best-of-2 in-session (post-JIT).
         thr_low, thr_high = 0.0, 0.0
-        cap_low, cap_high = 0.0, 0.0
+        cap_low = cap_high = (0.0, 0.0)
         for _ in range(max(reps // 2, 1)):
             t, c = index_build_docs_per_sec(
                 low, n_docs, corpus_path, "/tmp/bench_idx_low", reps=2
@@ -255,18 +292,26 @@ def main() -> None:
             if t > thr_high:
                 thr_high, cap_high = t, c
         # capacities sampled adjacent to the BEST run of each leg: the
-        # normalized figure is docs-per-delivered-capacity-unit, robust
-        # to the VM's asymmetric steal (16 busy threads often see less
-        # than 4x the delivered capacity of 4 threads)
-        hw_ratio = cap_high / cap_low
+        # normalized figures are docs-per-delivered-capacity-unit under
+        # two instruments — register busy-loop (hypervisor steal) and
+        # python-churn (the job's actual allocator/cache-bound resource
+        # mix; one socket's DRAM doesn't quadruple with threads, a 4N-
+        # executor cluster's does)
+        thr_ratio = thr_high / thr_low
+        cpu_ratio = cap_high[0] / cap_low[0]
+        churn_ratio = cap_high[1] / cap_low[1]
         indexing = {
             "cores_low": low,
             "cores_high": high,
             "docs_per_sec_lowN": round(thr_low, 1),
             "docs_per_sec_highN": round(thr_high, 1),
-            "scaling_efficiency": round((thr_high / thr_low) / (high / low), 3),
-            "hw_capacity_ratio": round(hw_ratio, 2),
-            "scaling_efficiency_hw_normalized": round((thr_high / thr_low) / hw_ratio, 3),
+            "scaling_efficiency": round(thr_ratio / (high / low), 3),
+            "hw_capacity_ratio": round(cpu_ratio, 2),
+            "scaling_efficiency_hw_normalized": round(thr_ratio / cpu_ratio, 3),
+            "workload_capacity_ratio": round(churn_ratio, 2),
+            "scaling_efficiency_workload_normalized": round(
+                thr_ratio / churn_ratio, 3
+            ),
             "n_docs": n_docs,
         }
 

@@ -198,6 +198,51 @@ def tokenize(
     return out
 
 
+_INDEX_STREAM_CACHE: dict[tuple, tuple] = {}
+_INDEX_STREAM_CACHE_MAX = 131072
+
+
+def index_token_stream(
+    text: str,
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+    provider=None,
+) -> tuple[list[str], list[int]]:
+    """(terms, position_increments) for the INDEXING hot path.
+
+    ``tokenize`` returns full ``Pos`` objects (offsets, POS metadata) —
+    posting construction needs only the term string and the position
+    increment, so cloning 12-slot objects per token occurrence is pure
+    allocator traffic (measured: the build becomes memory-bandwidth-
+    bound at high core counts). This variant caches a FLAT
+    ``(terms tuple, incrs tuple)`` per whitespace chunk and
+    concatenates — no per-occurrence object creation at all.
+    """
+    provider = provider or get_lattice_provider()
+    if not getattr(provider, "supports_chunk_cache", False):
+        toks = tokenize(text, mode, compound_noun_min_length, provider=provider)
+        return [p.token_string() for p in toks], [p.position_incr for p in toks]
+    lowered = text.lower()
+    terms: list[str] = []
+    incrs: list[int] = []
+    for m in _CHUNK_RE.finditer(lowered):
+        chunk = m.group(0)
+        key = (chunk, mode, compound_noun_min_length)
+        entry = _INDEX_STREAM_CACHE.get(key)
+        if entry is None:
+            toks = tokenize(chunk, mode, compound_noun_min_length, provider=provider)
+            entry = (
+                tuple(p.token_string() for p in toks),
+                tuple(p.position_incr for p in toks),
+            )
+            if len(_INDEX_STREAM_CACHE) >= _INDEX_STREAM_CACHE_MAX:
+                _INDEX_STREAM_CACHE.clear()
+            _INDEX_STREAM_CACHE[key] = entry
+        terms.extend(entry[0])
+        incrs.extend(entry[1])
+    return terms, incrs
+
+
 def token_records(
     text: str,
     mode: str = "standard",

@@ -200,7 +200,11 @@ def corpus_postings(
     import pyspark.sql.types as T
     from pyspark import StorageLevel
 
-    from ..analysis.tokenizer import get_lattice_provider, tokenize
+    from ..analysis.tokenizer import (
+        get_lattice_provider,
+        index_token_stream,
+        tokenize,
+    )
 
     spark = pages.sparkSession
     if num_partitions is None:
@@ -261,15 +265,17 @@ def corpus_postings(
             flat_deltas: list[int] = []  # all position deltas, batch-wide
             for off, txt in enumerate(pdf["text"]):
                 d = base + seen + off
-                toks = tokenize(
-                    txt or "", mode, compound_noun_min_length, provider=provider
+                # flat cached stream — no per-occurrence Pos objects
+                # (the build is allocator-bandwidth-bound without this)
+                t_terms, t_incrs = index_token_stream(
+                    txt or "", mode, compound_noun_min_length, provider
                 )
                 per_term: dict[str, list[int]] = {}
                 position = -1
-                for p in toks:
-                    position += p.position_incr
-                    per_term.setdefault(p.token_string(), []).append(position)
-                dl = len(toks)
+                for term_s, inc in zip(t_terms, t_incrs):
+                    position += inc
+                    per_term.setdefault(term_s, []).append(position)
+                dl = len(t_terms)
                 for term, plist in per_term.items():
                     terms.append(term)
                     doc_ids.append(d)
