@@ -84,3 +84,21 @@ def test_pos_class_mapping():
     assert pos_class("EP+EF,*,F,았다,*,*,*,*") == "E"
     assert pos_class("VV,*,F,하,*,*,*,*") == "V"
     assert pos_class("UNKNOWN,*,*,*,*,*,*,*") == "U"
+
+
+def test_segmentation_covers_input_exactly():
+    """Property: concatenated surfaces == the input run (no char lost or
+    duplicated), for arbitrary hangul strings against the real dict."""
+    from mecab_ko_lucene_analyzer_spark.analysis.mini_dict import (
+        stem_dict,
+        suffix_dict,
+    )
+
+    seg = ViterbiSegmenter({**stem_dict(), **suffix_dict()})
+    samples = [
+        "검색엔진은", "한국어문서를", "걀꿀뷁", "가나다라마바사",
+        "서울에서도부산으로", "형태소분석결과", "하였다", "진달래꽃",
+    ]
+    for run in samples:
+        out = seg.segment(run)
+        assert "".join(s for s, _ in out) == run, run
