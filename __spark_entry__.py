@@ -231,6 +231,57 @@ def _q_simhash_candidates(spark, sf_dir):
     return simhash_candidates(_docs(spark, sf_dir))
 
 
+BATCH_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "query"]),
+    (1, ["data", "index"]),
+    (2, ["the", "of"]),
+    (3, ["search", "engine", "web"]),
+]
+
+
+def _q_batch_bm25_topk(spark, sf_dir):
+    """Bulk retrieval: a 4-query batch scored in ONE Spark job via
+    block-max WAND over a block index built from the whitespace tokens
+    (one term-pruned fetch + broadcast + executor-parallel WAND) —
+    rank-identical to per-query serving, exactly replicable in SQL."""
+    from mecab_ko_lucene_analyzer_spark.functions.udfs import encode_positions_udf
+    from mecab_ko_lucene_analyzer_spark.index.blocks import build_blocks
+    from mecab_ko_lucene_analyzer_spark.query import wand_topk_batch
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("position", "term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("parr"),
+        )
+        .withColumn("positions", encode_positions_udf()(F.col("parr")))
+        .drop("parr")
+        .join(dl, "doc_id")
+    )
+    term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    row = dl.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).first()
+    blocks = build_blocks(
+        postings, term_stats, row["n"], float(row["avgdl"]), hot_min_df=10**9
+    )
+    qdf = spark.createDataFrame(BATCH_QUERIES, "query_id long, terms array<string>")
+    out = wand_topk_batch(blocks, qdf, row["n"], float(row["avgdl"]), k=10)
+    result = out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    ).cache()
+    result.count()
+    partials = getattr(blocks, "_partials_df", None)
+    if partials is not None:
+        partials.unpersist()
+    return result
+
+
 def _q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (5th dedup flavor): LSH-bucketed
     candidates, rounded cosine >= 0.4 (the synthetic table has no true
@@ -333,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_candidates": _q_simhash_candidates,
         "emb_near_dup": _q_emb_near_dup,
+        "batch_bm25_topk": _q_batch_bm25_topk,
         "streaming_postings_tf": _q_streaming_postings_tf,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
         "multimodal_features": _q_multimodal_features,
@@ -477,6 +529,46 @@ def _ann_lsh_topk_sql(dim: int = 64, n_planes: int = 4, seed: int = 42, k: int =
                 FROM scored
             )
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
+        """
+
+
+def _batch_bm25_topk_sql(k: int = 10) -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BATCH_QUERIES for t in terms
+    )
+    all_terms = sorted({t for _, terms in BATCH_QUERIES for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+            WITH toks AS ({_TOKS_SQL}),
+            qterms(query_id, term) AS (VALUES {qvals}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({in_list}) GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            scored AS (
+                SELECT q.query_id, tfs.doc_id,
+                       sum(
+                           ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                       ) AS score
+                FROM qterms q
+                JOIN tfs ON q.term = tfs.term
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN corpus
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, score, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+                   round(score, 6) AS score
+            FROM ranked WHERE rank <= {k}
         """
 
 
@@ -707,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_topk_sql(),
         "ann_ivf_topk": _ann_ivf_topk_sql(),
         "emb_near_dup": _emb_near_dup_sql(),
+        "batch_bm25_topk": _batch_bm25_topk_sql(),
         # incremental streaming index ≡ batch: same oracle as postings_tf
         "streaming_postings_tf": f"""
             WITH toks AS ({_TOKS_SQL})

@@ -1,3 +1,4 @@
+from .batch import wand_topk_batch
 from .bm25 import bm25_topk, bm25_oracle, lucene_idf
 
-__all__ = ["bm25_topk", "bm25_oracle", "lucene_idf"]
+__all__ = ["bm25_topk", "bm25_oracle", "lucene_idf", "wand_topk_batch"]

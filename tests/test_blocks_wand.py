@@ -160,3 +160,26 @@ def test_resume_skips_completed_stages(spark, materialized):
     # postings untouched (same row count, stage not re-run)
     assert spark.read.parquet(f"{BASE}/postings").count() == before
     assert m2["stages"]["postings"] == m1["stages"]["postings"]
+
+
+def test_batch_wand_rank_identical_to_serving(spark, materialized, blocks_df):
+    """Bulk retrieval (one Spark job, broadcast blocks) must return the
+    SAME ranked lists the serving path's per-query WAND returns."""
+    from mecab_ko_lucene_analyzer_spark.query import wand_topk_batch
+    from mecab_ko_lucene_analyzer_spark.query.wand import load_query_cursors
+
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    batch = [(i, q) for i, q in enumerate(QUERIES)]
+    qdf = spark.createDataFrame(batch, "query_id long, terms array<string>")
+    got = {}
+    for r in wand_topk_batch(blocks_df, qdf, n_docs, avgdl, k=7).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, terms in batch:
+        cursors = load_query_cursors(blocks_df, term_stats, n_docs, avgdl, terms)
+        want = [
+            (rank, d, round(s, 9))
+            for rank, (d, s) in enumerate(wand_topk(cursors, 7), start=1)
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), terms
