@@ -27,17 +27,29 @@ def main() -> None:
     ap.add_argument("--mode", default="standard", choices=["standard", "keyword", "similarity"])
     ap.add_argument("--compound-noun-min-length", type=int, default=3)
     ap.add_argument("--no-blocks", action="store_true")
+    ap.add_argument(
+        "--publish",
+        metavar="NAMESPACE",
+        help="after the build, publish the index tables to this Iceberg "
+        "catalog namespace (e.g. iceberg.search); requires a configured "
+        "spark.sql.catalog + the iceberg-spark-runtime jar",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.index import build_and_write
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
-    from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+    from mecab_ko_lucene_analyzer_spark.sources import (
+        publish_index,
+        read_table,
+        synthesize_webpages,
+    )
 
     spark = get_spark(app_name="build-index")
     if args.synthesize:
         pages = synthesize_webpages(spark, args.synthesize)
     elif args.input:
-        pages = spark.read.parquet(args.input)
+        # parquet path or Iceberg catalog identifier (cat.db.webpages)
+        pages = read_table(spark, args.input)
     else:
         ap.error("--input or --synthesize required")
     build_and_write(
@@ -50,6 +62,9 @@ def main() -> None:
     )
     with open(f"{args.output}/manifest.json") as f:
         print(json.dumps(json.load(f), indent=2))
+    if args.publish:
+        for ident in publish_index(spark, args.output, args.publish):
+            print(f"published {ident}")
     spark.stop()
 
 

@@ -562,9 +562,20 @@ def build_and_write(
 
 
 def load_index(spark: SparkSession, base_path: str) -> InvertedIndex:
+    """Load an index from a build directory (parquet) or a published
+    Iceberg catalog namespace (dotted identifier, see
+    ``sources/catalog.py::publish_index``)."""
+    from ..sources.catalog import is_catalog_identifier
+
+    sep = "." if is_catalog_identifier(base_path) else "/"
+    read = (
+        spark.read.table
+        if sep == "."
+        else spark.read.parquet
+    )
     return InvertedIndex(
-        spark.read.parquet(f"{base_path}/postings"),
-        spark.read.parquet(f"{base_path}/term_stats"),
-        spark.read.parquet(f"{base_path}/doc_stats"),
-        spark.read.parquet(f"{base_path}/corpus_stats"),
+        read(f"{base_path}{sep}postings"),
+        read(f"{base_path}{sep}term_stats"),
+        read(f"{base_path}{sep}doc_stats"),
+        read(f"{base_path}{sep}corpus_stats"),
     )

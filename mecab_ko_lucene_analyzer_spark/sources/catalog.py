@@ -1,0 +1,122 @@
+"""Table-format abstraction: Iceberg catalog tables or parquet paths.
+
+The deployment target (BASELINE.json north rule) stores the corpus and
+the index — postings with block-max metadata included — in Apache
+Iceberg tables; this sandbox has no Iceberg runtime jar, so every
+writer in the hot path defaults to parquet and this module provides
+the deployment seam:
+
+* ``iceberg_available(spark)`` — detect a usable Iceberg catalog at
+  runtime (extension + at least one ``spark.sql.catalog.*`` whose
+  implementation class loads).
+* ``write_table`` / ``read_table`` — one call site for both formats.
+  Iceberg targets are catalog identifiers (``cat.db.table``, written
+  via the V2 ``DataFrameWriterV2`` so partitioning/sort-order DDL and
+  snapshot isolation come from the catalog); parquet targets are
+  paths. Semantics are identical either way: ``overwrite`` replaces,
+  ``append`` adds.
+* ``publish_index`` — copy a built :class:`~..index.build.InvertedIndex`
+  (plus the compressed block-max postings table, when present) into an
+  Iceberg namespace. Publishing is a flat re-write of already-built
+  tables — no tokenize/shuffle is re-run — so a parquet build on the
+  cluster followed by an Iceberg publish costs one scan per table.
+
+Why a seam instead of wiring Iceberg through ``build_and_write``: the
+build's resume protocol (manifest + per-stage ``_SUCCESS`` markers,
+``index/manifest.py``) is filesystem-level and format-agnostic already;
+swapping its stage sinks to catalog tables would tie checkpoint
+liveness to catalog state. Building to paths and atomically publishing
+snapshots to the catalog is the standard Iceberg ingestion shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "iceberg_available",
+    "is_catalog_identifier",
+    "write_table",
+    "read_table",
+    "publish_index",
+]
+
+#: index member tables published to the catalog, in write order
+INDEX_TABLES = ("postings", "term_stats", "doc_stats", "corpus_stats", "blocks")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured AND its implementation
+    class is on the JVM classpath (a config key alone proves nothing —
+    a missing jar fails at first write with a classloader error)."""
+    try:
+        confs = dict(spark.sparkContext.getConf().getAll())
+    except Exception:
+        return False
+    catalogs = [
+        v for k, v in confs.items()
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3
+    ]
+    if not any("iceberg" in v.lower() for v in catalogs):
+        return False
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def is_catalog_identifier(target: str) -> bool:
+    """Catalog identifiers are dotted names (``cat.db.table``); anything
+    with a path separator or URI scheme is a filesystem target."""
+    return "/" not in target and "\\" not in target and ":" not in target and "." in target
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
+    """Write ``df`` to an Iceberg catalog table (dotted identifier) or a
+    parquet path — one call site for both deployment shapes."""
+    if is_catalog_identifier(target):
+        writer = df.writeTo(target)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif mode == "append":
+            writer.append()
+        else:
+            raise ValueError(f"unsupported mode for catalog tables: {mode}")
+    else:
+        df.write.mode(mode).parquet(target)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if is_catalog_identifier(target):
+        return spark.read.table(target)
+    return spark.read.parquet(target)
+
+
+def publish_index(
+    spark: SparkSession, base_path: str, namespace: str, mode: str = "overwrite"
+) -> list[str]:
+    """Publish a built index at ``base_path`` into catalog ``namespace``
+    (e.g. ``iceberg.search``) — one table per index member, the blocks
+    table (block-max metadata) included when the build wrote it.
+
+    Returns the list of published identifiers. Raises RuntimeError when
+    no Iceberg catalog is usable, BEFORE writing anything."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "no usable Iceberg catalog: configure spark.sql.catalog.<name> = "
+            "org.apache.iceberg.spark.SparkCatalog (+ the iceberg-spark-runtime jar)"
+        )
+    published = []
+    for name in INDEX_TABLES:
+        path = f"{base_path}/{name}"
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            if name == "blocks":  # optional member (with_blocks=False builds)
+                continue
+            raise
+        write_table(df, f"{namespace}.{name}", mode=mode)
+        published.append(f"{namespace}.{name}")
+    return published

@@ -129,3 +129,44 @@ def test_migrate_to_bulk_text_roundtrip(spark, tmp_path):
     assert back.count() == 12
     got = {r["ID"] for r in back.select("ID").collect()}
     assert got == {str(i) for i in range(12)}
+
+
+# --- table-format seam (catalog.py): Iceberg identifiers vs parquet paths ---
+
+
+def test_catalog_identifier_detection():
+    from mecab_ko_lucene_analyzer_spark.sources.catalog import is_catalog_identifier
+
+    assert is_catalog_identifier("iceberg.search.postings")
+    assert is_catalog_identifier("cat.db.t")
+    assert not is_catalog_identifier("/path/to/index")          # path
+    assert not is_catalog_identifier("relative/dir.parquet")    # path sep
+    assert not is_catalog_identifier("s3://bucket/key")         # URI scheme
+    assert not is_catalog_identifier("postings")                # no namespace
+
+
+def test_write_read_table_parquet_roundtrip(spark, tmp_path):
+    from mecab_ko_lucene_analyzer_spark.sources.catalog import read_table, write_table
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    target = str(tmp_path / "t")
+    write_table(df, target)
+    assert sorted(r.doc_id for r in read_table(spark, target).collect()) == list(range(10))
+    write_table(df, target, mode="append")
+    assert read_table(spark, target).count() == 20
+
+
+def test_iceberg_unavailable_in_container(spark, tmp_path):
+    """No iceberg-spark-runtime jar here: detection must say so and
+    publish_index must refuse BEFORE writing (deployment-env test runs
+    the真 branch; here the guard is the contract)."""
+    import pytest
+
+    from mecab_ko_lucene_analyzer_spark.sources.catalog import (
+        iceberg_available,
+        publish_index,
+    )
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        publish_index(spark, str(tmp_path), "iceberg.search")
