@@ -184,6 +184,27 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), min_common=5)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact near-dup pairs: one row per
+    member, cluster_id = min doc_id in the component (the survivor)."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    return dedup_clusters(ngram_jaccard_pairs(_docs(spark, sf_dir), min_common=5))
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus mixing: keep all de, half of en, 10% of the
+    rest — the keep decision is a pure hash of doc_id (rerun-stable)."""
+    from mecab_ko_lucene_analyzer_spark.functions.text import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"de": 1.0, "en": 0.5}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
 def _emb_queries(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -378,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "stratified_sample": _q_stratified_sample,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -769,6 +792,41 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                FROM t
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.v
+            )
+            SELECT v AS doc_id, min(label) AS cluster_id FROM reach GROUP BY v
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_md5h64_sql("'sample-42-' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5
+                              ELSE 0.1 END * 1000000
         """,
         "multimodal_features": """
             SELECT doc_id, 'image' AS media_type,

@@ -17,6 +17,7 @@ __all__ = [
     "quality_features",
     "language_id",
     "fingerprint",
+    "stratified_sample",
     "EN_STOPWORDS",
 ]
 
@@ -100,3 +101,35 @@ def fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
             F.concat_ws(" ", whitespace_tokens(F.lower(F.col(text))))
         ).alias("fingerprint"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum: str = "lang",
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing step of a
+    training-data pipeline (e.g. keep 100% of Korean, 10% of English,
+    1% of everything else).
+
+    The keep decision is a pure function of (seed, doc id): hash the id
+    with the md5-derived 60-bit hash, reduce mod 1e6, keep the row when
+    the bucket falls under ``fraction * 1e6``. No RNG state, no
+    ``sample()`` — reruns, retries, and different partitionings all
+    select the SAME rows (a reproducibility requirement for training
+    corpora: the sample IS the dataset). A narrow filter — no shuffle,
+    pushes past column pruning, and the scan-level predicate keeps it
+    one pass at any scale. Exactly replicable in the oracle.
+    """
+    from .hashing import md5_h64
+
+    bucket = md5_h64(F.concat(F.lit(f"sample-{seed}-"), F.col(id_col).cast("string"))) % F.lit(
+        1_000_000
+    )
+    frac = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(stratum) == value, F.lit(f)).otherwise(frac)
+    return docs.filter(bucket < frac * 1_000_000)

@@ -176,3 +176,42 @@ def test_probe_media_real_decode(spark):
     assert out[1]["format"] == "wav" and out[1]["duration_ms"] == 200
     assert out[1]["sample_rate"] == 8000 and out[1]["width"] is None
     assert out[2]["format"] == "unknown" and out[2]["width"] is None
+
+
+def test_dedup_clusters_components(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import dedup_clusters
+
+    # two components: a 10-chain (worst case for plain propagation —
+    # pointer doubling must collapse it within max_iter) and a triangle
+    chain = [(i, i + 1) for i in range(100, 110)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, max_iter=6).collect()}
+    assert {out[v] for v in range(100, 111)} == {100}
+    assert {out[v] for v in (1, 2, 3)} == {1}
+    assert len(out) == 14  # every member labeled exactly once
+
+
+def test_dedup_clusters_empty(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_clusters(pairs).count() == 0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.text import stratified_sample
+
+    rows = [(i, f"text {i}", "ko" if i % 2 else "en") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = stratified_sample(docs, {"ko": 1.0, "en": 0.2})
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in kept.repartition(7).collect())
+    assert ids1 == ids2  # partitioning-independent (pure function of id)
+    ko = sum(1 for i in ids1 if i % 2)
+    en = len(ids1) - ko
+    assert ko == 1000  # fraction 1.0 keeps every ko row
+    assert 300 <= en + 1000 <= 1400 and 100 <= en <= 300  # ~20% of 1000
+    # unlisted strata fall to default_fraction=0
+    none_kept = stratified_sample(docs, {"zz": 1.0})
+    assert none_kept.count() == 0
