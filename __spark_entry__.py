@@ -314,6 +314,52 @@ def _q_emb_near_dup(spark, sf_dir):
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup (applyInPandasWithState): the
+    corpus arrives as batch 1 = originals, batch 2 = full re-crawl
+    (ids + 10000) plus 10 genuinely new pages; the checkpointed
+    seen-set drops every re-crawl across the restart and passes the
+    new pages. Oracle = min-doc_id-per-text over the same union."""
+    import shutil
+    import tempfile
+
+    from mecab_ko_lucene_analyzer_spark.streaming.dedup import (
+        read_deduped,
+        streaming_dedup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir)
+
+    def as_pages(d):
+        return d.select(
+            F.format_string("%012d", F.col("doc_id")).alias("url"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+            F.encode(F.col("text"), "utf-8").alias("html"),
+            "text",
+            F.lit("ko").alias("lang"),
+        )
+
+    as_pages(docs).coalesce(1).write.mode("overwrite").parquet(inp)
+    streaming_dedup_stream(spark, inp, out, ckpt).awaitTermination()
+    recrawl = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    fresh = spark.range(10).select(
+        (F.col("id") + 20000).alias("doc_id"),
+        F.concat(F.lit("uniq new page "), F.col("id").cast("string")).alias("text"),
+    )
+    as_pages(recrawl.unionByName(fresh)).coalesce(1).write.mode("append").parquet(inp)
+    streaming_dedup_stream(spark, inp, out, ckpt).awaitTermination()
+    result = (
+        read_deduped(spark, out)
+        .select(F.col("url").cast("long").alias("doc_id"), "text_hash")
+        .cache()
+    )
+    result.count()  # materialize before the temp dir is removed
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def _q_streaming_postings_tf(spark, sf_dir):
     """Incremental (Structured Streaming) indexing ≡ batch indexing:
     the documents table arrives as TWO file batches (stream restarted
@@ -409,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "streaming_postings_tf": _q_streaming_postings_tf,
+        "streaming_dedup": _q_streaming_dedup,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
         "multimodal_features": _q_multimodal_features,
     }
@@ -862,5 +909,17 @@ def oracle_sql() -> dict[str, str]:
         "streaming_postings_tf": f"""
             WITH toks AS ({_TOKS_SQL})
             SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+        """,
+        # stateful streaming dedup: first arrival per text wins — batch 1
+        # carries the originals, so min doc_id per text IS the survivor
+        "streaming_dedup": """
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 10000, text FROM documents
+                UNION ALL SELECT 20000 + i, 'uniq new page ' || i::VARCHAR
+                          FROM range(10) t(i)
+            )
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+            FROM all_docs GROUP BY text
         """,
     }

@@ -76,3 +76,36 @@ def test_dictionary_files_roundtrip(spark, tmp_path):
     assert len(rows) == 14  # 7 dicts x 2 epochs
     syn = [r for r in rows if r["dict_name"] == "synonym"][0]
     assert syn["entries"] == 2 and len(syn["fingerprint"]) == 32
+
+
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    """First-seen wins within a batch (min url) AND across restarts
+    (state store keeps the seen-set): batch 2's re-crawls of batch-1
+    pages are dropped, its genuinely new page passes."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.streaming.dedup import (
+        read_deduped,
+        streaming_dedup_stream,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    b1 = [
+        ("u01", ts, b"", "alpha page", "ko"),
+        ("u02", ts, b"", "beta page", "ko"),
+        ("u03", ts, b"", "alpha page", "ko"),  # within-batch dup of u01
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(inp)
+    streaming_dedup_stream(spark, inp, out, ckpt).awaitTermination()
+    b2 = [
+        ("u04", ts, b"", "alpha page", "ko"),  # cross-batch dup — state must drop it
+        ("u05", ts, b"", "gamma page", "ko"),  # new
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+    streaming_dedup_stream(spark, inp, out, ckpt).awaitTermination()
+    kept = {r.url: r.text for r in read_deduped(spark, out).collect()}
+    assert kept == {"u01": "alpha page", "u02": "beta page", "u05": "gamma page"}
