@@ -73,33 +73,41 @@ def ngram_jaccard_pairs(
     """Exact near-dup candidates: pairs sharing >= min_common distinct
     n-gram shingles (the oracle baseline; use LSH at scale).
 
-    ``prefilter`` (default on) runs a ``df > 1`` shingle semi-join that
-    drops never-pairing shingles before the quadratic self-join. On
-    real web text shingles are mostly unique, so this removes the bulk
-    of the join input; measured on the dense synthetic corpus it still
-    wins (7.2s vs 8.6s at sf0.1 — the df groupBy's shuffle is reused by
-    the join side). Output is identical either way (a df=1 shingle
-    cannot produce a pair) — the DuckDB oracle keeps the direct-join
-    formulation."""
+    Formulated as per-shingle bucket pair EXPANSION, not a self-join:
+    ``groupBy(shingle) → sorted member list → in-array (a, b) pair
+    expansion → pair count``. One aggregation shuffle of the exploded
+    shingles and one of the pairs — the self-join variant shuffles the
+    shingle table twice more (both join sides) and re-reads the
+    upstream plan; measured 4.3s vs 7.5s at sf0.1, identical output
+    (305 pairs). The ``size > 1`` bucket filter subsumes the old
+    ``df > 1`` prefilter (``prefilter`` is kept for API compatibility
+    and ignored). Caveat shared with all exact-Jaccard formulations:
+    a degenerate stop-shingle makes its bucket quadratic — the member
+    list is bounded by the shingle's df either way (the join would emit
+    df^2 rows; the array holds df ids). At web scale use
+    :func:`minhash_lsh_pairs`, whose banding bounds bucket sizes by
+    design. The DuckDB oracle keeps the direct-join formulation."""
     sh = docs.select(
         "doc_id", F.explode_outer(shingles(text, n)).alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    if prefilter:
-        repeated = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > 1)
-            .select("shingle")
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        sh = sh.join(repeated, "shingle")
-    a, b = sh.alias("a"), sh.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common_shingles"))
         .filter(F.col("common_shingles") >= min_common)
     )

@@ -117,18 +117,33 @@ def test_multimodal_features_deterministic(docs):
     assert all(sorted(v) == list(range(len(v))) and len(v) <= 4 for v in per_doc.values())
 
 
-def test_jaccard_prefilter_output_identical(docs):
-    from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
+def test_jaccard_expansion_matches_self_join(docs):
+    """The bucket-expansion formulation must equal the direct shingle
+    self-join (the DuckDB oracle's formulation) row for row."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        shingles,
+    )
 
-    def rows(prefilter):
-        return sorted(
-            (r["doc_a"], r["doc_b"], r["common_shingles"])
-            for r in ngram_jaccard_pairs(docs, min_common=1, prefilter=prefilter).collect()
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["common_shingles"])
+        for r in ngram_jaccard_pairs(docs, min_common=1).collect()
+    )
+    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    ref = sorted(
+        (r["doc_a"], r["doc_b"], r["n"])
+        for r in a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-
-    on, off = rows(True), rows(False)
-    assert on == off
-    assert len(on) > 0  # planted dups actually pair
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == ref
+    assert len(got) > 0  # planted dups actually pair
 
 
 def test_bmp_decode_roundtrip():
