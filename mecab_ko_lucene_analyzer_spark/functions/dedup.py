@@ -4,9 +4,9 @@ Scale notes (the part that matters at 10^12 docs):
 
 * exact / fingerprint dedup is a hash ``groupBy`` — one shuffle keyed by
   the digest, no skew (digests are uniform).
-* shingle self-join (``ngram_jaccard_pairs``) is quadratic in bucket
-  size; it exists as the *exact* oracle-checked baseline. The scale path
-  is MinHash+LSH: signatures are one pass (strings hashed once, the
+* exact shingle-bucket pairing (``ngram_jaccard_pairs``) is quadratic
+  in bucket size; it exists as the *exact* oracle-checked baseline. The
+  scale path is MinHash+LSH: signatures are one pass (strings hashed once, the
   n_hashes permutations are arithmetic over the 31-bit value), banding
   turns the self-join into equality buckets, and candidate pairs per
   bucket are bounded by band width.
