@@ -71,6 +71,7 @@ _ENDINGS = {
     "는다": "EF,*,F,는다,*,*,*,*",
     "고": "EC,*,F,고,*,*,*,*",
     "며": "EC,*,F,며,*,*,*,*",
+    "었습니다": "EP+EF,*,F,었습니다,*,*,*,*",
 }
 
 # deterministic syllable pool for generated corpus nouns (no RNG here;
@@ -115,6 +116,23 @@ def stem_dict() -> dict[str, str]:
         d[w] = _noun_feature(w)
     d["강남"] = _noun_feature("강남", "지명")
     d["충남"] = _noun_feature("충남", "지명")
+    # vocabulary for the reference-replica goldens
+    # (MeCabKoStandardTokenizerTest.java:104-204) — entries mirror the
+    # mecab-ko-dic analyses those tests assert against
+    for w in ["꽃", "배달", "망울", "오토바이", "한글", "형태", "소",
+              "가고", "문헌", "소설", "무궁", "화"]:
+        d[w] = _noun_feature(w)
+    d["이승기"] = "NNP,인명,F,이승기,*,*,*,*"
+    d["미근"] = "NNP,지명,T,미근,*,*,*,*"
+    d["동"] = _noun_feature("동")
+    d["미근동"] = "NNP,지명,T,미근동,Compound,*,*,미근/NNP/지명+동/NNG/*"
+    d["꽃망울"] = _compound_feature("꽃망울", ["꽃", "망울"])
+    d["가고문헌"] = _compound_feature("가고문헌", ["가고", "문헌"])
+    d["무궁화"] = _compound_feature("무궁화", ["무궁", "화"])
+    d["피"] = "VV,*,F,피,*,*,*,*"
+    # mecab-ko-dic analyzes 형태소 itself as a compound (형태+소) — the
+    # live-tier expectations in test_mecab_live.py pin exactly this
+    d["형태소"] = _compound_feature("형태소", ["형태", "소"])
     # compounds exercise the decompound path (A8) at corpus scale
     d["삼성전자"] = "NNP,*,F,삼성전자,Compound,*,*,삼성/NNG/*+전자/NNG/*"
     d["검색엔진"] = _compound_feature("검색엔진", ["검색", "엔진"])
