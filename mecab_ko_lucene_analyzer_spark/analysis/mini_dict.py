@@ -133,6 +133,12 @@ def stem_dict() -> dict[str, str]:
     # mecab-ko-dic analyzes 형태소 itself as a compound (형태+소) — the
     # live-tier expectations in test_mecab_live.py pin exactly this
     d["형태소"] = _compound_feature("형태소", ["형태", "소"])
+    d["프로젝트"] = _noun_feature("프로젝트")
+    d["없"] = "VA,*,T,없,*,*,*,*"
+    # Preanalysis: the entry splits into pre-analyzed morphemes (A3),
+    # like mecab-ko-dic's 은전한닢 entry the reference's
+    # testPreanalysisSentence exercises
+    d["은전한닢"] = "NNG,*,T,은전한닢,Preanalysis,*,*,은전/NNG/*+한/NR/*+닢/NNG/*"
     # compounds exercise the decompound path (A8) at corpus scale
     d["삼성전자"] = "NNP,*,F,삼성전자,Compound,*,*,삼성/NNG/*+전자/NNG/*"
     d["검색엔진"] = _compound_feature("검색엔진", ["검색", "엔진"])
@@ -148,8 +154,16 @@ def stem_dict() -> dict[str, str]:
 
 
 @lru_cache(maxsize=None)
-def suffix_dict() -> dict[str, str]:
-    """surface → feature CSV for suffixes (josa + verb endings)."""
-    d = dict(JOSA)
+def suffix_dict() -> dict[str, str | list[str]]:
+    """surface → feature CSV (or list of CSVs for ambiguous surfaces)
+    for suffixes (josa + verb endings + copula)."""
+    d: dict[str, str | list[str]] = dict(JOSA)
     d.update(_ENDINGS)
+    # 는 is a homograph: topic particle after nouns, adnominal ending
+    # after verb/adjective stems (없는) — the Viterbi connection matrix
+    # picks the reading per context
+    d["는"] = [JOSA["는"], "ETM,*,F,는,*,*,*,*"]
+    # copula conjugation is an Inflect entry (start VCP, end EF) like
+    # mecab-ko-dic's — appendability keys on the start tag (NNG+VCP)
+    d["이다"] = "VCP+EF,*,F,이다,Inflect,VCP,EF,이/VCP/*+다/EF/*"
     return d

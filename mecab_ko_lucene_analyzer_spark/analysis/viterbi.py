@@ -56,6 +56,8 @@ def pos_class(feature: str) -> str:
         return "J"
     if tag.startswith("E") or tag.startswith("XS"):
         return "E"
+    if tag.startswith("VCP"):
+        return "E"  # copula attaches to a noun like an ending (소스+이다)
     if tag.startswith("V"):
         return "V"
     if tag == "UNKNOWN":
@@ -75,12 +77,17 @@ class ViterbiSegmenter:
     min-cost path; ties break toward the candidate tried first (dict
     entries longest-first, then unknown) — deterministic."""
 
-    def __init__(self, entries: dict[str, str]):
-        #: surface → (feature, class, word cost)
-        self.entries = {
-            s: (f, pos_class(f), _word_cost(s, pos_class(f)))
-            for s, f in entries.items()
-        }
+    def __init__(self, entries: dict[str, str | list[str]]):
+        #: surface → [(feature, class, word cost), ...] — a surface may
+        #: be ambiguous (는 = JX topic particle OR ETM adnominal ending);
+        #: the connection matrix picks the reading per context, exactly
+        #: how MeCab disambiguates homographs in the native lattice
+        self.entries: dict[str, list[tuple[str, str, int]]] = {}
+        for s, fs in entries.items():
+            feats = [fs] if isinstance(fs, str) else list(fs)
+            self.entries[s] = [
+                (f, pos_class(f), _word_cost(s, pos_class(f))) for f in feats
+            ]
         self._max_len = max(map(len, entries), default=1)
 
     def segment(self, run: str) -> list[tuple[str, str]]:
@@ -97,8 +104,7 @@ class ViterbiSegmenter:
             cands: list[tuple[str, str, str, int]] = []
             for ln in range(min(self._max_len, n - i), 0, -1):
                 surf = run[i : i + ln]
-                hit = self.entries.get(surf)
-                if hit is not None:
+                for hit in self.entries.get(surf, ()):
                     cands.append((surf, *hit))
             cands.append((run[i], "UNKNOWN,*,*,*,*,*,*,*", "U", UNKNOWN_CHAR_COST))
             for prev_cls, (pcost, _) in best[i].items():

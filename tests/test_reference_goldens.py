@@ -89,3 +89,19 @@ def test_decompound():  # :171
 def test_no_decompound():  # :191
     assert stream("형태소", NO_DECOMPOUND) == "형태소:COMPOUND:NNG:null:1:2:0:3,"
     assert stream("가고문헌", NO_DECOMPOUND) == "가고문헌:COMPOUND:NNG:null:1:2:0:4,"
+
+
+def test_preanalysis_sentence():  # :207 — Preanalysis split + copula Inflect
+    assert stream("은전한닢 프로젝트는 오픈소스이다.") == (
+        "은전:NNG:NNG:null:1:1:0:2,한:NR:NR:null:1:1:2:3,닢:NNG:NNG:null:1:1:3:4,"
+        "프로젝트는:EOJEOL:NNG+JX:null:1:1:5:10,프로젝트:NNG:NNG:null:0:1:5:9,"
+        "오픈:NNG:NNG:null:1:1:11:13,소스이다:EOJEOL:NNG+VCP+EF:null:1:1:13:17,"
+        "소스:NNG:NNG:null:0:1:13:15,"
+    )
+
+
+def test_unknown_surface():  # :221 — 는 homograph resolved to ETM after VA
+    assert stream("걀꿀 없는 단어") == (
+        "걀꿀:UNKNOWN:UNKNOWN:null:1:1:0:2,없는:EOJEOL:VA+ETM:null:1:1:3:5,"
+        "없/VA:VA:VA:null:0:1:3:4,단어:NNG:NNG:null:1:1:6:8,"
+    )
