@@ -55,7 +55,11 @@ class DictionaryLatticeProvider:
     #: per-eojeol cache in :func:`tokenize` is sound for it
     supports_chunk_cache = True
 
-    def __init__(self, stems: dict[str, str] | None = None, suffixes: dict[str, str] | None = None):
+    def __init__(
+        self,
+        stems: dict[str, str | list[str]] | None = None,
+        suffixes: dict[str, str | list[str]] | None = None,
+    ):
         from functools import lru_cache
 
         from .viterbi import ViterbiSegmenter

@@ -290,45 +290,60 @@ def dedup_clusters(
     two hash joins + one groupBy(min) per round and nothing driver-side
     except the convergence counter (one action per round on an
     already-shuffled aggregate; at 10^12 docs that is ~log2(cluster
-    diameter) ≈ 5-6 jobs total). Labels are ``localCheckpoint``-ed each
-    round so the plan does not grow with iterations (iterative lineage
-    is the classic Spark OOM); edges are persisted once and reused
-    every round.
+    diameter) ≈ 5-6 jobs total). Labels are checkpointed each round so
+    the plan does not grow with iterations (iterative lineage is the
+    classic Spark OOM); edges are persisted once and reused every
+    round. When the context has a reliable checkpoint dir configured
+    (``sc.setCheckpointDir`` — the production setting for iterative
+    jobs), labels use ``checkpoint()`` so an executor loss mid-run
+    recomputes from durable storage; otherwise ``localCheckpoint()``
+    (executor-local blocks, fine on local mode / small clusters, but a
+    lost executor fails the run — set the dir at 10^12-doc scale).
 
     Parity: the reference has no clustering stage (it dedups nothing);
     this is a training-pipeline operator per the task brief, exactly
     mirrored by a WITH RECURSIVE reachability closure in the oracle.
     """
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     edges_half = pairs.select(F.col(src).alias("ea"), F.col(dst).alias("eb"))
     edges = edges_half.union(
         edges_half.select(F.col("eb").alias("ea"), F.col("ea").alias("eb"))
     ).persist()
-    labels = (
-        edges.select(F.col("ea").alias("v")).distinct().withColumn("label", F.col("v"))
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels.withColumnRenamed("v", "ea"), "ea")
-            .select(F.col("eb").alias("v"), "label")
+    try:
+        labels = _ckpt(
+            edges.select(F.col("ea").alias("v"))
+            .distinct()
+            .withColumn("label", F.col("v"))
         )
-        ptr = (
-            labels.select(F.col("v").alias("keep_v"), F.col("label").alias("mid"))
-            .join(labels.withColumnRenamed("v", "mid"), "mid")
-            .select(F.col("keep_v").alias("v"), "label")
-        )
-        new_labels = (
-            labels.unionByName(nbr).unionByName(ptr)
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "v")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels.withColumnRenamed("v", "ea"), "ea")
+                .select(F.col("eb").alias("v"), "label")
+            )
+            ptr = (
+                labels.select(F.col("v").alias("keep_v"), F.col("label").alias("mid"))
+                .join(labels.withColumnRenamed("v", "mid"), "mid")
+                .select(F.col("keep_v").alias("v"), "label")
+            )
+            new_labels = _ckpt(
+                labels.unionByName(nbr).unionByName(ptr)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+            )
+            changed = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "v")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

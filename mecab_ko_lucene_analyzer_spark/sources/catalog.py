@@ -41,8 +41,13 @@ __all__ = [
     "publish_index",
 ]
 
-#: index member tables published to the catalog, in write order
-INDEX_TABLES = ("postings", "term_stats", "doc_stats", "corpus_stats", "blocks")
+#: index member tables published to the catalog, in write order;
+#: doc_map (docID → url, what serving needs to render results) is NOT
+#: derivable from the others and must ship with the index
+INDEX_TABLES = ("postings", "doc_map", "term_stats", "doc_stats", "corpus_stats", "blocks")
+
+#: members a build may legitimately lack (with_blocks=False)
+_OPTIONAL_TABLES = frozenset({"blocks"})
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -50,7 +55,11 @@ def iceberg_available(spark: SparkSession) -> bool:
     class is on the JVM classpath (a config key alone proves nothing —
     a missing jar fails at first write with a classloader error)."""
     try:
-        confs = dict(spark.sparkContext.getConf().getAll())
+        # runtime SQL conf, not the immutable SparkConf: Iceberg
+        # catalogs set after session start (spark.conf.set / SQL SET)
+        # are instantiated lazily from the session's SQLConf
+        confs = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+        confs.update(dict(spark.sparkContext.getConf().getAll()))
     except Exception:
         return False
     catalogs = [
@@ -67,21 +76,44 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_PATHLIKE_EXTENSIONS = frozenset(
+    {"parquet", "json", "csv", "txt", "orc", "avro", "out", "dir", "idx"}
+)
+
+
 def is_catalog_identifier(target: str) -> bool:
     """Catalog identifiers are dotted names (``cat.db.table``); anything
-    with a path separator or URI scheme is a filesystem target."""
-    return "/" not in target and "\\" not in target and ":" not in target and "." in target
+    with a path separator, a URI scheme, an existing filesystem entry,
+    or a file-ish extension is a filesystem target (``docs.parquet`` or
+    ``index.out`` in the working directory must keep routing to parquet
+    exactly as it did before this seam existed)."""
+    import os
+
+    if "/" in target or "\\" in target or ":" in target or "." not in target:
+        return False
+    if os.path.exists(target):
+        return False
+    return target.rsplit(".", 1)[1].lower() not in _PATHLIKE_EXTENSIONS
 
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
     """Write ``df`` to an Iceberg catalog table (dotted identifier) or a
-    parquet path — one call site for both deployment shapes."""
+    parquet path — one call site for both deployment shapes, with the
+    parquet writer's semantics on both: ``overwrite`` replaces, and
+    ``append`` adds — creating the table first when it does not exist
+    yet (DataFrameWriterV2.append alone would raise on a fresh
+    namespace, unlike mode("append").parquet)."""
     if is_catalog_identifier(target):
         writer = df.writeTo(target)
         if mode == "overwrite":
             writer.createOrReplace()
         elif mode == "append":
-            writer.append()
+            try:
+                writer.append()
+            except Exception as e:
+                if "TABLE_OR_VIEW_NOT_FOUND" not in str(e) and "NoSuchTable" not in str(e):
+                    raise
+                writer.create()
         else:
             raise ValueError(f"unsupported mode for catalog tables: {mode}")
     else:
@@ -114,7 +146,7 @@ def publish_index(
         try:
             df = spark.read.parquet(path)
         except Exception:
-            if name == "blocks":  # optional member (with_blocks=False builds)
+            if name in _OPTIONAL_TABLES:  # e.g. with_blocks=False builds
                 continue
             raise
         write_table(df, f"{namespace}.{name}", mode=mode)

@@ -143,6 +143,19 @@ def test_catalog_identifier_detection():
     assert not is_catalog_identifier("relative/dir.parquet")    # path sep
     assert not is_catalog_identifier("s3://bucket/key")         # URI scheme
     assert not is_catalog_identifier("postings")                # no namespace
+    # dotted names that are really files must keep routing to parquet:
+    # --input docs.parquet worked before the seam existed and still must
+    assert not is_catalog_identifier("docs.parquet")            # file ext
+    assert not is_catalog_identifier("index.out")               # file ext
+    import os
+
+    existing = os.path.basename(__file__).replace(".py", "") + ".py"
+    cwd = os.getcwd()
+    try:
+        os.chdir(os.path.dirname(os.path.abspath(__file__)))
+        assert not is_catalog_identifier(existing)              # exists on disk
+    finally:
+        os.chdir(cwd)
 
 
 def test_write_read_table_parquet_roundtrip(spark, tmp_path):
