@@ -230,3 +230,39 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     # unlisted strata fall to default_fraction=0
     none_kept = stratified_sample(docs, {"zz": 1.0})
     assert none_kept.count() == 0
+
+
+def test_dedup_clusters_random_graphs_property(spark):
+    """Property: dedup_clusters equals a union-find ground truth on
+    random graphs (catches pointer-doubling/propagation bugs that a
+    fixed fixture would miss)."""
+    import random
+
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # ground truth: union-find with min-root canonicalization
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {v: find(v) for v in sorted(touched)}
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
