@@ -266,3 +266,29 @@ def test_dedup_clusters_random_graphs_property(spark):
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_curate_pipeline(spark, tmp_path):
+    """End-to-end curation job: exact dupes drop, near-dup clusters keep
+    the canonical member, sampling filters deterministically."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve().parent / "jobs"))
+    from curate import curate, parse_fractions
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (0, base.strip(), "ko"),
+        (1, base.strip(), "ko"),                       # exact dup of 0
+        (2, (base + "EXTRA WORD").strip(), "ko"),      # near dup of 0
+        (3, "completely different text entirely unrelated ok fine", "en"),
+        (4, " ".join(f"tok{i} filler{i%7}" for i in range(60)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r.doc_id for r in curate(docs, dedup="jaccard", min_common=5).collect()}
+    assert kept == {0, 3, 4}  # 1 exact-dropped, 2 cluster-dropped
+    assert parse_fractions("ko=1.0, en=0.5") == {"ko": 1.0, "en": 0.5}
+    sampled = curate(docs, dedup="exact", fractions={"ko": 1.0}, default_fraction=0.0)
+    got = {r.doc_id for r in sampled.collect()}
+    assert got == {0, 2}  # all surviving ko rows, zero en rows
