@@ -40,43 +40,68 @@ def parse_fractions(spec: str) -> dict[str, float]:
     return out
 
 
+def footer_row_count(path: str) -> int | None:
+    """Row count from parquet footers (driver-side metadata, no Spark
+    job). Returns None for non-local / non-parquet inputs (catalog
+    identifiers, object stores) — callers log '?' rather than paying a
+    full re-scan for a log line."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    if not os.path.isdir(path):
+        return None
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def curate(
     docs,
     dedup: str = "minhash",
     fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
     min_common: int = 5,
+    hash_impl: str = "xxhash64",
 ):
     """documents DataFrame → curated DataFrame (same columns)."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
     from mecab_ko_lucene_analyzer_spark.functions.dedup import (
         dedup_clusters,
-        exact_duplicates,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
     from mecab_ko_lucene_analyzer_spark.functions.text import stratified_sample
 
-    # 1. exact: anti-join the non-canonical members of identical-text groups
-    dupes = exact_duplicates(docs)
-    docs = docs.withColumn("_h", F.md5("text"))
+    # 1. exact: keep each identical-text group's min-doc_id member.
+    #    min(doc_id) OVER (PARTITION BY md5(text)) + filter — ONE hash
+    #    shuffle, no second relation, nothing broadcast (a duplicate-
+    #    groups table is a constant fraction of a web corpus, so any
+    #    broadcast of it is unbounded at crawl scale). Skew note: a
+    #    window partition is one text's duplicate set; even a
+    #    boilerplate page duplicated a few million times fits a task,
+    #    and there is no corpus-wide hot key by construction (md5).
     docs = (
-        docs.join(
-            F.broadcast(dupes.select(F.col("text_hash").alias("_h"), "canonical_doc_id")),
-            "_h",
-            "left",
+        docs.withColumn(
+            "_canon",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
         )
-        .filter(
-            F.col("canonical_doc_id").isNull()
-            | (F.col("doc_id") == F.col("canonical_doc_id"))
-        )
-        .drop("_h", "canonical_doc_id")
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
     )
     # 2. near-dup clusters → keep canonical member per cluster
     if dedup in ("minhash", "jaccard"):
+        # production default is xxhash64 (one JVM hash per shingle; the
+        # md5 family exists for oracle parity and costs ~2x per token)
         pairs = (
-            minhash_lsh_pairs(docs)
+            minhash_lsh_pairs(docs, hash_impl=hash_impl)
             if dedup == "minhash"
             else ngram_jaccard_pairs(docs, min_common=min_common)
         )
@@ -97,23 +122,40 @@ def main() -> None:
     ap.add_argument("--sample", default="", help='per-lang fractions, e.g. "ko=1.0,en=0.5"')
     ap.add_argument("--default-fraction", type=float, default=1.0)
     ap.add_argument("--min-common", type=int, default=5, help="jaccard threshold")
+    ap.add_argument(
+        "--hash-impl",
+        default="xxhash64",
+        choices=["md5", "xxhash64"],
+        help="token-hash backend for minhash (md5 = oracle-parity, xxhash64 = fast)",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
     from mecab_ko_lucene_analyzer_spark.sources import read_table, write_table
 
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
     spark = get_spark(app_name="curate")
     docs = read_table(spark, args.input)
+    # output count rides the write action itself (Observation — exact
+    # under retries, zero extra pass); input count comes from parquet
+    # footers when the input is a parquet path (driver-side metadata
+    # read, no job). Neither triggers a re-scan of either table.
+    obs = Observation("curate_out")
     kept = curate(
         docs,
         dedup=args.dedup,
         fractions=parse_fractions(args.sample),
         default_fraction=args.default_fraction,
         min_common=args.min_common,
-    )
+        hash_impl=args.hash_impl,
+    ).observe(obs, F.count(F.lit(1)).alias("n_out"))
     write_table(kept, args.output)
-    n_in, n_out = docs.count(), read_table(spark, args.output).count()
-    print(f"curated {n_in} -> {n_out} docs ({args.dedup} dedup"
+    n_out = obs.get["n_out"]
+    n_in = footer_row_count(args.input)
+    print(f"curated {n_in if n_in is not None else '?'} -> {n_out} docs "
+          f"({args.dedup} dedup"
           + (f", sample {args.sample}" if args.sample else "") + ")")
     spark.stop()
 

@@ -30,6 +30,8 @@ __all__ = [
     "token_records",
 ]
 
+_PROVIDER_GENERATION = __import__("itertools").count()
+
 _SYMBOL_FEATURES = {
     ".": "SF,*,*,*,*,*,*,*",
     "!": "SF,*,*,*,*,*,*,*",
@@ -64,6 +66,11 @@ class DictionaryLatticeProvider:
 
         from .viterbi import ViterbiSegmenter
 
+        # distinct dictionaries ⇒ distinct module-cache namespaces: the
+        # token goes into every chunk-cache key so two providers in one
+        # process (custom dicts, post-recompile hot reload) never read
+        # each other's cached token streams
+        self.cache_token = next(_PROVIDER_GENERATION)
         self.stems = stems if stems is not None else stem_dict()
         self.suffixes = suffixes if suffixes is not None else suffix_dict()
         self._segmenter = ViterbiSegmenter({**self.stems, **self.suffixes})
@@ -184,10 +191,13 @@ def tokenize(
         if option is not None
         else None
     )
+    ptok = getattr(provider, "cache_token", None)
+    if ptok is None:
+        ptok = id(provider)  # custom cache-capable providers w/o a token
     out: list[Pos] = []
     for m in _CHUNK_RE.finditer(lowered):
         chunk = m.group(0)
-        key = (chunk, mode, compound_noun_min_length, okey)
+        key = (chunk, mode, compound_noun_min_length, okey, ptok)
         toks = _CHUNK_CACHE.get(key)
         if toks is None:
             nodes = provider.parse(chunk)
@@ -227,11 +237,14 @@ def index_token_stream(
         toks = tokenize(text, mode, compound_noun_min_length, provider=provider)
         return [p.token_string() for p in toks], [p.position_incr for p in toks]
     lowered = text.lower()
+    ptok = getattr(provider, "cache_token", None)
+    if ptok is None:
+        ptok = id(provider)
     terms: list[str] = []
     incrs: list[int] = []
     for m in _CHUNK_RE.finditer(lowered):
         chunk = m.group(0)
-        key = (chunk, mode, compound_noun_min_length)
+        key = (chunk, mode, compound_noun_min_length, ptok)
         entry = _INDEX_STREAM_CACHE.get(key)
         if entry is None:
             toks = tokenize(chunk, mode, compound_noun_min_length, provider=provider)

@@ -13,8 +13,10 @@ Scale notes (the part that matters at 10^12 docs):
 * SimHash gives a 60-bit near-dup key: hamming-ball lookup via 4x15-bit
   block keys (each block exact-matches for distance ≤ 3 by pigeonhole).
 
-All hashing is md5-derived (see :mod:`.hashing`) so every operator has
-an exact DuckDB oracle — xxhash64 (round 1) had none.
+Hashing defaults to the md5-derived family (see :mod:`.hashing`) so
+every operator has an exact DuckDB oracle; MinHash/SimHash also take
+``hash_impl="xxhash64"`` — the ~2x-cheaper production backend for
+deployments that don't need cross-engine oracle parity.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .hashing import P31, md5_h64, perm_coeffs
+from .hashing import P31, h64, perm_coeffs
 from .text import whitespace_tokens
 
 __all__ = [
@@ -114,20 +116,29 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = 32, n: int = 3, text: str = "text", seed: int = 42
+    docs: DataFrame,
+    n_hashes: int = 32,
+    n: int = 3,
+    text: str = "text",
+    seed: int = 42,
+    hash_impl: str = "md5",
 ) -> DataFrame:
-    """MinHash signatures: shingle strings hashed ONCE (md5 → 31-bit),
+    """MinHash signatures: shingle strings hashed ONCE (→ 31-bit),
     the permutation family is universal hashing ``(a_i*h + b_i) mod
     (2^31-1)`` with driver-expanded literal coefficients — one string
     hash per shingle, ``n_hashes`` integer FMAs per shingle, all
-    whole-stage codegen, and exactly replicable in the DuckDB oracle.
+    whole-stage codegen. ``hash_impl="md5"`` (default) is exactly
+    replicable in the DuckDB oracle; ``"xxhash64"`` is the cheaper
+    production backend (see :func:`..hashing.h64`).
 
     Docs with zero shingles (< n tokens) are dropped: an all-NULL
     signature would put every short doc in one bucket — a skew bomb at
     web scale and semantically wrong."""
     hashed = docs.select(
         "doc_id",
-        F.transform(shingles(text, n), lambda s: md5_h64(s) % F.lit(P31)).alias("h"),
+        F.transform(
+            shingles(text, n), lambda s: h64(s, hash_impl) % F.lit(P31)
+        ).alias("h"),
     ).filter(F.size("h") > 0)
     coeffs = perm_coeffs(n_hashes, seed)
 
@@ -152,13 +163,14 @@ def minhash_lsh_pairs(
     n: int = 3,
     text: str = "text",
     seed: int = 42,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """LSH banding: signature rows bucket by (band, band-slice key);
     same-bucket pairs are the near-dup candidates. The bucket key is the
     comma-joined slice itself (equality is all the join needs — no
     re-hash, and the oracle reproduces it verbatim)."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, n, text, seed)
+    sigs = minhash_signatures(docs, n_hashes, n, text, seed, hash_impl)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -217,12 +229,15 @@ def _bucket_pairs(rows: DataFrame, keys: list[str]) -> DataFrame:
 SIMHASH_BITS = 60  # md5_h64 yields 60 bits; 4 blocks of 15
 
 
-def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
+def simhash(docs: DataFrame, text: str = "text", hash_impl: str = "md5") -> DataFrame:
     """60-bit SimHash over whitespace tokens: per-bit majority vote of
-    md5-derived token hashes, built from bit-count aggregation
-    expressions (whole-stage codegen; exact DuckDB oracle)."""
+    token hashes, built from bit-count aggregation expressions
+    (whole-stage codegen). ``hash_impl="md5"`` has an exact DuckDB
+    oracle; ``"xxhash64"`` is the production backend."""
     toks = whitespace_tokens(text)
-    hashed = docs.select("doc_id", F.transform(toks, md5_h64).alias("h"))
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: h64(t, hash_impl)).alias("h")
+    )
     # for each bit: count tokens with bit set vs total → bit = majority
     n_tokens = F.size("h")
 
@@ -248,10 +263,12 @@ def simhash(docs: DataFrame, text: str = "text") -> DataFrame:
     return hashed.select("doc_id", total.alias("simhash"))
 
 
-def simhash_candidates(docs: DataFrame, text: str = "text") -> DataFrame:
+def simhash_candidates(
+    docs: DataFrame, text: str = "text", hash_impl: str = "md5"
+) -> DataFrame:
     """Near-dup candidates: equal 15-bit SimHash block in any of 4 block
     positions (pigeonhole: hamming distance ≤ 3 guarantees a match)."""
-    sh = simhash(docs, text)
+    sh = simhash(docs, text, hash_impl)
     blocked = sh.select(
         "doc_id",
         F.explode(
@@ -276,6 +293,7 @@ def dedup_clusters(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs → one row per
     member doc with ``cluster_id`` = the component's minimum doc_id
@@ -303,6 +321,10 @@ def dedup_clusters(
     Parity: the reference has no clustering stage (it dedups nothing);
     this is a training-pipeline operator per the task brief, exactly
     mirrored by a WITH RECURSIVE reachability closure in the oracle.
+
+    ``rounds_out``: when a list is passed, the number of propagation
+    rounds actually run is appended — tests pin the pointer-doubling
+    bound (≤ log2(diameter) + 2) with it.
     """
     sc = pairs.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
@@ -320,7 +342,9 @@ def dedup_clusters(
             .distinct()
             .withColumn("label", F.col("v"))
         )
+        rounds = 0
         for _ in range(max_iter):
+            rounds += 1
             nbr = (
                 edges.join(labels.withColumnRenamed("v", "ea"), "ea")
                 .select(F.col("eb").alias("v"), "label")
@@ -346,4 +370,6 @@ def dedup_clusters(
                 break
     finally:
         edges.unpersist()
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

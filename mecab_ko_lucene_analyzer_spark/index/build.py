@@ -192,9 +192,12 @@ def corpus_postings(
 
     Returns ``(postings, doc_map, n_docs, counters)`` — the doc count
     falls out of the docID offset pass, and ``counters`` is a pair of
-    Spark accumulators ``(total_tokens, postings_rows)`` filled by the
-    action that executes the tokenize pass (exactly-once for action
-    stages), so corpus stats never need a second aggregation pass.
+    Spark accumulators ``(total_tokens, postings_rows)`` updated inside
+    the tokenize ``mapInPandas``. Accumulator updates in a
+    TRANSFORMATION can replay under task retries / speculation, so
+    these are informational lineage counters only — anything that feeds
+    scoring (avgdl → block_max_impact → BM25) is derived retry-exactly
+    from the written doc_stats via ``Observation`` in the stats stage.
     """
     import pandas as pd
     import pyspark.sql.types as T
@@ -480,8 +483,10 @@ def build_and_write(
         )
         postings.write.mode("overwrite").parquet(f"{base_path}/postings")
         doc_map.write.mode("overwrite").parquet(f"{base_path}/doc_map")
-        # docs_tokenized falls out of the docID offset pass; token and
-        # posting totals from action accumulators — zero count jobs
+        # docs_tokenized falls out of the docID offset pass (exact);
+        # token/posting totals are transformation-side accumulators —
+        # informational lineage only (may over-count on task retries;
+        # scoring-grade corpus stats come from the stats stage)
         return {
             "docs_tokenized": n_docs,
             "tokens_total": acc_tokens.value,
@@ -492,22 +497,26 @@ def build_and_write(
         run_stage(manifest, "postings", f"{base_path}/postings", stage_postings)
 
     def stage_stats():
+        from pyspark.sql import Observation
+
         postings = spark.read.parquet(f"{base_path}/postings")
         term_stats, doc_stats, _ = _stats_from_postings(postings)
+        # corpus stats ride the doc_stats write via Observation — exact
+        # under task retries / speculation (observed metrics are action-
+        # consistent), unlike transformation-side accumulators which
+        # double-count replayed batches; avgdl feeds block_max_impact
+        # and BM25, so it must be retry-exact. Zero extra pass.
+        obs = Observation("corpus")
+        doc_stats = doc_stats.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("dl_sum"),
+        )
         doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
+        vals = obs.get
+        n_docs = int(vals["n_docs"])
+        avgdl = (vals["dl_sum"] or 0) / n_docs if n_docs else 0.0
         term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
-        # corpus stats from the postings stage's counters (exact: docID
-        # offsets + action accumulators) — no aggregation pass at all;
-        # fall back to one tiny agg for manifests without the counters
-        pc = manifest.stages.get("postings", {}).get("counters", {})
-        if "tokens_total" in pc and pc.get("docs_tokenized"):
-            n_docs = pc["docs_tokenized"]
-            avgdl = pc["tokens_total"] / n_docs
-        else:
-            ds = spark.read.parquet(f"{base_path}/doc_stats").agg(
-                F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-            ).first()
-            n_docs, avgdl = ds["n_docs"], float(ds["avgdl"] or 0.0)
         spark.createDataFrame(
             [(n_docs, avgdl)], "n_docs long, avgdl double"
         ).write.mode("overwrite").parquet(f"{base_path}/corpus_stats")

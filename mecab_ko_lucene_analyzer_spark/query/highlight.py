@@ -11,7 +11,22 @@ from __future__ import annotations
 
 from ..analysis.tokenizer import tokenize
 
-__all__ = ["highlight_spans", "highlight"]
+__all__ = ["highlight_spans", "phrase_highlight_spans", "highlight"]
+
+
+def _merge(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort + merge overlapping/adjacent (start, end) spans — compound
+    decompositions (삼성전자 → 삼성/전자) and same-position extra terms
+    (EOJEOL 검색은 over 검색) produce overlaps that must render as ONE
+    highlighted region, matching Lucene's merged-passage behavior."""
+    spans = sorted(spans)
+    merged: list[tuple[int, int]] = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
 
 
 def highlight_spans(
@@ -20,20 +35,66 @@ def highlight_spans(
     mode: str = "standard",
     compound_noun_min_length: int = 3,
 ) -> list[tuple[int, int]]:
-    """Merged (start, end) char spans of tokens whose term matches."""
+    """Merged (start, end) char spans of tokens whose term matches.
+
+    Term-SET semantics, exactly the reference highlighter's model:
+    ``TermHighlightingQuery.java:30-48`` dedups the query's terms and
+    rewrites to a flat ``SHOULD`` boolean — every occurrence of any
+    term highlights, independent of query structure."""
     lowered = set(t.lower() for t in query_terms)
     spans = []
     for p in tokenize(text, mode, compound_noun_min_length):
         if p.token_string().lower() in lowered or p.surface.lower() in lowered:
             spans.append((p.start_offset, p.end_offset))
-    spans.sort()
-    merged: list[tuple[int, int]] = []
-    for s, e in spans:
-        if merged and s <= merged[-1][1]:
-            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-        else:
-            merged.append((s, e))
-    return merged
+    return _merge(spans)
+
+
+def phrase_highlight_spans(
+    text: str,
+    phrase_terms: list[str],
+    slop: int = 0,
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+) -> list[tuple[int, int]]:
+    """Char spans of tokens participating in an in-order phrase window
+    within ``slop`` — the executor's ``_PhraseNode`` semantics (each
+    next term at a position in ``(prev, prev + 1 + slop]``, greedy
+    first match) applied at highlight time.
+
+    The reference highlighter has no span awareness (it term-sets the
+    whole query — every term occurrence lights up even outside the
+    phrase window); this is the stricter phrase-consistent rendering
+    for ``match_phrase`` queries, so only window members highlight."""
+    terms = [t.lower() for t in phrase_terms]
+    occ: dict[str, list[tuple[int, int, int]]] = {t: [] for t in terms}
+    position = -1
+    for p in tokenize(text, mode, compound_noun_min_length):
+        position += p.position_incr
+        ts = p.token_string().lower()
+        if ts in occ:
+            occ[ts].append((position, p.start_offset, p.end_offset))
+    spans: list[tuple[int, int]] = []
+    for pos0, s0, e0 in occ[terms[0]] if terms else []:
+        chain = [(s0, e0)]
+        expect = pos0
+        ok = True
+        for t in terms[1:]:
+            nxt = next(
+                (
+                    (q, s, e)
+                    for (q, s, e) in occ[t]
+                    if expect < q <= expect + 1 + slop
+                ),
+                None,
+            )
+            if nxt is None:
+                ok = False
+                break
+            expect = nxt[0]
+            chain.append((nxt[1], nxt[2]))
+        if ok:
+            spans.extend(chain)
+    return _merge(spans)
 
 
 def highlight(

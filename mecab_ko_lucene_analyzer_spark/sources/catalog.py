@@ -81,19 +81,34 @@ _PATHLIKE_EXTENSIONS = frozenset(
 )
 
 
-def is_catalog_identifier(target: str) -> bool:
+def is_catalog_identifier(target: str, spark: SparkSession | None = None) -> bool:
     """Catalog identifiers are dotted names (``cat.db.table``); anything
-    with a path separator, a URI scheme, an existing filesystem entry,
-    or a file-ish extension is a filesystem target (``docs.parquet`` or
-    ``index.out`` in the working directory must keep routing to parquet
-    exactly as it did before this seam existed)."""
-    import os
+    with a path separator, a URI scheme, or a file-ish extension is a
+    filesystem target (``docs.parquet`` or ``index.out`` must keep
+    routing to parquet exactly as it did before this seam existed).
 
+    Routing is decided from SYNTAX plus (when a session is given) the
+    session's configured catalogs — never from the local filesystem: an
+    ``os.path.exists`` probe would make routing depend on the driver's
+    CWD, so a stray local file named ``cat.db.table`` could silently
+    reroute a catalog write into a relative parquet path. With ``spark``
+    provided, a dotted name is a catalog target only if its leading
+    component is a configured catalog (``spark.sql.catalog.<name>``) or
+    the built-in ``spark_catalog`` — deterministic per session config,
+    identical on every machine."""
     if "/" in target or "\\" in target or ":" in target or "." not in target:
         return False
-    if os.path.exists(target):
+    if target.rsplit(".", 1)[1].lower() in _PATHLIKE_EXTENSIONS:
         return False
-    return target.rsplit(".", 1)[1].lower() not in _PATHLIKE_EXTENSIONS
+    if spark is not None:
+        first = target.split(".", 1)[0]
+        if first == "spark_catalog":
+            return True
+        try:
+            return spark.conf.get(f"spark.sql.catalog.{first}", None) is not None
+        except Exception:
+            return False
+    return True
 
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
@@ -103,7 +118,7 @@ def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
     ``append`` adds — creating the table first when it does not exist
     yet (DataFrameWriterV2.append alone would raise on a fresh
     namespace, unlike mode("append").parquet)."""
-    if is_catalog_identifier(target):
+    if is_catalog_identifier(target, df.sparkSession):
         writer = df.writeTo(target)
         if mode == "overwrite":
             writer.createOrReplace()
@@ -121,7 +136,7 @@ def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
 
 
 def read_table(spark: SparkSession, target: str) -> DataFrame:
-    if is_catalog_identifier(target):
+    if is_catalog_identifier(target, spark):
         return spark.read.table(target)
     return spark.read.parquet(target)
 

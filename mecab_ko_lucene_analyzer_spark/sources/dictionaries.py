@@ -35,7 +35,12 @@ from ..analysis.dictionary import SetDictionary, SynonymDictionary
 from ..analysis.product.extractor import PosTag, TagProb, TagProbDictionary
 from ..analysis.product.parsing_rule import ProductDictionarySet
 
-__all__ = ["load_dictionary_set", "write_dict_status"]
+__all__ = [
+    "load_dictionary_set",
+    "write_dict_status",
+    "compile_dictionaries",
+    "restore_dictionaries",
+]
 
 _PROB = {
     "max": TagProb.MAX_PROB,
@@ -112,6 +117,100 @@ def load_dictionary_set(base_dir: str) -> ProductDictionarySet:
         space=_load_map(os.path.join(base_dir, "space.txt")),
         compound=_load_map(os.path.join(base_dir, "compound.txt")),
     )
+
+
+#: prob value → text label (inverse of ``_PROB``; restore emits labels)
+_PROB_LABEL = {v: k for k, v in _PROB.items()}
+
+#: compiled image name → (kind, source text file)
+_COMPILED_LAYOUT = {
+    "user.dict": ("tag_prob", "user.txt"),
+    "user_words.dict": ("set", "user_words.txt"),
+    "stop.dict": ("set", "stop.txt"),
+    "unit.dict": ("set", "unit.txt"),
+    "synonym.dict": ("synonym", "synonym.txt"),
+    "unit_synonym.dict": ("synonym", "unit_synonym.txt"),
+    "space.dict": ("map", "space.txt"),
+    "compound.dict": ("map", "compound.txt"),
+}
+
+
+def compile_dictionaries(base_dir: str, out_dir: str) -> list[str]:
+    """Compile the text dictionaries under ``base_dir`` into the
+    reference's binary wire format (one ``.dict`` image per dictionary,
+    :mod:`.binary_dicts` layouts). Returns the image names written.
+    Deterministic: same text content → byte-identical images (entries
+    are sorted), so images double as content fingerprints."""
+    from .binary_dicts import write_map_dict, write_set_dict, write_tag_prob_dict
+
+    ds = load_dictionary_set(base_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for image, (kind, _src) in _COMPILED_LAYOUT.items():
+        if kind == "tag_prob":
+            data = write_tag_prob_dict(
+                {
+                    w: [(tp.tag.name, tp.prob) for tp in tps]
+                    for w, tps in sorted(ds.tag_prob.entries.items())
+                }
+            )
+        elif kind == "set":
+            name = image[: -len(".dict")]
+            data = write_set_dict(getattr(ds, "user" if name == "user_words" else name))
+        elif kind == "synonym":
+            syn = ds.synonym if image == "synonym.dict" else ds.unit_synonym
+            data = write_map_dict(dict(sorted(syn.mapping.items())))
+        else:  # map
+            m = ds.space if image == "space.dict" else ds.compound
+            data = write_map_dict(dict(sorted(m.items())))
+        with open(os.path.join(out_dir, image), "wb") as f:
+            f.write(data)
+        written.append(image)
+    return written
+
+
+def restore_dictionaries(compiled_dir: str, out_dir: str) -> list[str]:
+    """Inverse of :func:`compile_dictionaries` — regenerate the TEXT
+    dictionary files from compiled binary images (the reference's
+    ``restore`` REST handler, ``ProductNameAnalysisAction.java`` dict
+    actions: users migrating an existing deployment pull their source
+    files back out of the compiled store).
+
+    Round-trip contract: ``compile → restore → load`` reloads the
+    identical dictionary structures, and re-compiling the restored
+    files is byte-identical (a fixpoint) — comments and line order are
+    the only information not preserved."""
+    from .binary_dicts import read_map_dict, read_set_dict, read_tag_prob_dict
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for image, (kind, src) in _COMPILED_LAYOUT.items():
+        path = os.path.join(compiled_dir, image)
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            data = f.read()
+        lines: list[str] = []
+        if kind == "tag_prob":
+            for word, probs in sorted(read_tag_prob_dict(data).items()):
+                for _tag, prob in probs:
+                    label = _PROB_LABEL.get(prob, "high")
+                    lines.append(f"{word}\t{label}")
+        elif kind == "set":
+            lines = sorted(read_set_dict(data))
+        elif kind == "synonym":
+            # mapping rows serialize as one-way rules — reloading
+            # reproduces the exact mapping (two-way groups were already
+            # expanded to their closure at original load)
+            for head, syns in sorted(read_map_dict(data).items()):
+                lines.append(f"{head}=>{','.join(syns)}")
+        else:  # map
+            for word, parts in sorted(read_map_dict(data).items()):
+                lines.append(f"{word}\t{' '.join(parts)}")
+        with open(os.path.join(out_dir, src), "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        written.append(src)
+    return written
 
 
 def write_dict_status(spark, base_dir: str, status_path: str) -> None:

@@ -21,7 +21,6 @@ parallel per document (SURVEY §2.5 streaming note).
 from __future__ import annotations
 
 import json
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -31,17 +30,37 @@ from ..functions.udfs import tokens_table
 __all__ = ["incremental_index_stream", "read_incremental_postings"]
 
 
-def _next_doc_base(state_path: str) -> int:
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            return json.load(f)["next_doc_base"]
-    return 0
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """Resolve ``path_str`` through the Hadoop FileSystem API so the
+    doc-base state lives WITH the index — local paths, ``file://``,
+    ``hdfs://``, ``s3a://`` all work. (A driver-local ``os.path`` probe
+    silently reads False on object stores and would restart doc bases
+    at 0, breaking the doc-disjointness the union view depends on.)"""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jpath.getFileSystem(hconf), jpath, jvm
 
 
-def _save_doc_base(state_path: str, base: int) -> None:
-    os.makedirs(os.path.dirname(state_path), exist_ok=True)
-    with open(state_path, "w") as f:
-        json.dump({"next_doc_base": base}, f)
+def _next_doc_base(spark: SparkSession, state_path: str) -> int:
+    fs, jpath, jvm = _fs_and_path(spark, state_path)
+    if not fs.exists(jpath):
+        return 0
+    stream = fs.open(jpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(data)["next_doc_base"]
+
+
+def _save_doc_base(spark: SparkSession, state_path: str, base: int) -> None:
+    fs, jpath, _jvm = _fs_and_path(spark, state_path)
+    out = fs.create(jpath, True)  # overwrite; parents auto-created
+    try:
+        out.write(json.dumps({"next_doc_base": base}).encode("utf-8"))
+    finally:
+        out.close()
 
 
 def incremental_index_stream(
@@ -73,7 +92,7 @@ def incremental_index_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        base = _next_doc_base(state_path)
+        base = _next_doc_base(batch_df.sparkSession, state_path)
         # deterministic within the batch: rank of url, offset by the base
         from ..index.docids import assign_doc_ids
 
@@ -104,7 +123,7 @@ def incremental_index_stream(
         ).write.mode("append").partitionBy("batch_id").parquet(
             f"{index_path}/doc_map_delta"
         )
-        _save_doc_base(state_path, base + n_docs)
+        _save_doc_base(batch_df.sparkSession, state_path, base + n_docs)
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)

@@ -83,6 +83,49 @@ def test_highlight_adjacent_spans_stay_separate():
     assert spans == [(0, 2), (3, 5)]
 
 
+def test_highlight_extra_term_same_position_spans():
+    """EOJEOL extra term (검색은) and its content token (검색) sit at the
+    SAME position with nested offsets (0-3 vs 0-2): matching either
+    highlights a clean region, matching both merges to the wider span —
+    never nested/broken tags."""
+    text = "검색은 데이터다."
+    assert highlight_spans(text, ["검색"]) == [(0, 2)]
+    assert highlight_spans(text, ["검색은"]) == [(0, 3)]
+    spans = highlight_spans(text, ["검색", "검색은"])
+    assert spans == [(0, 3)]
+    assert highlight(text, ["검색", "검색은"]) == "<em>검색은</em> 데이터다."
+
+
+def test_phrase_highlight_slop_windows():
+    """Phrase-consistent highlighting: only tokens inside an in-order
+    window within slop light up — the executor's _PhraseNode condition
+    (next position in (prev, prev+1+slop]) applied at render time. The
+    reference's TermHighlightingQuery would light every term occurrence
+    regardless of the window; this is the stricter phrase rendering."""
+    from mecab_ko_lucene_analyzer_spark.query.highlight import (
+        phrase_highlight_spans,
+    )
+
+    # adjacent phrase matches at slop 0
+    assert phrase_highlight_spans("검색 엔진", ["검색", "엔진"], slop=0) == [
+        (0, 2),
+        (3, 5),
+    ]
+    # "검색 최고 엔진" analyzes to positions 검색=0, 최=1, 고=2, 엔진=3:
+    # the gap is 2 intervening positions → needs slop ≥ 2
+    text = "검색 최고 엔진"
+    assert phrase_highlight_spans(text, ["검색", "엔진"], slop=1) == []
+    assert phrase_highlight_spans(text, ["검색", "엔진"], slop=2) == [
+        (0, 2),
+        (6, 8),
+    ]
+    # term-set semantics (the reference's model) lights both terms even
+    # when no window exists — the two renderings are distinct on purpose
+    assert highlight_spans(text, ["검색", "엔진"]) == [(0, 2), (6, 8)]
+    # out-of-order terms never form a window
+    assert phrase_highlight_spans("엔진 검색", ["검색", "엔진"], slop=3) == []
+
+
 def test_highlight_synonym_expanded_terms():
     """Query-side synonym expansion hands the highlighter BOTH surfaces;
     only the one present in the doc is marked, and eojeol-surface

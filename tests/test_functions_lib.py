@@ -268,6 +268,76 @@ def test_dedup_clusters_random_graphs_property(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_clustering_pointer_doubling_round_bound(spark):
+    """A 1000-member CHAIN (worst-case diameter for plain label
+    propagation: 999 rounds) must converge in ≤ log2(diameter) + 2
+    rounds under pointer doubling — asserted via the convergence
+    counter, not just the output."""
+    import math
+
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    rounds: list = []
+    labels = dedup_clusters(edges, rounds_out=rounds)
+    got = labels.groupBy("cluster_id").count().collect()
+    assert len(got) == 1
+    assert got[0]["cluster_id"] == 0 and got[0]["count"] == 1000
+    assert rounds[0] <= math.ceil(math.log2(999)) + 2, rounds
+
+
+def test_curate_exact_stage_never_broadcasts_corpus(spark):
+    """The exact-dedup stage must be a window + filter — ONE hash
+    shuffle, no broadcast of any corpus-derived relation (a duplicate-
+    groups table is unbounded at crawl scale)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve().parent / "jobs"))
+    from curate import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 3}", "ko") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    plan = curate(docs, dedup="exact")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" not in plan, plan
+    kept = {r.doc_id for r in curate(docs, dedup="exact").collect()}
+    assert kept == {0, 1, 2}  # min doc_id per identical-text group
+
+
+def test_hash_impl_backends_equivalent_candidates(docs):
+    """hash_impl='xxhash64' (production) and 'md5' (oracle parity) are
+    different hash families — signatures differ — but BOTH must surface
+    the planted exact+near dup pairs and neither may fabricate the
+    unrelated pair."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import minhash_signatures
+
+    for impl in ("md5", "xxhash64"):
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, hash_impl=impl).collect()
+        }
+        assert (0, 1) in lsh and (0, 2) in lsh, impl
+        assert (0, 3) not in lsh and (1, 3) not in lsh, impl
+        sim = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_candidates(docs, hash_impl=impl).collect()
+        }
+        assert (0, 1) in sim and (0, 2) in sim, impl
+    # genuinely distinct families, not an aliased default
+    s_md5 = minhash_signatures(docs, hash_impl="md5").filter("doc_id = 0").first()["sig"]
+    s_xx = minhash_signatures(docs, hash_impl="xxhash64").filter("doc_id = 0").first()["sig"]
+    assert s_md5 != s_xx
+
+
+def test_hash_impl_unknown_rejected(docs):
+    with pytest.raises(ValueError, match="hash_impl"):
+        minhash_lsh_pairs(docs, hash_impl="sha1")
+
+
 def test_curate_pipeline(spark, tmp_path):
     """End-to-end curation job: exact dupes drop, near-dup clusters keep
     the canonical member, sampling filters deterministically."""

@@ -134,7 +134,7 @@ def test_migrate_to_bulk_text_roundtrip(spark, tmp_path):
 # --- table-format seam (catalog.py): Iceberg identifiers vs parquet paths ---
 
 
-def test_catalog_identifier_detection():
+def test_catalog_identifier_detection(spark):
     from mecab_ko_lucene_analyzer_spark.sources.catalog import is_catalog_identifier
 
     assert is_catalog_identifier("iceberg.search.postings")
@@ -147,15 +147,18 @@ def test_catalog_identifier_detection():
     # --input docs.parquet worked before the seam existed and still must
     assert not is_catalog_identifier("docs.parquet")            # file ext
     assert not is_catalog_identifier("index.out")               # file ext
-    import os
-
-    existing = os.path.basename(__file__).replace(".py", "") + ".py"
-    cwd = os.getcwd()
+    # session-aware routing: decided by the session's CONFIGURED
+    # catalogs, never by probing the local filesystem (CWD-dependent —
+    # a stray file named cat.db.table must not reroute a catalog write)
+    assert not is_catalog_identifier("test_sources.py", spark)  # no such catalog
+    assert not is_catalog_identifier("cat.db.t", spark)         # unconfigured cat
+    assert is_catalog_identifier("spark_catalog.db.t", spark)   # built-in
+    spark.conf.set("spark.sql.catalog.fakecat", "org.example.FakeCatalog")
     try:
-        os.chdir(os.path.dirname(os.path.abspath(__file__)))
-        assert not is_catalog_identifier(existing)              # exists on disk
+        assert is_catalog_identifier("fakecat.db.t", spark)     # configured
     finally:
-        os.chdir(cwd)
+        spark.conf.unset("spark.sql.catalog.fakecat")
+    assert not is_catalog_identifier("fakecat.db.t", spark)     # gone again
 
 
 def test_write_read_table_parquet_roundtrip(spark, tmp_path):

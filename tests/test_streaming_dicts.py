@@ -49,6 +49,27 @@ def test_incremental_stream_catchup(spark):
     assert dup == 0
 
 
+def test_doc_base_state_via_hadoop_fs(spark, tmp_path):
+    """Doc-base state must route through the Hadoop FileSystem API, not
+    driver-local os.path — a ``file://`` URI is invisible to os.path
+    (``os.path.exists("file:///x")`` is False even when /x exists), so
+    this roundtrip fails if the state reverts to local-file probing.
+    On a real cluster the same code path serves hdfs:// and s3a://."""
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        _next_doc_base,
+        _save_doc_base,
+    )
+
+    state = f"file://{tmp_path}/_stream_state/doc_base.json"
+    assert _next_doc_base(spark, state) == 0  # absent → base 0
+    _save_doc_base(spark, state, 1234)
+    assert _next_doc_base(spark, state) == 1234
+    _save_doc_base(spark, state, 5678)  # overwrite, not append
+    assert _next_doc_base(spark, state) == 5678
+    # the file landed where the index lives (strip the scheme to check)
+    assert (tmp_path / "_stream_state" / "doc_base.json").exists()
+
+
 def test_dictionary_files_roundtrip(spark, tmp_path):
     d = tmp_path / "dicts"
     d.mkdir()
@@ -76,6 +97,67 @@ def test_dictionary_files_roundtrip(spark, tmp_path):
     assert len(rows) == 14  # 7 dicts x 2 epochs
     syn = [r for r in rows if r["dict_name"] == "synonym"][0]
     assert syn["entries"] == 2 and len(syn["fingerprint"]) == 32
+
+
+def test_dict_compile_restore_roundtrip_cli(tmp_path, capsys, monkeypatch):
+    """CLI compile → restore → reload round-trip: the restored text
+    files reload to the identical dictionary structures, and
+    re-compiling them is byte-identical (fixpoint) — the reference's
+    restore handler contract (deployment migration path)."""
+    import json
+    import os
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve().parent / "jobs"))
+    import dict as dict_job
+
+    d = tmp_path / "dicts"
+    d.mkdir()
+    (d / "user.txt").write_text("노트북\thigh\n가방\n# comment\n텔레비전\tmax\n짐\tlow\n")
+    (d / "user_words.txt").write_text("바지\n")
+    (d / "stop.txt").write_text("세일\n")
+    (d / "unit.txt").write_text("gb\ncm\n")
+    (d / "unit_synonym.txt").write_text("kg,킬로그램\n")
+    (d / "synonym.txt").write_text("노트북,laptop,랩탑\n삼성=>samsung\n")
+    (d / "space.txt").write_text("노트북가방\t노트북 가방\n")
+    (d / "compound.txt").write_text("삼성전자\t삼성 전자\n")
+
+    compiled = str(tmp_path / "compiled")
+    monkeypatch.setattr(
+        sys, "argv", ["dict.py", "--dicts", str(d), "compile", "--compiled", compiled]
+    )
+    dict_job.main()
+    out = json.loads(capsys.readouterr().out)
+    assert "user.dict" in out["images"] and len(out["images"]) == 8
+
+    restored = str(tmp_path / "restored")
+    monkeypatch.setattr(
+        sys, "argv", ["dict.py", "--dicts", restored, "restore", "--compiled", compiled]
+    )
+    dict_job.main()
+    out = json.loads(capsys.readouterr().out)
+    assert "user.txt" in out["files"]
+
+    from mecab_ko_lucene_analyzer_spark.sources.dictionaries import (
+        compile_dictionaries,
+        load_dictionary_set,
+    )
+
+    a, b = load_dictionary_set(str(d)), load_dictionary_set(restored)
+    assert a.tag_prob.entries == b.tag_prob.entries
+    assert a.user == b.user and a.stop == b.stop and a.unit == b.unit
+    assert a.synonym.mapping == b.synonym.mapping
+    assert a.unit_synonym.mapping == b.unit_synonym.mapping
+    assert a.space == b.space and a.compound == b.compound
+    # fixpoint: compiling the restored files is byte-identical
+    compiled2 = str(tmp_path / "compiled2")
+    compile_dictionaries(restored, compiled2)
+    for img in os.listdir(compiled):
+        with open(os.path.join(compiled, img), "rb") as f1, open(
+            os.path.join(compiled2, img), "rb"
+        ) as f2:
+            assert f1.read() == f2.read(), img
 
 
 def test_streaming_dedup_state_across_batches(spark, tmp_path):

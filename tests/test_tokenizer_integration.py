@@ -86,3 +86,32 @@ def test_custom_provider_dictionaries():
     )
     out = [repr(p) for p in tokenize("커스텀은", provider=provider)]
     assert out == ["커스텀은/EOJEOL/null/1/1/0/4", "커스텀/NNG/null/0/1/0/3"]
+
+
+def test_chunk_cache_is_provider_scoped():
+    """Two providers with different dictionaries in one process must not
+    serve each other's cached chunk streams (the module-level caches are
+    keyed on a per-instance cache_token — dictionary recompile /
+    hot-reload creates a new provider and thus a fresh namespace)."""
+    from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import (
+        index_token_stream,
+    )
+
+    p1 = DictionaryLatticeProvider(
+        stems={"커스텀": "NNG,*,T,커스텀,*,*,*,*"},
+        suffixes={"은": "JX,*,T,은,*,*,*,*"},
+    )
+    # p1 splits 커스텀은 → prime both caches with p1's result
+    assert [p.surface for p in tokenize("커스텀은", provider=p1)][1] == "커스텀"
+    t1, _ = index_token_stream("커스텀은", provider=p1)
+    # p2 knows the WHOLE eojeol as one noun — a cache hit from p1 would
+    # return the split stream instead
+    p2 = DictionaryLatticeProvider(
+        stems={"커스텀은": "NNG,*,T,커스텀은,*,*,*,*"}, suffixes={}
+    )
+    toks2 = tokenize("커스텀은", provider=p2)
+    assert [p.surface for p in toks2] == ["커스텀은"]
+    t2, _ = index_token_stream("커스텀은", provider=p2)
+    assert t1 != t2 and t2 == ["커스텀은"]
+    # and p1's cache entry is still intact (no cross-eviction)
+    assert [p.surface for p in tokenize("커스텀은", provider=p1)][1] == "커스텀"
