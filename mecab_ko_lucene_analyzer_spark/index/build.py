@@ -222,8 +222,17 @@ def corpus_postings(
             .withColumn("_pid", F.spark_partition_id())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        text_parts = map_parts = parts  # both passes hit the one cache
     else:
+        # mapInPandas carries EVERY input column across Arrow (no
+        # pruning through a Python map), so give each pass only what it
+        # reads: the tokenize pass never touches url, the doc_map pass
+        # never touches text (~95% of the scan bytes). File-split
+        # planning depends on file sizes + conf only — identical for
+        # both frames — so _pid and per-partition row order agree.
         parts = pruned.withColumn("_pid", F.spark_partition_id())
+        text_parts = pruned.select("text").withColumn("_pid", F.spark_partition_id())
+        map_parts = pruned.select("url").withColumn("_pid", F.spark_partition_id())
     counts = {
         r["_pid"]: r["cnt"]
         for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -325,11 +334,47 @@ def corpus_postings(
             )
 
     return (
-        parts.mapInPandas(emit_postings, postings_schema),
-        parts.mapInPandas(emit_map, map_schema),
+        text_parts.mapInPandas(emit_postings, postings_schema),
+        map_parts.mapInPandas(emit_map, map_schema),
         acc,
         (acc_tokens, acc_postings),
     )
+
+
+def _write_corpus_stats(spark, path: str, n_docs: int, avgdl: float) -> None:
+    """corpus_stats is ONE row, but a Spark write is a full job
+    (scheduling + task launch + commit protocol ≈ 0.5 s of pure fixed
+    cost per build). Write the parquet driver-side via pyarrow for
+    local/file paths; object-store paths fall back to the Spark writer
+    (the extra job is noise next to remote IO there)."""
+    import os
+    import shutil as _shutil
+
+    local = not ("://" in path and not path.startswith("file://"))
+    if local:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            p = path[len("file://"):] if path.startswith("file://") else path
+            _shutil.rmtree(p, ignore_errors=True)  # overwrite semantics
+            os.makedirs(p, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "n_docs": pa.array([int(n_docs)], pa.int64()),
+                        "avgdl": pa.array([float(avgdl)], pa.float64()),
+                    }
+                ),
+                os.path.join(p, "part-00000.parquet"),
+            )
+            open(os.path.join(p, "_SUCCESS"), "w").close()
+            return
+        except ImportError:  # pragma: no cover
+            pass
+    spark.createDataFrame(
+        [(int(n_docs), float(avgdl))], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(path)
 
 
 def _stats_from_postings(postings: DataFrame):
@@ -478,11 +523,29 @@ def build_and_write(
     )
 
     def stage_postings():
+        import threading
+
         postings, doc_map, n_docs, (acc_tokens, acc_postings) = corpus_postings(
             pages, lang_filter, mode, compound_noun_min_length, order=doc_order
         )
+        # doc_map is independent of the postings sink — submit it
+        # concurrently so its (url-pruned, Python-thin) job fills task
+        # slots the tokenize pass leaves idle in its tail, instead of
+        # paying a second full job latency serially
+        map_err: list[BaseException] = []
+
+        def _write_map():
+            try:
+                doc_map.write.mode("overwrite").parquet(f"{base_path}/doc_map")
+            except BaseException as e:  # re-raised on the main thread
+                map_err.append(e)
+
+        t = threading.Thread(target=_write_map, daemon=True)
+        t.start()
         postings.write.mode("overwrite").parquet(f"{base_path}/postings")
-        doc_map.write.mode("overwrite").parquet(f"{base_path}/doc_map")
+        t.join()
+        if map_err:
+            raise map_err[0]
         # docs_tokenized falls out of the docID offset pass (exact);
         # token/posting totals are transformation-side accumulators —
         # informational lineage only (may over-count on task retries;
@@ -497,6 +560,8 @@ def build_and_write(
         run_stage(manifest, "postings", f"{base_path}/postings", stage_postings)
 
     def stage_stats():
+        import threading
+
         from pyspark.sql import Observation
 
         postings = spark.read.parquet(f"{base_path}/postings")
@@ -512,14 +577,26 @@ def build_and_write(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_len").alias("dl_sum"),
         )
+        # the two aggregations are independent — overlap their job
+        # latencies instead of paying them back-to-back
+        ts_err: list[BaseException] = []
+
+        def _write_terms():
+            try:
+                term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
+            except BaseException as e:
+                ts_err.append(e)
+
+        t = threading.Thread(target=_write_terms, daemon=True)
+        t.start()
         doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
         vals = obs.get
         n_docs = int(vals["n_docs"])
         avgdl = (vals["dl_sum"] or 0) / n_docs if n_docs else 0.0
-        term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
-        spark.createDataFrame(
-            [(n_docs, avgdl)], "n_docs long, avgdl double"
-        ).write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
+        t.join()
+        if ts_err:
+            raise ts_err[0]
+        _write_corpus_stats(spark, f"{base_path}/corpus_stats", n_docs, avgdl)
         return {"n_docs": n_docs, "avgdl": avgdl}
 
     with _build_confs():

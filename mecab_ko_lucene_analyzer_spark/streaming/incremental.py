@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.udfs import tokens_table
 
-__all__ = ["incremental_index_stream", "read_incremental_postings"]
+__all__ = [
+    "incremental_index_stream",
+    "read_incremental_postings",
+    "compact_incremental",
+]
 
 
 def _fs_and_path(spark: SparkSession, path_str: str):
@@ -138,3 +142,71 @@ def read_incremental_postings(spark: SparkSession, index_path: str) -> DataFrame
     """Merged postings view over all appended deltas (doc-disjoint →
     plain union; no re-aggregation needed)."""
     return spark.read.parquet(f"{index_path}/postings_delta").drop("batch_id")
+
+
+def compact_incremental(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str | None = None,
+    hot_min_df: int = 1000,
+    num_partitions: int | None = None,
+) -> str:
+    """Fold all appended deltas into a FULL serving index — postings,
+    doc_map, term/doc/corpus stats, and compressed block-max postings —
+    at ``out_path`` (default ``{index_path}/compacted``). This is the
+    second half of the batch-catchup pattern: the stream appends
+    doc-disjoint deltas cheaply; compaction periodically rebuilds the
+    WAND-servable block structures over their union.
+
+    Because deltas are doc-disjoint by construction (manifest doc
+    bases), their union IS the corpus postings — no re-aggregation.
+    The block build's map-side combine requires doc-CONTIGUOUS input
+    partitions (partials must be disjoint docID segments per term);
+    delta files are hash-partitioned by each micro-batch's groupBy, so
+    compaction range-repartitions by doc_id once — the one extra wide
+    shuffle this maintenance job pays, off the ingest path. The
+    resulting blocks are byte-identical to a from-scratch batch build
+    over the same corpus (the re-blocker cuts the same boundaries
+    regardless of partitioning) — pinned by
+    ``test_compact_incremental_equals_batch_build``.
+    """
+    from ..index.blocks import build_blocks
+    from ..index.build import _stats_from_postings
+
+    out = out_path or f"{index_path}/compacted"
+    postings = read_incremental_postings(spark, index_path)
+    term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
+    doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
+    term_stats.write.mode("overwrite").parquet(f"{out}/term_stats")
+    corpus_stats.write.mode("overwrite").parquet(f"{out}/corpus_stats")
+    corpus = spark.read.parquet(f"{out}/corpus_stats").first()
+
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # denormalize doc_len back onto posting rows (the batch emitter's
+    # shape) and restore doc-contiguity; the within-partition sort
+    # keeps every parquet row group a disjoint docID range, so any
+    # later byte-split read stays segment-safe for the pack stage
+    arranged = (
+        postings.join(spark.read.parquet(f"{out}/doc_stats"), "doc_id")
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select("term", "doc_id", "tf", "positions", "doc_len")
+    )
+    arranged.write.mode("overwrite").parquet(f"{out}/postings")
+    blocks = build_blocks(
+        spark.read.parquet(f"{out}/postings"),
+        spark.read.parquet(f"{out}/term_stats"),
+        n_docs=corpus["n_docs"],
+        avgdl=corpus["avgdl"],
+        hot_min_df=hot_min_df,
+    )
+    try:
+        blocks.write.mode("overwrite").parquet(f"{out}/blocks")
+    finally:
+        partials = getattr(blocks, "_partials_df", None)
+        if partials is not None:
+            partials.unpersist()
+    spark.read.parquet(f"{index_path}/doc_map_delta").drop("batch_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/doc_map")
+    return out

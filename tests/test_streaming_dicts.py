@@ -49,6 +49,57 @@ def test_incremental_stream_catchup(spark):
     assert dup == 0
 
 
+def test_compact_incremental_equals_batch_build(spark, tmp_path):
+    """Compaction folds the streamed deltas into a full serving index
+    that is IDENTICAL to a from-scratch batch build over the same
+    corpus — postings rows (incl. position bytes), block-max blocks
+    (byte-for-byte payloads), and corpus stats. Doc-disjoint deltas +
+    partitioning-independent re-blocking make this exact, not
+    approximate."""
+    from mecab_ko_lucene_analyzer_spark.index import build_and_write
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        compact_incremental,
+    )
+
+    B = str(tmp_path)
+    pages = synthesize_webpages(spark, 40, partitions=2)
+    pages.filter(F.col("url") < "https://example-00000020").write.parquet(f"{B}/in")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+    pages.filter(F.col("url") >= "https://example-00000020").write.mode(
+        "append"
+    ).parquet(f"{B}/in")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+
+    out = compact_incremental(spark, f"{B}/idx")
+    # batch build over the same corpus with url-rank docIDs (the
+    # incremental bases assign exactly these ids for url-ordered drops)
+    build_and_write(
+        pages, f"{B}/batch", lang_filter=None, with_blocks=True, doc_order="url"
+    )
+
+    def rows(path, cols, key):
+        df = spark.read.parquet(path).select(*cols)
+        return sorted((tuple(r) for r in df.collect()), key=key)
+
+    pcols = ["term", "doc_id", "tf", "positions", "doc_len"]
+    a = rows(f"{out}/postings", pcols, lambda t: (t[0], t[1]))
+    b = rows(f"{B}/batch/postings", pcols, lambda t: (t[0], t[1]))
+    assert len(a) == len(b) > 0 and a == b
+    bcols = spark.read.parquet(f"{B}/batch/blocks").columns
+    a = rows(f"{out}/blocks", bcols, lambda t: (t[0], t[1], t[2]))
+    b = rows(f"{B}/batch/blocks", bcols, lambda t: (t[0], t[1], t[2]))
+    assert len(a) == len(b) > 0 and a == b
+    ca = spark.read.parquet(f"{out}/corpus_stats").first()
+    cb = spark.read.parquet(f"{B}/batch/corpus_stats").first()
+    assert ca["n_docs"] == cb["n_docs"] == 40
+    assert abs(ca["avgdl"] - cb["avgdl"]) < 1e-9
+    assert spark.read.parquet(f"{out}/doc_map").count() == 40
+
+
 def test_doc_base_state_via_hadoop_fs(spark, tmp_path):
     """Doc-base state must route through the Hadoop FileSystem API, not
     driver-local os.path — a ``file://`` URI is invisible to os.path
