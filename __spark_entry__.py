@@ -472,7 +472,36 @@ def _md5h64_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def _shingle_hash_ctes() -> str:
+    """The shared ``t → th → sh`` CTE chain: tokens → per-token md5
+    hashes → DISTINCT (doc_id, compositional 3-gram shingle hash) rows
+    — mirrors ``functions.dedup.token_hashes``/``shingle_hashes``
+    exactly (same K fold, same P31 modulus)."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import SHINGLE_K
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import P31
+
+    return f"""t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       list_transform(toks, tk -> {_md5h64_sql("tk")} % {P31}) AS hh
+                FROM t
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(hh) - 1),
+                           i -> ((hh[i] * {SHINGLE_K}::BIGINT + hh[i+1]) % {P31}
+                                  * {SHINGLE_K}::BIGINT + hh[i+2]) % {P31})) AS shingle
+                FROM th
+                WHERE len(hh) >= 3
+            )"""
+
+
 def _minhash_near_dup_sql(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import SHINGLE_K
     from mecab_ko_lucene_analyzer_spark.functions.hashing import P31, perm_coeffs
 
     coeffs = perm_coeffs(n_hashes, seed)
@@ -496,17 +525,21 @@ def _minhash_near_dup_sql(n_hashes: int = 32, bands: int = 8, seed: int = 42) ->
                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
                 FROM documents
             ),
-            sh AS (
+            th AS (
+                -- per-TOKEN hashes; shingle hashes are the K-fold
+                -- composition below (mirrors functions.dedup
+                -- .shingle_hashes — no shingle strings built)
                 SELECT doc_id,
-                       list_transform(range(1, greatest(len(toks) - 1, 1)),
-                              i -> array_to_string(toks[i:i+2], ' ')) AS sl
+                       list_transform(toks, tk -> {_md5h64_sql("tk")} % {P31}) AS hh
                 FROM t
             ),
             h AS (
                 SELECT doc_id,
-                       list_transform(sl, s -> {_md5h64_sql("s")} % {P31}) AS hs
-                FROM sh
-                WHERE len(sl) > 0
+                       list_transform(range(1, len(hh) - 1),
+                           i -> ((hh[i] * {SHINGLE_K}::BIGINT + hh[i+1]) % {P31}
+                                  * {SHINGLE_K}::BIGINT + hh[i+2]) % {P31}) AS hs
+                FROM th
+                WHERE len(hh) >= 3
             ),
             sig AS (
                 SELECT doc_id,
@@ -822,36 +855,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unknown' END AS pred_lang
             FROM t
         """,
-        "ngram_jaccard_pairs": """
-            WITH t AS (
-                SELECT doc_id,
-                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
-                FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                              i -> array_to_string(toks[i:i+2], ' '))) AS shingle
-                FROM t
-            )
+        "ngram_jaccard_pairs": f"""
+            WITH {_shingle_hash_ctes()}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*) AS common_shingles
             FROM sh a JOIN sh b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 5
         """,
-        "dedup_clusters": """
-            WITH RECURSIVE t AS (
-                SELECT doc_id,
-                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
-                FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                              i -> array_to_string(toks[i:i+2], ' '))) AS shingle
-                FROM t
-            ),
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_shingle_hash_ctes()},
             pairs AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM sh a JOIN sh b

@@ -30,6 +30,8 @@ from .text import whitespace_tokens
 __all__ = [
     "exact_duplicates",
     "shingles",
+    "token_hashes",
+    "shingle_hashes",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -71,9 +73,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text: str = "text",
     prefilter: bool = True,
+    hash_impl: str = "md5",
 ) -> DataFrame:
-    """Exact near-dup candidates: pairs sharing >= min_common distinct
-    n-gram shingles (the oracle baseline; use LSH at scale).
+    """Near-dup candidates: pairs sharing >= min_common distinct
+    n-gram shingle HASHES (the oracle baseline; use LSH at scale).
+
+    Shingles are keyed by their compositional 31-bit hash
+    (:func:`shingle_hashes`), the standard shingling practice: the
+    grouping/shuffle key is 8 bytes instead of a ~30-byte string, and
+    no shingle strings are ever built. Deterministic and exactly
+    mirrored by the DuckDB oracle (same hashes both engines); the
+    semantic delta vs true string shingles is hash collisions in a
+    2^31 space — for ~10^3-shingle docs the chance any pair's count
+    shifts is ~1e-4, and this feeds a candidate stage, not a final
+    verdict.
 
     Formulated as per-shingle bucket pair EXPANSION, not a self-join:
     ``groupBy(shingle) → sorted member list → in-array (a, b) pair
@@ -89,9 +102,16 @@ def ngram_jaccard_pairs(
     df^2 rows; the array holds df ids). At web scale use
     :func:`minhash_lsh_pairs`, whose banding bounds bucket sizes by
     design. The DuckDB oracle keeps the direct-join formulation."""
-    sh = docs.select(
-        "doc_id", F.explode_outer(shingles(text, n)).alias("shingle")
-    ).filter(F.col("shingle").isNotNull())
+    sh = (
+        docs.select("doc_id", token_hashes(text, hash_impl).alias("_th"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(shingle_hashes(F.col("_th"), n))
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
     grouped = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -115,6 +135,48 @@ def ngram_jaccard_pairs(
     )
 
 
+#: shingle-hash composition multiplier (see :func:`shingle_hashes`);
+#: K < 2^21 and operands < P31 < 2^31 keep every product < 2^52 — no
+#: overflow in Spark longs or DuckDB BIGINTs (which raise on overflow)
+SHINGLE_K = 1_000_003
+
+
+def token_hashes(
+    text: Column | str = "text", hash_impl: str = "md5"
+) -> Column:
+    """Per-token 31-bit hashes of the whitespace tokens."""
+    return F.transform(
+        whitespace_tokens(text), lambda t: h64(t, hash_impl) % F.lit(P31)
+    )
+
+
+def shingle_hashes(th: Column, n: int = 3) -> Column:
+    """31-bit hashes of word n-gram shingles, computed COMPOSITIONALLY
+    from a (materialized) per-token hash array ``th``: the k-th fold is
+    ``zip_with(acc, slice(th, k, L), (a, b) -> (a*K + b) mod P31)`` —
+    one token hash per token (not one string hash per shingle), zero
+    shingle STRING construction (measured: concat_ws shingle building
+    was ~2 s of the sf0.1 minhash headline), and no distinct pass:
+    MinHash's ``min`` is duplicate-insensitive. Exactly replicable in
+    ANSI SQL (the DuckDB oracle folds the same arithmetic).
+
+    IMPORTANT: pass ``th`` as a materialized COLUMN (a prior select of
+    :func:`token_hashes`), not an inline expression — the fold
+    references ``th`` n times, and element-wise formulations that
+    re-evaluate an inline hash array per shingle go quadratic (a
+    first-cut ``element_at`` version measured 100 s where this takes
+    ~3 s)."""
+    L = F.greatest(F.size(th) - (n - 1), F.lit(0))
+    acc = F.slice(th, 1, L)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, k, L),
+            lambda a, b: (a * F.lit(SHINGLE_K) + b) % F.lit(P31),
+        )
+    return acc
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 32,
@@ -123,10 +185,10 @@ def minhash_signatures(
     seed: int = 42,
     hash_impl: str = "md5",
 ) -> DataFrame:
-    """MinHash signatures: shingle strings hashed ONCE (→ 31-bit),
+    """MinHash signatures over compositional shingle hashes
+    (:func:`shingle_hashes` — per-token hashing, no shingle strings);
     the permutation family is universal hashing ``(a_i*h + b_i) mod
-    (2^31-1)`` with driver-expanded literal coefficients — one string
-    hash per shingle, ``n_hashes`` integer FMAs per shingle, all
+    (2^31-1)`` with driver-expanded literal coefficients, all
     whole-stage codegen. ``hash_impl="md5"`` (default) is exactly
     replicable in the DuckDB oracle; ``"xxhash64"`` is the cheaper
     production backend (see :func:`..hashing.h64`).
@@ -134,25 +196,26 @@ def minhash_signatures(
     Docs with zero shingles (< n tokens) are dropped: an all-NULL
     signature would put every short doc in one bucket — a skew bomb at
     web scale and semantically wrong."""
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            shingles(text, n), lambda s: h64(s, hash_impl) % F.lit(P31)
-        ).alias("h"),
-    ).filter(F.size("h") > 0)
+    hashed = (
+        docs.select("doc_id", token_hashes(text, hash_impl).alias("_th"))
+        .select("doc_id", shingle_hashes(F.col("_th"), n).alias("h"))
+        .filter(F.size("h") > 0)
+    )
     coeffs = perm_coeffs(n_hashes, seed)
 
-    def _perm(a: int, b: int):
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P31)
+    def _perm_min(a: int, b: int):
+        # scalar running min via aggregate — array_min(transform(...))
+        # materializes a permuted copy of h per coefficient (32
+        # array allocations per row); the fold keeps one long
+        return F.aggregate(
+            F.col("h"),
+            F.lit(P31).cast("long"),
+            lambda acc, x: F.least(acc, (F.lit(a) * x + F.lit(b)) % F.lit(P31)),
+        )
 
     return hashed.select(
         "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("h"), _perm(a, b)))
-                for a, b in coeffs
-            ]
-        ).alias("sig"),
+        F.array(*[_perm_min(a, b) for a, b in coeffs]).alias("sig"),
     )
 
 
