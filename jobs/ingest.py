@@ -44,6 +44,12 @@ def main() -> None:
     )
     ap.add_argument("--output", help="compacted index path (compact; default <index>/compacted)")
     ap.add_argument("--hot-min-df", type=int, default=1000)
+    ap.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="bound each micro-batch's file count (right-sizes catch-up batches at scale)",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
@@ -63,6 +69,7 @@ def main() -> None:
             args.checkpoint,
             lang_filter=args.lang or None,
             trigger_once=not args.continuous,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
         q.awaitTermination()
         print(json.dumps({"status": "ingested", "index": args.index}))

@@ -76,6 +76,7 @@ def incremental_index_stream(
     lang_filter: str | None = "ko",
     trigger_once: bool = True,
     tokens_fn=None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the incremental indexing stream. ``trigger_once`` processes
     the backlog and stops (the batch-catchup pattern); set False for a
@@ -83,12 +84,20 @@ def incremental_index_stream(
     tokenizer: a callable ``docs_df -> (doc_id, term, position, ...)``
     — e.g. a pure-Catalyst whitespace tokenizer, which makes the whole
     incremental pipeline exactly SQL-replicable (the driver oracle
-    uses this to assert incremental ≡ batch postings)."""
+    uses this to assert incremental ≡ batch postings).
+
+    ``max_files_per_trigger`` bounds each micro-batch's file count —
+    REQUIRED at crawl scale: an unbounded availableNow catch-up over a
+    month of backlog would tokenize the whole backlog in one batch
+    (one giant shuffle, one commit); bounding it makes catch-up a
+    sequence of right-sized batches, each with its own doc-base commit
+    (availableNow still drains the full backlog before stopping)."""
     from ..sources.webpages import WEBPAGES_SCHEMA
 
-    pages = (
-        spark.readStream.schema(WEBPAGES_SCHEMA).parquet(input_dir)
-    )
+    reader = spark.readStream.schema(WEBPAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_dir)
     if lang_filter is not None:
         pages = pages.filter(F.col("lang") == lang_filter)
     state_path = f"{index_path}/_stream_state/doc_base.json"

@@ -333,6 +333,35 @@ def test_hash_impl_backends_equivalent_candidates(docs):
     assert s_md5 != s_xx
 
 
+def test_degenerate_docs_through_hashed_shingles(spark):
+    """Real web text has empty / one-token / two-token documents: they
+    must produce NO shingles, NO signatures, and NO candidate pairs —
+    not errors, not a shared degenerate bucket (the skew bomb)."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import (
+        minhash_signatures,
+        shingle_hashes,
+        token_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two tokens"), (3, "   "),
+         (4, "exactly three tokens"), (5, "exactly three tokens")],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        "doc_id", token_hashes("text").alias("th")
+    ).select("doc_id", shingle_hashes(F.col("th")).alias("h")).collect()
+    by_id = {r["doc_id"]: r["h"] for r in rows}
+    assert by_id[0] == [] and by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+    assert len(by_id[4]) == 1 and by_id[4] == by_id[5]  # identical docs hash equal
+    sigs = minhash_signatures(docs).collect()
+    assert {r["doc_id"] for r in sigs} == {4, 5}  # short docs dropped
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs == {(4, 5)}
+    jac = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 1).collect()}
+    assert jac == {(4, 5)}
+
+
 def test_hash_impl_unknown_rejected(docs):
     with pytest.raises(ValueError, match="hash_impl"):
         minhash_lsh_pairs(docs, hash_impl="sha1")

@@ -49,6 +49,45 @@ def test_incremental_stream_catchup(spark):
     assert dup == 0
 
 
+def test_ingest_cli_catchup_and_compact(spark, tmp_path, capsys, monkeypatch):
+    """jobs/ingest.py end-to-end: bounded-batch catch-up ingest (one
+    file per trigger → one doc-base commit per drop) then compact into
+    a servable index."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve().parent / "jobs"))
+    import ingest as ingest_job
+
+    B = str(tmp_path)
+    pages = synthesize_webpages(spark, 30, partitions=1)
+    pages.write.parquet(f"{B}/in")  # single drop, 1 file
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["ingest.py", "ingest", "--index", f"{B}/idx", "--input", f"{B}/in",
+         "--checkpoint", f"{B}/ckpt", "--lang", "", "--max-files-per-trigger", "1"],
+    )
+    # reuse the session fixture instead of letting the job build one
+    monkeypatch.setattr(
+        "mecab_ko_lucene_analyzer_spark.plans.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    ingest_job.main()
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ingested"
+    monkeypatch.setattr(
+        sys, "argv", ["ingest.py", "compact", "--index", f"{B}/idx"]
+    )
+    ingest_job.main()
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "compacted"
+    blocks = spark.read.parquet(f"{out['output']}/blocks")
+    assert blocks.count() > 0
+    assert spark.read.parquet(f"{out['output']}/doc_map").count() == 30
+
+
 def test_compact_incremental_equals_batch_build(spark, tmp_path):
     """Compaction folds the streamed deltas into a full serving index
     that is IDENTICAL to a from-scratch batch build over the same
