@@ -288,6 +288,33 @@ def test_clustering_pointer_doubling_round_bound(spark):
     assert rounds[0] <= math.ceil(math.log2(999)) + 2, rounds
 
 
+def test_curate_skewed_mega_duplicate_group(spark):
+    """Web-crawl skew shape end-to-end: ONE text duplicated 1,000 times
+    (a boilerplate page) plus a near-dup pair plus distinct fillers.
+    The window-based exact stage must reduce the mega group to its min
+    doc_id BEFORE the minhash stage (identical docs would otherwise
+    degenerate every LSH bucket quadratically), and the near-dup
+    cluster keeps only its canonical member."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve().parent / "jobs"))
+    from curate import curate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [(i, base.strip(), "ko") for i in range(1000)]           # mega group
+    rows.append((1000, (base + "EXTRA WORD").strip(), "ko"))        # near dup of 0
+    rows += [
+        (1001 + j, " ".join(f"tok{j}x{i} fill{(i * 7 + j) % 23}" for i in range(40)), "en")
+        for j in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r.doc_id for r in curate(docs, dedup="minhash").collect()}
+    # 999 exact dupes dropped by the window; near-dup 1000 clustered
+    # with canonical 0 and dropped; the 5 distinct fillers survive
+    assert kept == {0} | {1001 + j for j in range(5)}
+
+
 def test_curate_exact_stage_never_broadcasts_corpus(spark):
     """The exact-dedup stage must be a window + filter — ONE hash
     shuffle, no broadcast of any corpus-derived relation (a duplicate-
