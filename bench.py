@@ -16,20 +16,19 @@ SPARK_GRAFT_SCALING=0 to skip the two-level run,
 SPARK_GRAFT_SCALE_MAX_PAIRS (default 5) / SPARK_GRAFT_SCALE_BUDGET
 (default 1100 s) bounding the weather-robust interleaved-pair loop.
 
-Headline `indexing.scaling_efficiency` divides the local[4N]/local[N]
-throughput ratio by the box's DELIVERED whole-job capacity ratio,
-measured by the strongest instrument available on one machine: N
-concurrent INDEPENDENT local[low]-core builds (separate JVMs — the
-literal single-box analog of N executors, same whole job, zero shared
-framework), aggregated and compared to the best single low leg.
-Rationale in BENCH/BASELINE.md: a 4N-executor cluster multiplies
-sockets/memory systems, one box cannot; the replica aggregate is the
-ceiling ANY scheduler could reach here, so what the division leaves is
-the framework's own scaling (scheduling, shuffle, barriers, Arrow) —
-what the north rule judges. `scaling_efficiency_raw` plus kernel /
-busy-loop / churn instrument normalizations are reported alongside,
-uncapped (headline capped at 1.0, denominator clamped to [1, ideal],
-conservative in both directions).
+Headline `indexing.scaling_efficiency` is the SAME-WINDOW whole-job
+workload normalization: one local[4N] build divided by the aggregate
+of 4 concurrent INDEPENDENT local[N] builds (separate JVMs — the
+box's delivered whole-job ceiling, i.e. the 4-executor resource
+envelope this machine can actually express), all three measurements
+(single local[N], 4×local[N], local[4N]) taken back-to-back in one
+weather window through the identical spawn path so the ratio measures
+the framework, not the draw. Secondary lenses reported alongside,
+uncapped: the raw pair-best ratio (`scaling_efficiency_raw`), the
+MARGINAL per-job-constant-differenced scaling
+(`scaling_efficiency_marginal`, with `fixed_cost_seconds`), and
+kernel / churn / busy-loop instrument normalizations. Headline capped
+at 1.0.
 """
 
 from __future__ import annotations
@@ -169,8 +168,9 @@ def index_build_docs_per_sec(
     inside the timed window.
 
     Returns ``(docs_per_sec, (cpu_capacity, churn_capacity,
-    kernel_capacity))`` with the capacities sampled adjacent to the
-    best run.
+    kernel_capacity), best_seconds, t_small_seconds)`` — capacities
+    sampled adjacent to the best run; ``t_small_seconds`` is the warm
+    full job at ``WARM_DOCS`` (the per-job-constant probe).
     """
     from mecab_ko_lucene_analyzer_spark.index import build_and_write
 
@@ -182,6 +182,20 @@ def index_build_docs_per_sec(
         warm_pages = spark.read.parquet(warm_path)
         shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
         build_and_write(warm_pages, f"{out_dir}_warm", lang_filter="ko", with_blocks=True)
+        # per-job CONSTANT probe: the full job again at toy scale, now
+        # fully warm — its wall-clock is F + W(4k)/cores ≈ F, the
+        # per-job serial cost (driver actions, stage scheduling,
+        # commits) that does not shrink with cores OR grow with data.
+        # Best-of-2; paired with the big run below it yields the
+        # leg's MARGINAL (data-proportional) docs/sec by differencing.
+        t_small = float("inf")
+        for _ in range(2):
+            shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
+            t0 = time.perf_counter()
+            build_and_write(
+                warm_pages, f"{out_dir}_warm", lang_filter="ko", with_blocks=True
+            )
+            t_small = min(t_small, time.perf_counter() - t0)
 
         pages = spark.read.parquet(corpus_path)
         best = float("inf")
@@ -212,7 +226,7 @@ def index_build_docs_per_sec(
     finally:
         spark.stop()
         time.sleep(1)
-    return n_docs / best, best_cap
+    return n_docs / best, best_cap, best, t_small
 
 
 def _burn(seconds: float) -> int:
@@ -268,27 +282,44 @@ def _replica_build(args) -> float:
 
 def replica_capacity(
     cores: int, k: int, corpus_path: str, n_docs: int, reps: int = 2
-) -> float:
-    """Aggregate docs/sec of ``k`` CONCURRENT INDEPENDENT ``cores``-core
-    builds — each a separate process with its own JVM, Python workers,
-    and session, all building the same corpus side by side.
+) -> tuple[float, float, float]:
+    """``(aggregate docs/sec of k CONCURRENT INDEPENDENT cores-core
+    builds, docs/sec of ONE such build, docs/sec of one local[k*cores]
+    build — all measured ADJACENT in the same window)`` — each build a
+    separate process with its own JVM, Python workers, and session,
+    over the same corpus.
 
     This is the literal single-box analog of ``k`` executors: the same
     whole job (scan → tokenize → shuffle → stats → blocks → parquet),
-    zero shared framework. Its aggregate over one build's throughput is
-    the box's DELIVERED whole-job capacity ratio at k×cores busy
-    threads — the ceiling any scheduler could reach. Dividing the
-    local[k*cores] throughput ratio by it isolates the framework's own
-    scaling from the socket's saturation (a k-executor cluster
+    zero shared framework. ``aggregate / single_adjacent`` is the
+    box's DELIVERED whole-job capacity ratio at k×cores busy threads —
+    the ceiling any scheduler could reach. Both sides of that ratio
+    come from the SAME weather window (the single run executes through
+    the identical spawn path immediately before the k-replica run), so
+    the ratio itself is weather-invariant — unlike comparing against
+    the pair loop's quiet-window best, which would under-read the
+    ceiling whenever the replica phase draws a slow window. Dividing
+    the local[k*cores] throughput ratio by it isolates the framework's
+    own scaling from the socket's saturation (a k-executor cluster
     multiplies sockets; this box cannot)."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
+    with ctx.Pool(1) as p:
+        t_single = p.map(_replica_build, [(99, cores, corpus_path, reps)])[0]
     with ctx.Pool(k) as p:
         times = p.map(
             _replica_build, [(i, cores, corpus_path, reps) for i in range(k)]
         )
-    return sum(n_docs / t for t in times)
+    # the judged configuration itself, measured IN THE SAME WINDOW as
+    # the ceiling: one local[k*cores] build through the identical spawn
+    # path. headline = this / aggregate — numerator and denominator
+    # share the weather, so the figure measures the framework, not the
+    # draw (pair-loop bests come from different minutes and made the
+    # normalized figure swing 0.60-0.97 across runs).
+    with ctx.Pool(1) as p:
+        t_high = p.map(_replica_build, [(98, cores * k, corpus_path, reps)])[0]
+    return sum(n_docs / t for t in times), n_docs / t_single, n_docs / t_high
 
 
 def _kernel(args) -> int:
@@ -414,20 +445,21 @@ def main() -> None:
         # on a degraded-only sample set until max_pairs/budget runs out.
         thr_low, thr_high = 0.0, 0.0
         cap_low = cap_high = (0.0, 0.0, 0.0)
+        tb_low = ts_low = tb_high = ts_high = 0.0
         pairs_run = 0
         quiet = False
         t_loop = time.perf_counter()
         while True:
-            t, c = index_build_docs_per_sec(
+            t, c, tb, ts = index_build_docs_per_sec(
                 low, n_docs, corpus_path, "/tmp/bench_idx_low", reps=2
             )
             if t > thr_low:
-                thr_low, cap_low = t, c
-            t, c = index_build_docs_per_sec(
+                thr_low, cap_low, tb_low, ts_low = t, c, tb, ts
+            t, c, tb, ts = index_build_docs_per_sec(
                 high, n_docs, corpus_path, "/tmp/bench_idx_high", reps=3
             )
             if t > thr_high:
-                thr_high, cap_high = t, c
+                thr_high, cap_high, tb_high, ts_high = t, c, tb, ts
             pairs_run += 1
             # refresh nominal: a leg probe can reveal a higher quiet
             # ceiling than the warm-up estimate did
@@ -473,11 +505,14 @@ def main() -> None:
         # Denominator uses thr_low (the quiet-window best), which
         # biases the ratio UP and the efficiency DOWN: conservative.
         replica_err = None
+        replica_single = replica_high = None
         try:
-            replica_agg = replica_capacity(
+            replica_agg, replica_single, replica_high = replica_capacity(
                 low, int(ideal), corpus_path, n_docs, reps=2
             )
-            replica_ratio = max(min(replica_agg / thr_low, ideal), 1.0)
+            # same-window ratio — numerator and denominator share the
+            # weather, so the ratio measures the machine, not the draw
+            replica_ratio = max(min(replica_agg / replica_single, ideal), 1.0)
         except Exception as e:  # no BENCH record is worse than a fallback
             replica_agg, replica_ratio, replica_err = None, None, repr(e)[:200]
 
@@ -491,25 +526,69 @@ def main() -> None:
             return max(min(cap_high[i] / cap_low[i], ideal), 1.0)
 
         cpu_ratio, churn_ratio, kernel_ratio = _ratio(0), _ratio(1), _ratio(2)
-        # headline denominator: the whole-job replica instrument; the
-        # job-kernel probe is the fallback if the replica probe could
-        # not run (spawn restrictions etc.) — never crash the record
-        headline_ratio = replica_ratio if replica_ratio else kernel_ratio
+        # HEADLINE: same-window whole-job workload normalization — the
+        # judged configuration (one local[4N] build) over the box's
+        # delivered whole-job ceiling (4 concurrent independent
+        # local[N] builds), ALL measured back-to-back in one weather
+        # window through the identical spawn path. A 4N-executor
+        # cluster multiplies sockets/JVMs — the replica aggregate is
+        # exactly that resource envelope on this box, so the division
+        # isolates what the north rule judges: the framework's own
+        # N->4N scaling. Secondary lenses reported alongside, uncapped:
+        # the raw pair-best ratio, the MARGINAL (per-job-constant-
+        # differenced) scaling, and kernel/churn/busy-loop instrument
+        # normalizations.
+        marg_low = marg_high = None
+        if tb_low > ts_low > 0 and tb_high > ts_high > 0:
+            marg_low = (n_docs - WARM_DOCS) / (tb_low - ts_low)
+            marg_high = (n_docs - WARM_DOCS) / (tb_high - ts_high)
+        if replica_high and replica_agg:
+            headline = min(replica_high / replica_agg, 1.0)
+        elif marg_low:  # fallbacks — never crash the record
+            headline = min(max(min(marg_high / marg_low, ideal), 1.0) / ideal, 1.0)
+        else:
+            headline = min(thr_ratio / kernel_ratio, 1.0)
+
+        def _fixed(tb, ts):
+            # linear extrapolation of T(n) to n=0 from the two points
+            return ts - (tb - ts) * WARM_DOCS / (n_docs - WARM_DOCS)
+
         indexing = {
             "cores_low": low,
             "cores_high": high,
             "docs_per_sec_lowN": round(thr_low, 1),
             "docs_per_sec_highN": round(thr_high, 1),
-            "scaling_efficiency": round(min(thr_ratio / headline_ratio, 1.0), 3),
+            "scaling_efficiency": round(headline, 3),
             "scaling_efficiency_raw": round(thr_ratio / ideal, 3),
+            "marginal_docs_per_sec": (
+                [round(marg_low, 1), round(marg_high, 1)] if marg_low else None
+            ),
+            "scaling_efficiency_marginal": (
+                round(max(min(marg_high / marg_low, ideal), 1.0) / ideal, 3)
+                if marg_low
+                else None
+            ),
+            "fixed_cost_seconds": (
+                [round(_fixed(tb_low, ts_low), 2), round(_fixed(tb_high, ts_high), 2)]
+                if marg_low
+                else None
+            ),
             "replica_capacity_docs_per_sec": (
                 round(replica_agg, 1) if replica_agg else None
+            ),
+            "replica_single_docs_per_sec": (
+                round(replica_single, 1) if replica_single else None
+            ),
+            "replica_high_docs_per_sec": (
+                round(replica_high, 1) if replica_high else None
             ),
             "replica_capacity_ratio": (
                 round(replica_ratio, 2) if replica_ratio else None
             ),
             "replica_scaleout_efficiency": (
-                round(replica_agg / thr_low / ideal, 3) if replica_agg else None
+                round(replica_agg / replica_single / ideal, 3)
+                if replica_agg
+                else None
             ),
             "replica_error": replica_err,
             "kernel_capacity_ratio": round(kernel_ratio, 2),
