@@ -25,6 +25,12 @@ class SearchEngine:
     base_path: str
     option: AnalyzerOption
     mode: str = "standard"
+    #: df above which a query term is "hot": its blocks are never
+    #: collected to the driver — the whole query routes to the
+    #: distributed scorer (``query/router.py``). At 10^12 docs a
+    #: josa-class term owns millions of blocks; the driver WAND path
+    #: is only for queries whose postings fit serving memory.
+    max_driver_df: int = 1_000_000
 
     def __post_init__(self):
         from .query.wand import BlockCache
@@ -37,6 +43,23 @@ class SearchEngine:
         self.avgdl = corpus["avgdl"]
         self.doc_map = sp.read.parquet(f"{self.base_path}/doc_map")
         self.block_cache = BlockCache(self.blocks)
+        self._df_cache: dict[str, int] = {}
+        #: route taken by the last search/count call — "driver" (WAND
+        #: cursors) or "distributed" (block-table scorer); diagnostics
+        #: + tested routing evidence
+        self.last_route: str | None = None
+
+    def _dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term df with a driver-side cache; misses go through one
+        pushed-down IN filter on ``term_stats`` (≤ |query| rows)."""
+        from .query.router import term_dfs
+
+        misses = sorted({t for t in terms if t not in self._df_cache})
+        if misses:
+            fetched = term_dfs(self.term_stats, misses)
+            for t in misses:
+                self._df_cache[t] = fetched.get(t, 0)
+        return {t: self._df_cache[t] for t in set(terms)}
 
     def cache(self) -> "SearchEngine":
         """Pin the serving tables (blocks + stats) in executor memory —
@@ -93,31 +116,59 @@ class SearchEngine:
         the engine fetches offset+k and slices — the standard deep-paging
         contract for top-k indexes.
         """
+        from .query.ast import ast_terms
+        from .query.router import (
+            ast_routable,
+            bm25_topk_blocks,
+            distributed_ast_topk,
+        )
+
         tokens = self.analyze(text)
         if not tokens:
             return []
         fetch = offset + k
         if conjunctive or any(t.get("synonyms") for t in tokens):
             ast = build_query_ast(tokens)
-            hits = execute_ast(
-                ast,
-                self.blocks,
-                self.term_stats,
-                self.n_docs,
-                self.avgdl,
-                fetch,
-                cache=self.block_cache,
-            )
+            dfs = self._dfs(sorted(ast_terms(ast)))
+            hot = any(df > self.max_driver_df for df in dfs.values())
+            if hot and ast_routable(ast):
+                self.last_route = "distributed"
+                hits = distributed_ast_topk(
+                    ast, self.blocks, dfs, self.n_docs, self.avgdl, fetch
+                )
+            else:
+                # phrase ASTs stay on the driver cursors (position
+                # alignment); hot phrase queries are the one residual
+                # driver-fetch shape, documented in router.py
+                self.last_route = "driver"
+                hits = execute_ast(
+                    ast,
+                    self.blocks,
+                    self.term_stats,
+                    self.n_docs,
+                    self.avgdl,
+                    fetch,
+                    cache=self.block_cache,
+                )
         else:
-            cursors = load_query_cursors(
-                self.blocks,
-                None,
-                self.n_docs,
-                self.avgdl,
-                [t["term"] for t in tokens],
-                cache=self.block_cache,
-            )
-            hits = wand_topk(cursors, fetch)
+            terms = [t["term"] for t in tokens]
+            dfs = self._dfs(terms)
+            if any(df > self.max_driver_df for df in dfs.values()):
+                self.last_route = "distributed"
+                hits = bm25_topk_blocks(
+                    self.blocks, dfs, self.n_docs, self.avgdl, fetch
+                )
+            else:
+                self.last_route = "driver"
+                cursors = load_query_cursors(
+                    self.blocks,
+                    None,
+                    self.n_docs,
+                    self.avgdl,
+                    terms,
+                    cache=self.block_cache,
+                )
+                hits = wand_topk(cursors, fetch)
         hits = hits[offset : offset + k]
         if not hits:
             return []
@@ -152,6 +203,18 @@ class SearchEngine:
         if not tokens:
             return 0
         terms = sorted({t["term"] for t in tokens})
+        dfs = self._dfs(terms)
+        if any(df > self.max_driver_df for df in dfs.values()):
+            # hot term: never pull its docID arrays to the driver
+            from .query.router import match_count_blocks
+
+            self.last_route = "distributed"
+            if len(terms) == 1:
+                return dfs.get(terms[0], 0)
+            if conjunctive and any(dfs.get(t, 0) == 0 for t in terms):
+                return 0
+            return match_count_blocks(self.blocks, terms, conjunctive)
+        self.last_route = "driver"
         by_term = self.block_cache.get(terms)
         if conjunctive and len(by_term) < len(terms):
             return 0  # a required term matches nothing

@@ -1,0 +1,205 @@
+"""High-df query routing (round-4): hot terms must never collect their
+blocks to the driver; the distributed scorer must stay rank-identical
+to the driver WAND/cursor paths and the brute-force oracle."""
+
+import shutil
+
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.analysis.dictionary import (
+    AnalyzerOption,
+    SynonymDictionary,
+)
+from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import token_records
+from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
+from mecab_ko_lucene_analyzer_spark.index import build_and_write
+from mecab_ko_lucene_analyzer_spark.query import bm25_oracle
+from mecab_ko_lucene_analyzer_spark.query.ast import And, Or, Phrase, Term
+from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
+from mecab_ko_lucene_analyzer_spark.query.router import (
+    ast_routable,
+    bm25_topk_blocks,
+    distributed_ast_topk,
+    match_count_blocks,
+    term_dfs,
+)
+from mecab_ko_lucene_analyzer_spark.query.wand import load_query_cursors, wand_topk
+from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+N_DOCS = 120
+BASE = "/tmp/test_query_router"
+
+QUERIES = [
+    ["spark", "index"],
+    ["데이터", "처리", "시스템", "웹페이지"],
+    ["는"],  # hot josa term — exactly the 10^12-doc scale-killer shape
+    ["없는단어쿼리"],
+]
+
+
+@pytest.fixture(scope="module")
+def index_base(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    pages = synthesize_webpages(spark, N_DOCS, partitions=5)
+    build_and_write(pages, BASE, lang_filter=None, with_blocks=True, hot_min_df=30)
+    return BASE
+
+
+@pytest.fixture(scope="module")
+def serving(spark, index_base):
+    blocks = spark.read.parquet(f"{BASE}/blocks").cache()
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    return blocks, term_stats, corpus["n_docs"], corpus["avgdl"]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["+".join(q) for q in QUERIES])
+def test_bm25_topk_blocks_rank_identical(spark, serving, terms):
+    blocks, term_stats, n_docs, avgdl = serving
+    dfs = term_dfs(term_stats, terms)
+    got = bm25_topk_blocks(blocks, dfs, n_docs, avgdl, k=10)
+
+    cursors = load_query_cursors(blocks, term_stats, n_docs, avgdl, terms)
+    want = wand_topk(cursors, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+    pages = synthesize_webpages(spark, N_DOCS, partitions=5)
+    rows = sorted(pages.select("url", "text").collect(), key=lambda r: r["url"])
+    token_lists = {
+        i: [t["term"] for t in token_records(r["text"])] for i, r in enumerate(rows)
+    }
+    oracle = bm25_oracle(token_lists, terms, k=10)
+    assert [d for d, _ in got] == [d for d, _ in oracle]
+
+
+ASTS = [
+    And((Term("데이터"), Term("처리"))),
+    And((Or((Term("검색"), Term("서치"))), Term("엔진"))),
+    Or((Term("spark"), And((Term("데이터"), Term("시스템"))))),
+    And((Term("는"), Term("데이터"))),  # hot josa inside a conjunction
+]
+
+
+@pytest.mark.parametrize("ast", ASTS, ids=[f"ast{i}" for i in range(len(ASTS))])
+def test_distributed_ast_topk_matches_driver_cursors(spark, serving, ast):
+    blocks, term_stats, n_docs, avgdl = serving
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+
+    dfs = term_dfs(term_stats, sorted(ast_terms(ast)))
+    got = distributed_ast_topk(ast, blocks, dfs, n_docs, avgdl, k=10)
+    want = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_phrase_ast_not_routable(serving):
+    blocks, term_stats, n_docs, avgdl = serving
+    ast = And((Phrase(("데이터", "처리")), Term("시스템")))
+    assert not ast_routable(ast)
+    assert ast_routable(And((Or((Term("a"), Term("b"))), Term("c"))))
+    with pytest.raises(ValueError):
+        distributed_ast_topk(ast, blocks, {"데이터": 1}, n_docs, avgdl)
+
+
+def test_match_count_blocks(spark, serving):
+    blocks, term_stats, n_docs, avgdl = serving
+    terms = ["데이터", "처리"]
+    import numpy as np
+
+    from mecab_ko_lucene_analyzer_spark.index.codec import decode_varints
+
+    # driver oracle: decode both docID sets and intersect/union
+    sets = []
+    for t in terms:
+        rows = blocks.filter(blocks.term == t).collect()
+        docs = np.concatenate(
+            [
+                np.cumsum(decode_varints(bytes(r["doc_deltas"])).astype(np.int64))
+                for r in sorted(rows, key=lambda r: r["first_doc"])
+            ]
+        )
+        sets.append(set(int(d) for d in docs))
+    assert match_count_blocks(blocks, terms, conjunctive=True) == len(
+        sets[0] & sets[1]
+    )
+    assert match_count_blocks(blocks, terms, conjunctive=False) == len(
+        sets[0] | sets[1]
+    )
+    assert match_count_blocks(blocks, [], conjunctive=True) == 0
+
+
+@pytest.fixture(scope="module")
+def engines(spark, index_base):
+    opt = AnalyzerOption(synonyms=SynonymDictionary({"검색": ["서치"]}))
+    cold = SearchEngine(spark, BASE, opt)  # default threshold: driver route
+    hot = SearchEngine(spark, BASE, opt, max_driver_df=0)  # everything hot
+    return cold, hot
+
+
+def test_hot_search_routes_distributed_same_results(engines, monkeypatch):
+    """The routed engine must (a) never fetch term blocks to the driver
+    and (b) return exactly the driver route's ranked hits."""
+    cold, hot = engines
+    for text, conj in [
+        ("데이터 처리", False),
+        ("데이터 처리", True),
+        ("검색 엔진", True),  # synonym OR subtree
+        ("데이터", False),  # single hot term
+    ]:
+        want = cold.search(text, k=10, conjunctive=conj)
+        assert cold.last_route == "driver"
+
+        def _forbidden(*a, **kw):
+            raise AssertionError("hot query collected blocks to the driver")
+
+        import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+        monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+        try:
+            got = hot.search(text, k=10, conjunctive=conj)
+        finally:
+            monkeypatch.undo()
+        assert hot.last_route == "distributed", text
+        assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want], text
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+            assert g["url"] == w["url"]
+
+
+def test_hot_count_routes_distributed_same_results(engines, monkeypatch):
+    cold, hot = engines
+    for text, conj in [
+        ("데이터 처리", True),
+        ("데이터 처리", False),
+        ("데이터", True),  # single hot term: df from term_stats, zero decode
+    ]:
+        want = cold.count(text, conjunctive=conj)
+
+        def _forbidden(*a, **kw):
+            raise AssertionError("hot count collected blocks to the driver")
+
+        import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+        monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+        try:
+            got = hot.count(text, conjunctive=conj)
+        finally:
+            monkeypatch.undo()
+        assert hot.last_route == "distributed"
+        assert got == want, text
+
+
+def test_hot_phrase_falls_back_to_driver(engines):
+    """Phrase ASTs (multi-word synonyms) are the documented non-routable
+    residue — they must still answer, via the driver cursors."""
+    cold, hot = engines
+    opt = AnalyzerOption(
+        synonyms=SynonymDictionary({"검색": ["데이터 처리"]})
+    )
+    eng = SearchEngine(cold.spark, BASE, opt, max_driver_df=0)
+    hits = eng.search("검색", k=5, conjunctive=True)
+    assert eng.last_route == "driver"
+    assert isinstance(hits, list)
