@@ -420,6 +420,50 @@ def _q_analyze_ko_tokens(spark, sf_dir):
     return tokens_table(_docs(spark, sf_dir), "doc_id", "text", "standard", 3)
 
 
+def _q_product_tokens(spark, sf_dir):
+    """Product-name analysis chain (A11–A23,
+    ``ProductNameParsingRule.java:128-1080``) over a deterministic
+    product-title derivation of ``documents``: each row gets a model
+    code (SL-M<doc_id>), a comma-grouped number + unit, and a
+    space-dictionary compound, so number/unit/model parsing, sub-entry
+    emission, unit synonyms, and the dictionary-lattice splitter all
+    fire. Rows-only for the driver (no SQL can replicate the chain);
+    semantics are pinned by the committed sf0.001 fixture
+    (``tests/test_product_tokens_golden.py``) — the same pattern that
+    gates ``analyze_ko_tokens``."""
+    from mecab_ko_lucene_analyzer_spark.analysis.dictionary import (
+        SetDictionary,
+        SynonymDictionary,
+    )
+    from mecab_ko_lucene_analyzer_spark.analysis.product import (
+        ProductDictionarySet,
+        TagProbDictionary,
+    )
+    from mecab_ko_lucene_analyzer_spark.functions.udfs import product_tokens_table
+
+    dicts = ProductDictionarySet(
+        tag_prob=TagProbDictionary.from_words(
+            {"삼성": ("N", -8.0), "노트북": ("N", -8.0), "가방": ("N", -8.0)}
+        ),
+        unit=SetDictionary(["gb", "인치"]),
+        unit_synonym=SynonymDictionary({"gb": ["기가"]}),
+        synonym=SynonymDictionary({"노트북": ["laptop"]}),
+        space={"노트북가방": ["노트북", "가방"]},
+    )
+    titled = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 16),
+            F.lit(" SL-M"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            ((F.col("doc_id") * 7) % 997).cast("string"),
+            F.lit(",024gb 13인치 노트북가방"),
+        ).alias("text"),
+    )
+    return product_tokens_table(titled, dicts)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary media plumbing: payload → checksum + feature vector via
     Arrow-batched mapInPandas (rows-only: decode is the stub)."""
@@ -457,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_postings_tf": _q_streaming_postings_tf,
         "streaming_dedup": _q_streaming_dedup,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
+        "product_tokens": _q_product_tokens,
         "multimodal_features": _q_multimodal_features,
     }
 
