@@ -542,9 +542,18 @@ def main() -> None:
         replica_probe_frac = None
         rep_attempts_max = int(os.environ.get("SPARK_GRAFT_REPLICA_ATTEMPTS", "4"))
         rep_budget = float(os.environ.get("SPARK_GRAFT_REPLICA_BUDGET", "1500"))
+        # Selection among attempts prefers WINDOW TRUSTWORTHINESS, not
+        # headline size: a struck denominator (e.g. the 4-replica phase
+        # drawing a bad minute) inflates the headline toward the 1.0
+        # cap while replica_scaleout_efficiency collapses — picking the
+        # max headline would select exactly those distorted samples.
+        # Tiers: 2 = quiet probes AND plausible scaleout (the 4
+        # concurrent builds delivered >=0.7x ideal — a struck
+        # denominator cannot fake this), 1 = quiet probes only, 0 =
+        # neither; within a tier, higher probe fraction then headline.
         rep_attempts = 0
         t_rep = time.perf_counter()
-        best_key = (-1, -1.0)
+        best_key = (-1, -1.0, -1.0)
         for _attempt in range(rep_attempts_max):
             rep_attempts += 1
             try:
@@ -558,8 +567,10 @@ def main() -> None:
             cap1 = max(cap1, max(probes))
             frac = min(probes) / cap1
             a_quiet = frac >= 0.9
+            a_scaleout = agg / single / ideal
             a_head = min(r_high / agg, 1.0)
-            key = (int(a_quiet), a_head)
+            trusted = a_quiet and a_scaleout >= 0.7
+            key = (2 if trusted else (1 if a_quiet else 0), frac, a_head)
             if key > best_key:
                 best_key = key
                 replica_agg, replica_single, replica_high = agg, single, r_high
@@ -567,7 +578,7 @@ def main() -> None:
                 # same-window ratio — numerator and denominator share
                 # the weather: measures the machine, not the draw
                 replica_ratio = max(min(agg / single, ideal), 1.0)
-            if a_quiet and a_head >= 0.8:
+            if trusted and a_head >= 0.8:
                 break
             if time.perf_counter() - t_rep > rep_budget:
                 break

@@ -88,10 +88,22 @@ def curate(
     #    window partition is one text's duplicate set; even a
     #    boilerplate page duplicated a few million times fits a task,
     #    and there is no corpus-wide hot key by construction (md5).
+    #    NULL/empty text is NOT a duplicate group: md5(NULL) would land
+    #    every null-text doc in ONE window partition (a skew bomb) and
+    #    collapse them to a single arbitrary survivor. Salting the
+    #    partition key with doc_id for textless rows gives each its own
+    #    singleton partition — every one survives (the old left-anti
+    #    semantics: a null join key never matches) and no hot key forms.
+    has_text = F.col("text").isNotNull() & (F.length("text") > 0)
     docs = (
         docs.withColumn(
             "_canon",
-            F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+            F.min("doc_id").over(
+                Window.partitionBy(
+                    F.md5("text"),
+                    F.when(has_text, F.lit(0)).otherwise(F.col("doc_id")),
+                )
+            ),
         )
         .filter(F.col("doc_id") == F.col("_canon"))
         .drop("_canon")
@@ -103,7 +115,9 @@ def curate(
         pairs = (
             minhash_lsh_pairs(docs, hash_impl=hash_impl)
             if dedup == "minhash"
-            else ngram_jaccard_pairs(docs, min_common=min_common)
+            else ngram_jaccard_pairs(
+                docs, min_common=min_common, hash_impl=hash_impl
+            )
         )
         members = dedup_clusters(pairs)
         drop = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")

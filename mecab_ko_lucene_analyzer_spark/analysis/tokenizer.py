@@ -159,6 +159,26 @@ _CHUNK_CACHE: dict[tuple, list[Pos]] = {}
 _CHUNK_CACHE_MAX = 131072
 
 
+def _provider_cache_token(provider) -> int:
+    """Process-unique token namespacing a provider's entries in the
+    chunk/stream caches. ``id(provider)`` is NOT usable as a fallback:
+    CPython recycles addresses after GC, so a new provider allocated at
+    a freed provider's address would read the dead provider's cached
+    token streams. Custom cache-capable providers without a
+    ``cache_token`` get one assigned on first use; if the attribute is
+    unsettable (slots/frozen), every call draws a fresh token — which
+    disables caching for that provider rather than risking stale
+    reads."""
+    tok = getattr(provider, "cache_token", None)
+    if tok is None:
+        tok = next(_PROVIDER_GENERATION)
+        try:
+            provider.cache_token = tok
+        except Exception:
+            pass
+    return tok
+
+
 def tokenize(
     text: str,
     mode: str = "standard",
@@ -191,9 +211,7 @@ def tokenize(
         if option is not None
         else None
     )
-    ptok = getattr(provider, "cache_token", None)
-    if ptok is None:
-        ptok = id(provider)  # custom cache-capable providers w/o a token
+    ptok = _provider_cache_token(provider)
     out: list[Pos] = []
     for m in _CHUNK_RE.finditer(lowered):
         chunk = m.group(0)
@@ -237,9 +255,7 @@ def index_token_stream(
         toks = tokenize(text, mode, compound_noun_min_length, provider=provider)
         return [p.token_string() for p in toks], [p.position_incr for p in toks]
     lowered = text.lower()
-    ptok = getattr(provider, "cache_token", None)
-    if ptok is None:
-        ptok = id(provider)
+    ptok = _provider_cache_token(provider)
     terms: list[str] = []
     incrs: list[int] = []
     for m in _CHUNK_RE.finditer(lowered):

@@ -257,9 +257,11 @@ def minhash_lsh_pairs(
     return _bucket_pairs(banded, ["band", "bucket"])
 
 
-def _bucket_pairs(rows: DataFrame, keys: list[str]) -> DataFrame:
-    """(doc_id, *keys) → distinct candidate pairs (doc_a < doc_b) per
-    equal-key bucket.
+def _bucket_pairs(
+    rows: DataFrame, keys: list[str], payload: str | None = None
+) -> DataFrame:
+    """(doc_id, *keys) → candidate pairs (doc_a < doc_b) per equal-key
+    bucket.
 
     One ``groupBy`` + per-bucket array pair expansion — NOT a self-join:
     a self-join would recompute the (expensive) upstream signature plan
@@ -267,10 +269,45 @@ def _bucket_pairs(rows: DataFrame, keys: list[str]) -> DataFrame:
     bounded by the LSH/blocking design (that is the point of banding),
     so the per-bucket quadratic expansion is the intended candidate
     cost; run exact dedup first so identical docs don't degenerate a
-    bucket."""
+    bucket.
+
+    ``payload`` names a column to ride the bucket lists: pairs come
+    back with ``payload_a``/``payload_b`` attached (e.g. embeddings for
+    a post-filter cosine) so callers never re-join the corpus — the
+    whole expansion stays ONE scan of the bucketed relation. Multi-key
+    banding callers (no payload) get cross-bucket ``distinct``;
+    payload pairs are emitted as-is (one bucket per doc_id by
+    construction in every payload caller — distinct over payload
+    arrays would be a pointless wide compare)."""
+    if payload is None:
+        grouped = (
+            rows.groupBy(*keys)
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") > 1)
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
+        return (
+            grouped.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+    # sort_array on struct orders by the leading field (doc_id), so
+    # expansion yields doc_a < doc_b exactly as the bare path does
     grouped = (
         rows.groupBy(*keys)
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col(payload)))
+            ).alias("ds")
+        )
         .filter(F.size("ds") > 1)
     )
     pairs = F.flatten(
@@ -278,14 +315,17 @@ def _bucket_pairs(rows: DataFrame, keys: list[str]) -> DataFrame:
             F.col("ds"),
             lambda a, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a[payload].alias("payload_a"),
+                    b[payload].alias("payload_b"),
+                ),
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    return grouped.select(F.explode(pairs).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.payload_a", "p.payload_b"
     )
 
 

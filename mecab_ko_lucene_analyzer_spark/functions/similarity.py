@@ -130,11 +130,17 @@ def lsh_near_dup_pairs(
     vectors bucket by hyperplane-LSH sign pattern, same-bucket pairs
     (vec_a < vec_b) keep when rounded cosine ≥ threshold.
 
-    Same scale shape as the other blocking dedups: candidates come from
-    equality buckets (one shuffle), never an all-pairs join; the cosine
-    is computed only on candidates. Recall is the LSH collision
-    probability (raise ``n_planes`` bands/multi-probe for tighter
-    thresholds); the DuckDB oracle replicates the buckets exactly."""
+    Same scale shape as the other blocking dedups — literally the same
+    operator: candidates come from ``_bucket_pairs`` (one groupBy of
+    the bucketed relation + in-array pair expansion, embeddings riding
+    the bucket lists as payload), never a self-join (a self-join
+    recomputes the bucket projection on both sides and shuffles it
+    twice). The cosine is a post-filter over candidate pairs only.
+    Recall is the LSH collision probability (raise ``n_planes``
+    bands/multi-probe for tighter thresholds); the DuckDB oracle
+    replicates the buckets exactly."""
+    from .dedup import _bucket_pairs
+
     planes = hyperplane_components(n_planes, dim, seed)
 
     def bucket(vec: Column) -> Column:
@@ -144,22 +150,21 @@ def lsh_near_dup_pairs(
             b = b * 2 + (_dot(vec, comp) > 0).cast("int")
         return b
 
-    e = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
-    a, b = e.alias("a"), e.alias("b")
+    e = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        bucket(F.col("embedding")).alias("bucket"),
+    )
+    pairs = _bucket_pairs(e, ["bucket"], payload="embedding")
     cos = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        _dot(F.col("payload_a"), F.col("payload_b"))
+        / (_norm(F.col("payload_a")) * _norm(F.col("payload_b"))),
         round_digits,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+        pairs.select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

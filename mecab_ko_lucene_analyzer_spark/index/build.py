@@ -161,6 +161,34 @@ def corpus_tokens(
     )
 
 
+def _rows_stable_across_jobs(df: DataFrame) -> bool:
+    """True when ``df``'s optimized plan is a deterministic scan —
+    file/local relations under projections and filters only. Such plans
+    enumerate the same rows in the same per-partition order in every
+    job (file-split planning depends on file sizes + conf; local rows
+    are literals), which is what lets the unordered docID path run its
+    three passes (count, text, url) as independent jobs. Anything with
+    an upstream shuffle, join, aggregate, generator, or sample can
+    reorder rows between jobs — callers must materialize once
+    instead."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    allowed = ("Relation", "LocalRelation", "Project", "Filter")
+    for line in plan.splitlines():
+        name = line.strip().lstrip("+-: ").split(" ", 1)[0].split("[", 1)[0]
+        if name == "InMemoryRelation":
+            # a cache IS a single shared materialization; the lines
+            # below it describe the plan that fills it, not what the
+            # passes re-execute. Any combiner above a cache (join,
+            # union) fails the allowlist before this line is reached.
+            return True
+        if name and name not in allowed:
+            return False
+    return True
+
+
 def corpus_postings(
     pages: DataFrame,
     lang_filter: str | None = "ko",
@@ -230,6 +258,14 @@ def corpus_postings(
         # never touches text (~95% of the scan bytes). File-split
         # planning depends on file sizes + conf only — identical for
         # both frames — so _pid and per-partition row order agree.
+        # That identity only holds for deterministic scans: an input
+        # with an upstream shuffle/aggregate could enumerate rows
+        # differently per job and silently mismatch postings vs
+        # doc_map docIDs — those inputs are materialized ONCE and all
+        # three passes read the one cache (column pruning still
+        # applies against InMemoryRelation).
+        if not _rows_stable_across_jobs(pruned):
+            pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
         parts = pruned.withColumn("_pid", F.spark_partition_id())
         text_parts = pruned.select("text").withColumn("_pid", F.spark_partition_id())
         map_parts = pruned.select("url").withColumn("_pid", F.spark_partition_id())

@@ -92,10 +92,19 @@ def is_catalog_identifier(target: str, spark: SparkSession | None = None) -> boo
     ``os.path.exists`` probe would make routing depend on the driver's
     CWD, so a stray local file named ``cat.db.table`` could silently
     reroute a catalog write into a relative parquet path. With ``spark``
-    provided, a dotted name is a catalog target only if its leading
-    component is a configured catalog (``spark.sql.catalog.<name>``) or
-    the built-in ``spark_catalog`` — deterministic per session config,
-    identical on every machine."""
+    provided, a dotted name is a catalog target when any of these
+    session-config/catalog facts holds — deterministic per session,
+    identical on every machine:
+
+    * its leading component is a configured catalog
+      (``spark.sql.catalog.<name>``) or the built-in ``spark_catalog``
+      (3-part ``<catalog>.db.table`` names);
+    * it is a 2-part ``db.table`` name whose ``db`` is a database in
+      the session catalog (``spark.catalog.databaseExists`` — so
+      ``default.docs`` keeps routing to ``writeTo``, never to a local
+      parquet directory literally named ``default.docs``);
+    * ``spark.sql.defaultCatalog`` points at a configured non-default
+      catalog (every dotted name then resolves inside it)."""
     if "/" in target or "\\" in target or ":" in target or "." not in target:
         return False
     if target.rsplit(".", 1)[1].lower() in _PATHLIKE_EXTENSIONS:
@@ -105,7 +114,16 @@ def is_catalog_identifier(target: str, spark: SparkSession | None = None) -> boo
         if first == "spark_catalog":
             return True
         try:
-            return spark.conf.get(f"spark.sql.catalog.{first}", None) is not None
+            if spark.conf.get(f"spark.sql.catalog.{first}", None) is not None:
+                return True
+            default = spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+            if (
+                default != "spark_catalog"
+                and spark.conf.get(f"spark.sql.catalog.{default}", None)
+                is not None
+            ):
+                return True
+            return target.count(".") == 1 and spark.catalog.databaseExists(first)
         except Exception:
             return False
     return True

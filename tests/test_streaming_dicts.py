@@ -281,3 +281,66 @@ def test_streaming_dedup_state_across_batches(spark, tmp_path):
     streaming_dedup_stream(spark, inp, out, ckpt).awaitTermination()
     kept = {r.url: r.text for r in read_deduped(spark, out).collect()}
     assert kept == {"u01": "alpha page", "u02": "beta page", "u05": "gamma page"}
+
+
+def test_compaction_swap_never_tears_readers(spark, tmp_path):
+    """Round-4 serving-concurrency contract: compaction builds into a
+    fresh versioned dir and flips a pointer; a reader resolving the
+    pointer mid-compaction must ALWAYS see an internally consistent
+    index (here: corpus_stats.n_docs == doc_map row count for whichever
+    version it lands on). The previous in-place overwrite broke exactly
+    this invariant (old corpus_stats next to a half-rewritten doc_map)."""
+    import threading
+
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        compact_incremental,
+        serving_index_path,
+    )
+
+    B = str(tmp_path)
+    pages = synthesize_webpages(spark, 40, partitions=2)
+    pages.filter(F.col("url") < "https://example-00000020").write.parquet(f"{B}/in")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+    assert serving_index_path(spark, f"{B}/idx") is None  # pre-compaction
+    v1 = compact_incremental(spark, f"{B}/idx")
+    assert serving_index_path(spark, f"{B}/idx") == v1
+    assert "/versions/v" in v1
+
+    stop = threading.Event()
+    failures: list[str] = []
+    samples: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            path = serving_index_path(spark, f"{B}/idx")
+            try:
+                n = spark.read.parquet(f"{path}/corpus_stats").first()["n_docs"]
+                dm = spark.read.parquet(f"{path}/doc_map").count()
+                if n != dm:
+                    failures.append(f"{path}: corpus n_docs {n} != doc_map {dm}")
+                samples.append(path)
+            except Exception as e:  # missing/partial table = torn state
+                failures.append(f"{path}: {e!r}")
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        # second drop + second compaction run WHILE the reader spins
+        pages.filter(F.col("url") >= "https://example-00000020").write.mode(
+            "append"
+        ).parquet(f"{B}/in")
+        incremental_index_stream(
+            spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+        ).awaitTermination(120)
+        v2 = compact_incremental(spark, f"{B}/idx")
+    finally:
+        stop.set()
+        t.join(30)
+    assert not failures, failures[:3]
+    assert samples, "reader never sampled"
+    assert serving_index_path(spark, f"{B}/idx") == v2 != v1
+    # old version left intact for in-flight readers
+    assert spark.read.parquet(f"{v1}/doc_map").count() == 20
+    assert spark.read.parquet(f"{v2}/doc_map").count() == 40

@@ -115,3 +115,34 @@ def test_chunk_cache_is_provider_scoped():
     assert t1 != t2 and t2 == ["커스텀은"]
     # and p1's cache entry is still intact (no cross-eviction)
     assert [p.surface for p in tokenize("커스텀은", provider=p1)][1] == "커스텀"
+
+
+def test_custom_provider_cache_token_assigned_not_id():
+    """A cache-capable provider without a cache_token gets a
+    process-unique one ASSIGNED on first use (id() recycles after GC
+    and could alias a dead provider's cached streams); unsettable
+    providers draw fresh tokens each call — caching disabled, never
+    stale."""
+    from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import (
+        _provider_cache_token,
+        get_lattice_provider,
+    )
+
+    class P:
+        supports_chunk_cache = True
+
+    p = P()
+    t1 = _provider_cache_token(p)
+    assert p.cache_token == t1
+    assert _provider_cache_token(p) == t1  # stable once assigned
+    assert _provider_cache_token(P()) != t1  # distinct per provider
+
+    class Frozen:
+        __slots__ = ("supports_chunk_cache",)
+
+    f = Frozen()
+    a, b = _provider_cache_token(f), _provider_cache_token(f)
+    assert a != b  # unsettable → fresh token per call (no cache reuse)
+    # the bundled provider keeps its constructor-assigned token
+    prov = get_lattice_provider()
+    assert _provider_cache_token(prov) == prov.cache_token
