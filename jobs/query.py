@@ -21,6 +21,13 @@ def main() -> None:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--disjunctive", action="store_true")
     ap.add_argument("--explain", action="store_true")
+    ap.add_argument(
+        "--max-driver-df",
+        type=int,
+        default=1_000_000,
+        help="df above which a term's blocks are scored executor-side "
+        "instead of collected to the driver (query/router.py)",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.analysis.dictionary import AnalyzerOption
@@ -28,7 +35,9 @@ def main() -> None:
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
 
     spark = get_spark(app_name="query")
-    engine = SearchEngine(spark, args.index, AnalyzerOption())
+    engine = SearchEngine(
+        spark, args.index, AnalyzerOption(), max_driver_df=args.max_driver_df
+    )
     if args.explain:
         print(engine.explain_query(args.query))
     hits = engine.search(args.query, k=args.k, conjunctive=not args.disjunctive)

@@ -33,7 +33,7 @@ class SearchEngine:
     max_driver_df: int = 1_000_000
 
     def __post_init__(self):
-        from .query.wand import BlockCache
+        from .query.wand import BlockCache, DirectBlockReader
 
         sp = self.spark
         self.blocks = sp.read.parquet(f"{self.base_path}/blocks")
@@ -42,7 +42,15 @@ class SearchEngine:
         self.n_docs = corpus["n_docs"]
         self.avgdl = corpus["avgdl"]
         self.doc_map = sp.read.parquet(f"{self.base_path}/doc_map")
-        self.block_cache = BlockCache(self.blocks)
+        # cold-path misses read the block files directly through Arrow
+        # (footer-pruned row groups, zero Spark jobs) when the index is
+        # on a locally readable path; remote/URI paths fall back to the
+        # pruned Spark scan
+        try:
+            direct = DirectBlockReader(f"{self.base_path}/blocks")
+        except Exception:
+            direct = None
+        self.block_cache = BlockCache(self.blocks, direct=direct)
         self._df_cache: dict[str, int] = {}
         #: route taken by the last search/count call — "driver" (WAND
         #: cursors) or "distributed" (block-table scorer); diagnostics
@@ -90,6 +98,29 @@ class SearchEngine:
             with_blocks=True,
         )
         return cls(spark, base_path, option or AnalyzerOption(), mode)
+
+    @classmethod
+    def from_incremental(
+        cls,
+        spark: SparkSession,
+        index_path: str,
+        option: AnalyzerOption | None = None,
+        **kw,
+    ) -> "SearchEngine":
+        """Serve the CURRENT compaction of an incremental index: the
+        ``serving.json`` pointer names the active ``versions/vN`` dir,
+        so this engine keeps a stable, fully-consistent view even while
+        the next compaction builds (``compact_incremental``'s versioned
+        swap)."""
+        from .streaming.incremental import serving_index_path
+
+        path = serving_index_path(spark, index_path)
+        if path is None:
+            raise FileNotFoundError(
+                f"no compaction published yet under {index_path!r} — run "
+                "compact_incremental first"
+            )
+        return cls(spark, path, option or AnalyzerOption(), **kw)
 
     def analyze(self, text: str) -> list[dict]:
         return analyze_query(text, self.option, self.mode)

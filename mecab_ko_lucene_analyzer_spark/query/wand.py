@@ -26,7 +26,14 @@ from ..index.build import B, K1
 from ..index.codec import decode_varints
 from .bm25 import lucene_idf
 
-__all__ = ["TermCursor", "wand_topk", "load_query_cursors"]
+__all__ = [
+    "TermCursor",
+    "wand_topk",
+    "load_query_cursors",
+    "fetch_term_blocks",
+    "BlockCache",
+    "DirectBlockReader",
+]
 
 _INF = 1 << 62
 
@@ -199,15 +206,112 @@ def fetch_term_blocks(
     return out
 
 
+class DirectBlockReader:
+    """Serving-node cold-path reader: term-pruned block fetch straight
+    from the parquet files via Arrow — NO Spark job.
+
+    The block files are globally term-sorted (``build_blocks`` range-
+    partitions by (term, salt) and sorts within partitions), so parquet
+    row-group statistics on ``term`` prune a query to the 1–2 row
+    groups that can contain it — the Lucene-segment access shape. File
+    handles and per-row-group (min, max) term ranges load once from the
+    footers (a few KB each) and are kept for the reader's lifetime;
+    each subsequent miss costs only the matching row-group reads.
+
+    Round-3 measured the cold serving path at ~180 ms vs ~43 warm: the
+    cost was the per-miss Spark job (scheduler + task launch over every
+    cached partition), not the bytes. At 10^12 docs the same design
+    holds — the footer index is O(files) once, each query touches
+    O(row groups containing its terms)."""
+
+    def __init__(self, path: str):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        self._files = []  # (ParquetFile, [(min, max) per row group])
+        for fn in sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet")):
+            pf = pq.ParquetFile(fn)
+            if pf.metadata.num_row_groups == 0:
+                continue
+            rg0 = pf.metadata.row_group(0)
+            term_idx = next(
+                i
+                for i in range(rg0.num_columns)
+                if rg0.column(i).path_in_schema == "term"
+            )
+            ranges = []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(term_idx).statistics
+                if st is None or not st.has_min_max:
+                    ranges.append((None, None))  # unprunable: always read
+                else:
+                    ranges.append((st.min, st.max))
+            self._files.append((pf, ranges))
+        if not self._files:
+            raise ValueError(f"no local parquet block files under {path!r}")
+
+    def fetch(
+        self, terms: list[str], with_positions: bool = False
+    ) -> dict[str, tuple[list[_Block], int]]:
+        """Same contract as :func:`fetch_term_blocks`."""
+        want = sorted(set(terms))
+        if not want:
+            return {}
+        cols = ["term", "first_doc", "n_docs", "doc_deltas", "tfs", "doc_lens",
+                "block_max_impact"]
+        if with_positions:
+            cols.append("pos_deltas")
+        out: dict[str, tuple[list[_Block], int]] = {}
+        for pf, ranges in self._files:
+            rgs = [
+                i
+                for i, (lo, hi) in enumerate(ranges)
+                if lo is None or any(lo <= t <= hi for t in want)
+            ]
+            if not rgs:
+                continue
+            tbl = pf.read_row_groups(rgs, columns=cols)
+            want_set = set(want)
+            terms_col = tbl.column("term").to_pylist()
+            keep = [i for i, t in enumerate(terms_col) if t in want_set]
+            if not keep:
+                continue
+            data = {c: tbl.column(c).take(keep).to_pylist() for c in cols}
+            for i in range(len(keep)):
+                t = data["term"][i]
+                blks, df = out.get(t, ([], 0))
+                blks.append(
+                    _Block(
+                        data["first_doc"][i],
+                        bytes(data["doc_deltas"][i]),
+                        bytes(data["tfs"][i]),
+                        bytes(data["doc_lens"][i]),
+                        data["block_max_impact"][i],
+                        bytes(data["pos_deltas"][i]) if with_positions else b"",
+                    )
+                )
+                out[t] = (blks, df + data["n_docs"][i])
+        return out
+
+
 class BlockCache:
     """Driver-side LRU of term → (blocks, df) — the serving-node warm
-    cache. Misses batch into one term-pruned scan."""
+    cache. Misses batch into one term-pruned fetch: a footer-pruned
+    direct Arrow read when ``direct`` is given (no Spark job — the
+    serving configuration), else a pruned Spark scan."""
 
-    def __init__(self, blocks: DataFrame, max_terms: int = 10_000):
+    def __init__(
+        self,
+        blocks: DataFrame,
+        max_terms: int = 10_000,
+        direct: "DirectBlockReader | None" = None,
+    ):
         from collections import OrderedDict
 
         self.blocks = blocks
         self.max_terms = max_terms
+        self.direct = direct
         self._cache: "OrderedDict[tuple[str, bool], tuple[list[_Block], int]]" = (
             OrderedDict()
         )
@@ -225,7 +329,10 @@ class BlockCache:
             else:
                 misses.append(t)
         if misses:
-            fetched = fetch_term_blocks(self.blocks, misses, with_positions)
+            if self.direct is not None:
+                fetched = self.direct.fetch(misses, with_positions)
+            else:
+                fetched = fetch_term_blocks(self.blocks, misses, with_positions)
             for t in misses:
                 entry = fetched.get(t, ([], 0))
                 self._cache[(t, with_positions)] = entry

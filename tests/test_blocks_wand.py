@@ -183,3 +183,74 @@ def test_batch_wand_rank_identical_to_serving(spark, materialized, blocks_df):
             for rank, (d, s) in enumerate(wand_topk(cursors, 7), start=1)
         ]
         assert sorted(got.get(qid, [])) == sorted(want), terms
+
+
+def test_direct_block_reader_identical_to_spark_fetch(spark, materialized, blocks_df):
+    """The serving cold path (footer-pruned direct Arrow read, zero
+    Spark jobs) must return byte-identical block payloads and dfs to
+    the pruned Spark scan, and WAND over it must rank identically."""
+    from mecab_ko_lucene_analyzer_spark.query.wand import (
+        BlockCache,
+        DirectBlockReader,
+        TermCursor,
+        fetch_term_blocks,
+        wand_topk,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import lucene_idf
+
+    direct = DirectBlockReader(f"{BASE}/blocks")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    for terms in QUERIES:
+        a = fetch_term_blocks(blocks_df, terms)
+        b = direct.fetch(terms)
+        assert set(a) == set(b), terms
+        for t in a:
+            blks_a, df_a = a[t]
+            blks_b, df_b = b[t]
+            assert df_a == df_b
+            key = lambda blk: blk.first_doc
+            for x, y in zip(sorted(blks_a, key=key), sorted(blks_b, key=key)):
+                assert (
+                    x.first_doc == y.first_doc
+                    and x.doc_deltas == y.doc_deltas
+                    and x.tfs == y.tfs
+                    and x.doc_lens == y.doc_lens
+                    and x.max_impact == y.max_impact
+                )
+        # rank identity through a direct-backed cache
+        cache = BlockCache(blocks_df, direct=direct)
+        cursors = [
+            TermCursor(
+                term=t,
+                idf=lucene_idf(corpus["n_docs"], df),
+                blocks=blks,
+                avgdl=corpus["avgdl"],
+            )
+            for t, (blks, df) in cache.get(terms).items()
+        ]
+        got = wand_topk(cursors, k=10)
+        want_cursors = load_query_cursors(
+            blocks_df,
+            None,
+            corpus["n_docs"],
+            corpus["avgdl"],
+            terms,
+        )
+        want = wand_topk(want_cursors, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+
+
+def test_direct_block_reader_positions_and_errors(spark, materialized):
+    from mecab_ko_lucene_analyzer_spark.query.wand import DirectBlockReader
+
+    import pytest as _pytest
+
+    direct = DirectBlockReader(f"{BASE}/blocks")
+    withpos = direct.fetch(["데이터"], with_positions=True)
+    assert withpos and all(
+        blk.pos_deltas for blks, _ in withpos.values() for blk in blks
+    )
+    assert direct.fetch(["없는단어쿼리"]) == {}
+    assert direct.fetch([]) == {}
+    with _pytest.raises(ValueError):
+        DirectBlockReader("/tmp/definitely_missing_block_dir_xyz")

@@ -344,3 +344,29 @@ def test_compaction_swap_never_tears_readers(spark, tmp_path):
     # old version left intact for in-flight readers
     assert spark.read.parquet(f"{v1}/doc_map").count() == 20
     assert spark.read.parquet(f"{v2}/doc_map").count() == 40
+
+
+def test_engine_from_incremental_serves_current_compaction(spark, tmp_path):
+    """SearchEngine.from_incremental resolves the serving pointer and
+    answers queries over the compacted index."""
+    from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        compact_incremental,
+    )
+
+    B = str(tmp_path)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        SearchEngine.from_incremental(spark, f"{B}/idx")
+
+    pages = synthesize_webpages(spark, 30, partitions=2)
+    pages.write.parquet(f"{B}/in")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+    out = compact_incremental(spark, f"{B}/idx")
+    eng = SearchEngine.from_incremental(spark, f"{B}/idx")
+    assert eng.base_path == out
+    hits = eng.search("데이터", k=5, conjunctive=False)
+    assert hits and all(h["url"].startswith("https://example-") for h in hits)
