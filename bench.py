@@ -286,6 +286,43 @@ def _replica_build(args) -> float:
         spark.stop()
 
 
+def _replica_build_sync(idx, cores, corpus_path, reps, barrier, q) -> None:
+    """Barrier-synchronized replica for the CONCURRENT phase: all k
+    replicas hit the barrier before EACH timed build, so every rep
+    measures k builds genuinely running at the same time. (Summing
+    per-replica best-of-N without a barrier let one replica's best
+    land while another idled in warm-up — inflating the aggregate
+    beyond true simultaneous capacity and biasing the headline DOWN.)
+    Per-rep times go back through the queue."""
+    import shutil as _shutil
+
+    spark = _fresh_spark(cores)
+    try:
+        warm_path = f"/tmp/bench_warm_corpus_{WARM_DOCS}"
+        from mecab_ko_lucene_analyzer_spark.index import build_and_write
+
+        warm = spark.read.parquet(warm_path)
+        _shutil.rmtree(f"/tmp/bench_rep_warm_{idx}", ignore_errors=True)
+        build_and_write(
+            warm, f"/tmp/bench_rep_warm_{idx}", lang_filter="ko", with_blocks=True
+        )
+        pages = spark.read.parquet(corpus_path)
+        times = []
+        for _ in range(reps):
+            barrier.wait(timeout=600)
+            _shutil.rmtree(f"/tmp/bench_rep_idx_{idx}", ignore_errors=True)
+            t0 = time.perf_counter()
+            build_and_write(
+                pages, f"/tmp/bench_rep_idx_{idx}", lang_filter="ko", with_blocks=True
+            )
+            times.append(time.perf_counter() - t0)
+        q.put((idx, times))
+    except Exception as e:
+        q.put((idx, e))
+    finally:
+        spark.stop()
+
+
 def replica_capacity(
     cores: int, k: int, corpus_path: str, n_docs: int, reps: int = 2
 ) -> tuple[float, float, float, list[float]]:
@@ -329,10 +366,32 @@ def replica_capacity(
     with ctx.Pool(1) as p:
         t_single = p.map(_replica_build, [(99, cores, corpus_path, reps)])[0]
     probes.append(_probe())
-    with ctx.Pool(k) as p:
-        times = p.map(
-            _replica_build, [(i, cores, corpus_path, reps) for i in range(k)]
+    # k barrier-synchronized replicas: every timed rep runs all k
+    # builds simultaneously; aggregate = best over reps of the per-rep
+    # sum (a true in-window simultaneous-capacity sample)
+    barrier = ctx.Barrier(k)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_replica_build_sync,
+            args=(i, cores, corpus_path, reps, barrier, q),
         )
+        for i in range(k)
+    ]
+    for p in procs:
+        p.start()
+    results: dict[int, list[float]] = {}
+    for _ in range(k):
+        idx, val = q.get(timeout=1800)
+        if isinstance(val, Exception):
+            raise val
+        results[idx] = val
+    for p in procs:
+        p.join(60)
+    rep_caps = [
+        sum(n_docs / results[i][r] for i in range(k)) for r in range(reps)
+    ]
+    agg_capacity = max(rep_caps)
     probes.append(_probe())
     # the judged configuration itself, measured IN THE SAME WINDOW as
     # the ceiling: one local[k*cores] build through the identical spawn
@@ -344,7 +403,7 @@ def replica_capacity(
         t_high = p.map(_replica_build, [(98, cores * k, corpus_path, reps + 1)])[0]
     probes.append(_probe())
     return (
-        sum(n_docs / t for t in times),
+        agg_capacity,
         n_docs / t_single,
         n_docs / t_high,
         probes,
