@@ -21,6 +21,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
+    # heap scales with task threads (2 GB/core, floor 8 GB): a local[4N]
+    # session is the single-box stand-in for 4N executors, and executors
+    # bring their own heaps — a flat heap would give local[16] a quarter
+    # of the per-core memory that 4 independent local[4] JVMs enjoy
+    # (measured ~5% build throughput on exactly that comparison).
+    if master.startswith("local[") and master[6:-1].isdigit():
+        task_threads = int(master[6:-1])
+    else:
+        task_threads = cpus
+    default_mem = f"{max(8, 2 * task_threads)}g"
     shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
     return (
         SparkSession.builder.appName(app_name)
@@ -31,7 +41,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
