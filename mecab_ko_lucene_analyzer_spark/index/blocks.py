@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame
 from .build import B, K1
 from .codec import BLOCK_SIZE
 
-__all__ = ["build_blocks", "BLOCKS_SCHEMA", "SALT_SHIFT"]
+__all__ = [
+    "build_blocks",
+    "build_blocks_from_partials",
+    "BLOCKS_SCHEMA",
+    "SALT_SHIFT",
+]
 
 #: 2^16 docs per salt range — one hot term contributes ~512 blocks per
 #: salt, and a 10^12-doc corpus spreads a ubiquitous josa term over
@@ -152,6 +157,245 @@ def _pack_stage(hot: frozenset, salt_shift: int, block_size: int):
         )
 
     return pack
+
+
+def _bin_offsets(col):
+    """(data_view, row_bounds) of an Arrow binary array — the
+    concatenated payload bytes and per-row int64 bounds, both zero-copy
+    views into the Arrow buffers."""
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    dbuf = col.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, dtype=np.uint8)
+        if dbuf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data[offs[0] : offs[-1]], offs - offs[0]
+
+
+def _pa_binary(data, bounds):
+    """Arrow binary array over an existing (buffer, int64 bounds) pair —
+    no per-row bytes objects."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(bounds) - 1,
+        [None, pa.py_buffer(bounds.astype(np.int32)), pa.py_buffer(data)],
+    )
+
+
+def _gather_bytes(data, src_starts, src_lens):
+    """Reorder variable-width byte runs in one vectorized gather:
+    output = data[src_starts[0]:+src_lens[0]] ++ data[src_starts[1]:...]."""
+    total = int(src_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    out_starts = np.zeros(len(src_lens), dtype=np.int64)
+    np.cumsum(src_lens[:-1], out=out_starts[1:])
+    gather = np.repeat(src_starts - out_starts, src_lens) + np.arange(
+        total, dtype=np.int64
+    )
+    return data[gather]
+
+
+def _pack_stage_arrow(hot: frozenset, salt_shift: int, block_size: int):
+    """Arrow-native map-side combine — same output bytes as
+    :func:`_pack_stage`, but the partition's payloads never become
+    per-row Python objects: term strings stay dictionary-encoded Arrow
+    buffers, position payloads stay one contiguous byte buffer sliced
+    by offsets, and the output binary columns are built straight from
+    (buffer, bounds) pairs. At 16 threads the pandas version's ~10^7
+    per-row ``bytes``/``str`` allocations are pure DRAM traffic — the
+    dominant scaling cost of the whole blocks job."""
+
+    def pack(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .codec import encode_varint_groups_concat
+
+        chunks = [c for c in batches if c.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks).combine_chunks()
+        term_col = tbl.column("term").chunk(0)
+        docs = tbl.column("doc_id").to_numpy()
+        tfs = tbl.column("tf").to_numpy().astype(np.uint64)
+        dls = tbl.column("doc_len").to_numpy().astype(np.uint64)
+        pos_data, pos_bnd = _bin_offsets(tbl.column("positions").chunk(0))
+        dict_col = pc.dictionary_encode(term_col)
+        codes = dict_col.indices.to_numpy()
+        if hot:
+            hot_uniq = pc.is_in(
+                dict_col.dictionary, value_set=pa.array(sorted(hot))
+            ).to_numpy(zero_copy_only=False)
+            salts = np.where(hot_uniq[codes], docs >> salt_shift, 0).astype(
+                np.int64
+            )
+        else:
+            salts = np.zeros(len(docs), dtype=np.int64)
+        n = len(docs)
+        if bool(np.all(docs[1:] >= docs[:-1])):
+            # doc-major input (emitter/file order — the common case): a
+            # stable sort on term codes alone IS the (code, salt, doc)
+            # lexsort, because salt = doc >> shift is monotone within a
+            # term's doc run. One sort pass instead of three.
+            order = np.argsort(codes, kind="stable")
+        else:
+            order = np.lexsort((docs, salts, codes))
+        codes_s, docs_s = codes[order], docs[order]
+        tfs_s, dls_s, salts_s = tfs[order], dls[order], salts[order]
+        run_change = np.empty(n, dtype=bool)
+        run_change[0] = True
+        run_change[1:] = (codes_s[1:] != codes_s[:-1]) | (
+            salts_s[1:] != salts_s[:-1]
+        )
+        run_starts = np.flatnonzero(run_change)
+        run_id = np.cumsum(run_change) - 1
+        offset_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+        gstarts = np.flatnonzero(offset_in_run % block_size == 0)
+        gsizes = np.diff(np.append(gstarts, n))
+        deltas = docs_s.astype(np.uint64).copy()
+        deltas[1:] = docs_s[1:].astype(np.uint64) - docs_s[:-1].astype(np.uint64)
+        deltas[gstarts] = docs_s[gstarts].astype(np.uint64)
+        dd, dd_b = encode_varint_groups_concat(deltas, gsizes)
+        tt, tt_b = encode_varint_groups_concat(tfs_s, gsizes)
+        ll, ll_b = encode_varint_groups_concat(dls_s, gsizes)
+        src_lens = (pos_bnd[1:] - pos_bnd[:-1])[order]
+        allpos = _gather_bytes(pos_data, pos_bnd[:-1][order], src_lens)
+        pos_b = np.zeros(len(gstarts) + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(src_lens, gstarts), out=pos_b[1:])
+        yield pa.RecordBatch.from_arrays(
+            [
+                dict_col.dictionary.take(pa.array(codes_s[gstarts])),
+                pa.array(salts_s[gstarts]),
+                pa.array(docs_s[gstarts]),
+                pa.array(gsizes.astype(np.int32)),
+                _pa_binary(dd, dd_b),
+                _pa_binary(tt, tt_b),
+                _pa_binary(allpos, pos_b),
+                _pa_binary(ll, ll_b),
+            ],
+            names=[f.name for f in PARTIAL_SCHEMA.fields],
+        )
+
+    return pack
+
+
+def _reblock_stage_arrow(avgdl: float, k1: float, b: float, block_size: int):
+    """Arrow-native partial→final re-blocker — same bytes as
+    :func:`_reblock_stage` with the same geometry tricks (segmented
+    cumsum docIDs, positions sliced not re-encoded), plus two Arrow
+    wins: per-doc position byte widths come from the varint
+    continuation bits directly (no value decode of the position
+    stream), and the common already-doc-sorted case skips the sort and
+    the byte gather entirely."""
+
+    def reblock(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .codec import decode_varints, encode_varint_groups_concat
+
+        chunks = [c for c in batches if c.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks).combine_chunks()
+        term_col = tbl.column("term").chunk(0)
+        p_salts = tbl.column("salt").to_numpy()
+        p_ndocs = tbl.column("n_docs").to_numpy().astype(np.int64)
+        npart = len(p_salts)
+        p_codes = pc.dictionary_encode(term_col).indices.to_numpy()
+        dd_data, _ = _bin_offsets(tbl.column("doc_deltas").chunk(0))
+        tt_data, _ = _bin_offsets(tbl.column("tfs").chunk(0))
+        ll_data, _ = _bin_offsets(tbl.column("doc_lens").chunk(0))
+        raw_docs = decode_varints(dd_data)
+        tfs = decode_varints(tt_data)
+        dls = decode_varints(ll_data)
+        n = len(raw_docs)
+        part_starts = np.zeros(npart, dtype=np.int64)
+        np.cumsum(p_ndocs[:-1], out=part_starts[1:])
+        csum = np.cumsum(raw_docs.astype(np.int64))
+        prefix = np.zeros(npart, dtype=np.int64)
+        prefix[1:] = csum[part_starts[1:] - 1]
+        part_of_row = np.repeat(np.arange(npart), p_ndocs)
+        docs = csum - prefix[part_of_row]
+        grp_change = np.empty(npart, dtype=bool)
+        grp_change[0] = True
+        grp_change[1:] = (p_codes[1:] != p_codes[:-1]) | (
+            p_salts[1:] != p_salts[:-1]
+        )
+        row_grp_change = np.zeros(n, dtype=bool)
+        row_grp_change[part_starts[grp_change]] = True
+        grp_id = np.cumsum(row_grp_change) - 1
+        # per-doc position byte widths straight from the wire format:
+        # a varint's last byte has the high bit clear, so value ends =
+        # flatnonzero(byte < 128) and doc d's payload ends at the
+        # (cumsum tf)[d]-th value end (tf ≥ 1 per posting row)
+        allpos, _ = _bin_offsets(tbl.column("pos_deltas").chunk(0))
+        doc_byte_starts = np.zeros(n, dtype=np.int64)
+        if allpos.size:
+            val_ends = np.flatnonzero(allpos < 128)
+            doc_byte_ends = val_ends[np.cumsum(tfs.astype(np.int64)) - 1] + 1
+            doc_byte_starts[1:] = doc_byte_ends[:-1]
+            per_doc_bytes = doc_byte_ends - doc_byte_starts
+        else:
+            per_doc_bytes = np.zeros(n, dtype=np.int64)
+        in_order = not bool(
+            np.any((docs[1:] < docs[:-1]) & (grp_id[1:] == grp_id[:-1]))
+        )
+        if in_order:
+            # partials arrived (term, salt, first_doc)-sorted with
+            # non-overlapping doc ranges — identity permutation, and
+            # the position buffer is already in final byte order
+            terms_head = part_of_row
+            src_lens = per_doc_bytes
+            allpos_sorted = allpos
+        else:
+            order = np.lexsort((docs, grp_id))
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            terms_head = part_of_row[order]
+            src_lens = per_doc_bytes[order]
+            allpos_sorted = _gather_bytes(
+                allpos, doc_byte_starts[order], src_lens
+            )
+        grp_row_starts = np.flatnonzero(row_grp_change)
+        offset_in_grp = np.arange(n, dtype=np.int64) - grp_row_starts[grp_id]
+        bstarts = np.flatnonzero(offset_in_grp % block_size == 0)
+        bsizes = np.diff(np.append(bstarts, n))
+        deltas = docs.astype(np.uint64).copy()
+        deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+        deltas[bstarts] = docs[bstarts].astype(np.uint64)
+        dd, dd_b = encode_varint_groups_concat(deltas, bsizes)
+        tt, tt_b = encode_varint_groups_concat(tfs, bsizes)
+        ll, ll_b = encode_varint_groups_concat(dls, bsizes)
+        pos_b = np.zeros(len(bstarts) + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(src_lens, bstarts), out=pos_b[1:])
+        tfs_f = tfs.astype(np.float64)
+        impacts = tfs_f / (
+            tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl)
+        )
+        out = pa.RecordBatch.from_arrays(
+            [
+                term_col.take(pa.array(terms_head[bstarts])),
+                pa.array(docs[bstarts]),
+                pa.array(bsizes.astype(np.int32)),
+                _pa_binary(dd, dd_b),
+                _pa_binary(tt, tt_b),
+                _pa_binary(allpos_sorted, pos_b),
+                _pa_binary(ll, ll_b),
+                pa.array(np.maximum.reduceat(tfs, bstarts).astype(np.int32)),
+                pa.array(np.maximum.reduceat(impacts, bstarts)),
+            ],
+            names=[f.name for f in BLOCKS_SCHEMA.fields],
+        )
+        for i in range(0, out.num_rows, 4096):
+            yield out.slice(i, 4096)
+
+    return reblock
 
 
 def _reblock_stage(avgdl: float, k1: float, b: float, block_size: int):
@@ -278,6 +522,7 @@ def build_blocks(
     b: float = B,
     block_size: int = BLOCK_SIZE,
     salt_shift: int = SALT_SHIFT,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Row postings → block postings in two phases with a MAP-SIDE
     COMBINE, so the one wide exchange carries partial blocks, not rows.
@@ -302,9 +547,17 @@ def build_blocks(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
     hot = frozenset(_hot_terms(term_stats, n_docs, hot_share, hot_min_df))
-    partials = postings.mapInPandas(
-        _pack_stage(hot, salt_shift, block_size), PARTIAL_SCHEMA
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if impl == "arrow":
+        # default: Arrow-native stages — payloads stay in Arrow buffers
+        # end-to-end (no per-row bytes/str materialization); byte-
+        # identical to the pandas stages (equivalence-tested)
+        partials = postings.mapInArrow(
+            _pack_stage_arrow(hot, salt_shift, block_size), PARTIAL_SCHEMA
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        partials = postings.mapInPandas(
+            _pack_stage(hot, salt_shift, block_size), PARTIAL_SCHEMA
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     # persist on purpose: repartitionByRange SAMPLES its input with an
     # extra job, which would re-run the whole pack pass — the cache
     # makes the sampler a cache read. The partials ARE the compact
@@ -315,8 +568,63 @@ def build_blocks(
     arranged = partials.repartitionByRange(
         num_partitions, "term", "salt"
     ).sortWithinPartitions("term", "salt", "first_doc")
-    out = arranged.mapInPandas(
-        _reblock_stage(avgdl, k1, b, block_size), BLOCKS_SCHEMA
-    )
+    if impl == "arrow":
+        out = arranged.mapInArrow(
+            _reblock_stage_arrow(avgdl, k1, b, block_size), BLOCKS_SCHEMA
+        )
+    else:
+        out = arranged.mapInPandas(
+            _reblock_stage(avgdl, k1, b, block_size), BLOCKS_SCHEMA
+        )
     out._partials_df = partials  # callers may unpersist after the action
     return out
+
+
+def build_blocks_from_partials(
+    partials: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    num_partitions: int | None = None,
+    hot_share: float = 0.05,
+    hot_min_df: int = 1000,
+    k1: float = K1,
+    b: float = B,
+    block_size: int = BLOCK_SIZE,
+    salt_shift: int = SALT_SHIFT,
+) -> DataFrame:
+    """Partial blocks (the fused tokenize pass's output,
+    ``corpus_partials``) → final block postings: the map-side combine
+    already happened at emit time, so this is JUST the wide exchange +
+    re-block — no row-postings scan, no pack pass.
+
+    Skew salting happens HERE (hot dfs aren't known at emit time):
+    ``salt = first_doc >> salt_shift`` per partial row of a hot term.
+    Partials are doc-contiguous and pairwise disjoint, so
+    first_doc-derived salt ranges stay doc-contiguous per term — the
+    per-salt block runs concatenate into a globally doc-ordered posting
+    list exactly as with per-doc salting (block CUT positions may
+    differ from the row-postings pipeline for hot terms whose partials
+    straddle a salt boundary; contents are identical — the semantics
+    the salted-merge equivalence test pins).
+    """
+    spark = partials.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    hot = _hot_terms(term_stats, n_docs, hot_share, hot_min_df)
+    salt = (
+        F.when(
+            F.col("term").isin(hot),
+            F.shiftright(F.col("first_doc"), salt_shift),
+        ).otherwise(F.lit(0))
+        if hot
+        else F.lit(0)
+    )
+    arranged = (
+        partials.withColumn("salt", salt.cast("long"))
+        .repartitionByRange(num_partitions, "term", "salt")
+        .sortWithinPartitions("term", "salt", "first_doc")
+    )
+    return arranged.mapInArrow(
+        _reblock_stage_arrow(avgdl, k1, b, block_size), BLOCKS_SCHEMA
+    )

@@ -30,6 +30,8 @@ __all__ = [
     "build_and_write",
     "load_index",
     "corpus_tokens",
+    "corpus_partials",
+    "postings_from_partials",
 ]
 
 K1 = 1.2
@@ -189,6 +191,86 @@ def _rows_stable_across_jobs(df: DataFrame) -> bool:
     return True
 
 
+def _docid_partitions(pages, lang_filter, num_partitions, order):
+    """Shared docID scaffold for the posting/partial emitters:
+    prune → (optionally) canonical-order shuffle → per-partition row
+    counts → docID base offsets. Returns ``(text_parts, map_parts,
+    offsets, n_docs)``.
+
+    For ``order="input"`` the two passes are separate pruned frames:
+    mapInPandas/mapInArrow carry EVERY input column across Arrow, so
+    the tokenize pass never sees ``url`` and the doc_map pass never
+    sees ``text`` (~95% of the scan bytes). File-split planning depends
+    on file sizes + conf only — identical for both frames — so _pid and
+    per-partition row order agree. That identity only holds for
+    deterministic scans: an input with an upstream shuffle/aggregate
+    could enumerate rows differently per job and silently mismatch
+    doc IDs between passes — those inputs are materialized ONCE and
+    all passes read the one cache (column pruning still applies
+    against InMemoryRelation)."""
+    from pyspark import StorageLevel
+
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    if lang_filter is not None:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    pruned = pages.select("url", "text")
+    if order == "url":
+        parts = (
+            pruned.repartitionByRange(num_partitions, "url")
+            .sortWithinPartitions("url")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        text_parts = map_parts = parts  # both passes hit the one cache
+    else:
+        if not _rows_stable_across_jobs(pruned):
+            pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+        parts = pruned.withColumn("_pid", F.spark_partition_id())
+        text_parts = pruned.select("text").withColumn("_pid", F.spark_partition_id())
+        map_parts = pruned.select("url").withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return text_parts, map_parts, offsets, acc
+
+
+def _doc_map_df(map_parts, offsets):
+    """``(doc_id, url)`` resolution table from the url-pruned pass."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    map_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("url", T.StringType(), False),
+        ]
+    )
+
+    def emit_map(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            ids = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "url": pdf["url"].values}
+            )
+
+    return map_parts.mapInPandas(emit_map, map_schema)
+
+
 def corpus_postings(
     pages: DataFrame,
     lang_filter: str | None = "ko",
@@ -238,46 +320,9 @@ def corpus_postings(
     )
 
     spark = pages.sparkSession
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    if lang_filter is not None:
-        pages = pages.filter(F.col("lang") == lang_filter)
-    pruned = pages.select("url", "text")
-    if order == "url":
-        parts = (
-            pruned.repartitionByRange(num_partitions, "url")
-            .sortWithinPartitions("url")
-            .withColumn("_pid", F.spark_partition_id())
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        text_parts = map_parts = parts  # both passes hit the one cache
-    else:
-        # mapInPandas carries EVERY input column across Arrow (no
-        # pruning through a Python map), so give each pass only what it
-        # reads: the tokenize pass never touches url, the doc_map pass
-        # never touches text (~95% of the scan bytes). File-split
-        # planning depends on file sizes + conf only — identical for
-        # both frames — so _pid and per-partition row order agree.
-        # That identity only holds for deterministic scans: an input
-        # with an upstream shuffle/aggregate could enumerate rows
-        # differently per job and silently mismatch postings vs
-        # doc_map docIDs — those inputs are materialized ONCE and all
-        # three passes read the one cache (column pruning still
-        # applies against InMemoryRelation).
-        if not _rows_stable_across_jobs(pruned):
-            pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
-        parts = pruned.withColumn("_pid", F.spark_partition_id())
-        text_parts = pruned.select("text").withColumn("_pid", F.spark_partition_id())
-        map_parts = pruned.select("url").withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    text_parts, map_parts, offsets, acc = _docid_partitions(
+        pages, lang_filter, num_partitions, order
+    )
 
     postings_schema = T.StructType(
         [
@@ -348,33 +393,311 @@ def corpus_postings(
                 }
             )
 
-    map_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("url", T.StringType(), False),
-        ]
-    )
-
-    def emit_map(batches):
-        seen = 0
-        base = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if base is None:
-                base = offsets[int(pdf["_pid"].iloc[0])]
-            ids = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"), "url": pdf["url"].values}
-            )
-
     return (
         text_parts.mapInPandas(emit_postings, postings_schema),
-        map_parts.mapInPandas(emit_map, map_schema),
+        _doc_map_df(map_parts, offsets),
         acc,
         (acc_tokens, acc_postings),
     )
+
+
+def corpus_partials(
+    pages: DataFrame,
+    lang_filter: str | None = "ko",
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+    num_partitions: int | None = None,
+    order: str = "input",
+    block_size: int | None = None,
+):
+    """Corpus → ``(partials, doc_map)`` — the FUSED build path: the
+    tokenize pass emits partial-block rows (the compressed map-side-
+    combined form, :data:`..index.blocks.PARTIAL_SCHEMA`) directly, so
+    the ~35× larger row-postings relation never crosses the Python↔JVM
+    boundary and is never materialized. This is the 100×-scale shape:
+    the only thing a build ever writes or shuffles is ≈ the compressed
+    index size. Row postings, term/doc stats are all DERIVABLE from
+    partials (:func:`postings_from_partials`, :func:`_stats_from_partials`).
+
+    Salting is NOT applied here (hot-term dfs aren't known until the
+    stats stage); the blocks stage assigns ``salt = first_doc >>
+    SALT_SHIFT`` per partial row for hot terms — partials are
+    doc-contiguous and disjoint, so first_doc-derived salt ranges
+    remain doc-contiguous and the salted groups concatenate without a
+    re-merge, exactly as with per-doc salting.
+
+    Same docID determinism and counters as :func:`corpus_postings`.
+    """
+    import numpy as np
+
+    from ..analysis.tokenizer import get_lattice_provider, index_token_stream
+    from .blocks import PARTIAL_SCHEMA
+    from .codec import BLOCK_SIZE as _DEFAULT_BS
+
+    bs = block_size or _DEFAULT_BS
+    spark = pages.sparkSession
+    text_parts, map_parts, offsets, acc = _docid_partitions(
+        pages, lang_filter, num_partitions, order
+    )
+    acc_tokens = spark.sparkContext.accumulator(0)
+    acc_postings = spark.sparkContext.accumulator(0)
+
+    def emit_partials(batches):
+        import pyarrow as pa
+
+        from .blocks import _gather_bytes, _pa_binary
+        from .codec import encode_varint_groups_concat
+
+        provider = get_lattice_provider()
+        seen = 0
+        base = None
+        code_of: dict[str, int] = {}
+        uniques: list[str] = []
+        codes_p, docs_p, tfs_p, dls_p, lens_p, pos_bufs = [], [], [], [], [], []
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            if base is None:
+                base = offsets[batch.column("_pid")[0].as_py()]
+            texts = batch.column("text").to_pylist()
+            b_codes: list[int] = []
+            b_docs: list[int] = []
+            b_tfs: list[int] = []
+            b_dls: list[int] = []
+            flat_deltas: list[int] = []
+            for off, txt in enumerate(texts):
+                d = base + seen + off
+                t_terms, t_incrs = index_token_stream(
+                    txt or "", mode, compound_noun_min_length, provider
+                )
+                per_term: dict[str, list[int]] = {}
+                position = -1
+                for term_s, inc in zip(t_terms, t_incrs):
+                    position += inc
+                    per_term.setdefault(term_s, []).append(position)
+                dl = len(t_terms)
+                for term, plist in per_term.items():
+                    code = code_of.get(term)
+                    if code is None:
+                        code = code_of[term] = len(uniques)
+                        uniques.append(term)
+                    b_codes.append(code)
+                    b_docs.append(d)
+                    b_tfs.append(len(plist))
+                    b_dls.append(dl)
+                    prev = 0
+                    for q in plist:
+                        flat_deltas.append(q - prev)
+                        prev = q
+            seen += nrows
+            acc_tokens.add(len(flat_deltas))
+            acc_postings.add(len(b_codes))
+            if b_codes:
+                # positions varint-encoded per batch (ONE vectorized
+                # pass); byte geometry kept for the final gather
+                buf, bounds = encode_varint_groups_concat(flat_deltas, b_tfs)
+                pos_bufs.append(buf)
+                lens_p.append(np.diff(bounds))
+                codes_p.append(np.asarray(b_codes, dtype=np.int64))
+                docs_p.append(np.asarray(b_docs, dtype=np.int64))
+                tfs_p.append(np.asarray(b_tfs, dtype=np.uint64))
+                dls_p.append(np.asarray(b_dls, dtype=np.uint64))
+        if not codes_p:
+            return
+        codes = np.concatenate(codes_p)
+        docs = np.concatenate(docs_p)
+        tfs = np.concatenate(tfs_p)
+        dls = np.concatenate(dls_p)
+        pos_lens = np.concatenate(lens_p)
+        pos_data = np.frombuffer(b"".join(pos_bufs), dtype=np.uint8)
+        n = len(codes)
+        # docIDs are emitted ascending (base + running row offset), so a
+        # stable sort on term codes IS the (term, doc) lexsort
+        order = np.argsort(codes, kind="stable")
+        codes_s, docs_s = codes[order], docs[order]
+        tfs_s, dls_s = tfs[order], dls[order]
+        run_change = np.empty(n, dtype=bool)
+        run_change[0] = True
+        run_change[1:] = codes_s[1:] != codes_s[:-1]
+        run_starts = np.flatnonzero(run_change)
+        run_id = np.cumsum(run_change) - 1
+        offset_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+        gstarts = np.flatnonzero(offset_in_run % bs == 0)
+        gsizes = np.diff(np.append(gstarts, n))
+        deltas = docs_s.astype(np.uint64).copy()
+        deltas[1:] = (docs_s[1:] - docs_s[:-1]).astype(np.uint64)
+        deltas[gstarts] = docs_s[gstarts].astype(np.uint64)
+        dd, dd_b = encode_varint_groups_concat(deltas, gsizes)
+        tt, tt_b = encode_varint_groups_concat(tfs_s, gsizes)
+        ll, ll_b = encode_varint_groups_concat(dls_s, gsizes)
+        pos_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(pos_lens[:-1], out=pos_starts[1:])
+        src_lens = pos_lens[order]
+        allpos = _gather_bytes(pos_data, pos_starts[order], src_lens)
+        pos_b = np.zeros(len(gstarts) + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(src_lens, gstarts), out=pos_b[1:])
+        uniq_arr = pa.array(uniques, type=pa.string())
+        yield pa.RecordBatch.from_arrays(
+            [
+                uniq_arr.take(pa.array(codes_s[gstarts])),
+                pa.array(np.zeros(len(gstarts), dtype=np.int64)),
+                pa.array(docs_s[gstarts]),
+                pa.array(gsizes.astype(np.int32)),
+                _pa_binary(dd, dd_b),
+                _pa_binary(tt, tt_b),
+                _pa_binary(allpos, pos_b),
+                _pa_binary(ll, ll_b),
+            ],
+            names=[f.name for f in PARTIAL_SCHEMA.fields],
+        )
+
+    return (
+        text_parts.mapInArrow(emit_partials, PARTIAL_SCHEMA),
+        _doc_map_df(map_parts, offsets),
+        acc,
+        (acc_tokens, acc_postings),
+    )
+
+
+def postings_from_partials(partials: DataFrame) -> DataFrame:
+    """Row-postings VIEW decoded from partial blocks — same rows as the
+    legacy materialized ``postings`` table (term, doc_id, tf, positions,
+    doc_len), computed on demand with vectorized varint decodes and
+    zero-copy per-doc position slicing (per-doc payload bounds come
+    from the varint continuation bits; the position bytes themselves
+    are never re-encoded)."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("positions", T.BinaryType(), False),
+            T.StructField("doc_len", T.IntegerType(), False),
+        ]
+    )
+    pruned = partials.select(
+        "term", "n_docs", "doc_deltas", "tfs", "pos_deltas", "doc_lens"
+    )
+
+    def unpack(batches):
+        import pyarrow as pa
+
+        from .blocks import _bin_offsets, _pa_binary
+        from .codec import decode_varints
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            nd = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            npart = len(nd)
+            dd_data, _ = _bin_offsets(batch.column("doc_deltas"))
+            tt_data, _ = _bin_offsets(batch.column("tfs"))
+            ll_data, _ = _bin_offsets(batch.column("doc_lens"))
+            pos_data, _ = _bin_offsets(batch.column("pos_deltas"))
+            raw = decode_varints(dd_data)
+            tfs = decode_varints(tt_data)
+            dls = decode_varints(ll_data)
+            n = len(raw)
+            part_starts = np.zeros(npart, dtype=np.int64)
+            np.cumsum(nd[:-1], out=part_starts[1:])
+            csum = np.cumsum(raw.astype(np.int64))
+            prefix = np.zeros(npart, dtype=np.int64)
+            prefix[1:] = csum[part_starts[1:] - 1]
+            part_of_row = np.repeat(np.arange(npart), nd)
+            docs = csum - prefix[part_of_row]
+            bounds = np.zeros(n + 1, dtype=np.int64)
+            if pos_data.size:
+                val_ends = np.flatnonzero(pos_data < 128)
+                bounds[1:] = val_ends[np.cumsum(tfs.astype(np.int64)) - 1] + 1
+            out = pa.RecordBatch.from_arrays(
+                [
+                    batch.column("term").take(pa.array(part_of_row)),
+                    pa.array(docs),
+                    pa.array(tfs.astype(np.int32)),
+                    _pa_binary(pos_data, bounds),
+                    pa.array(dls.astype(np.int32)),
+                ],
+                names=["term", "doc_id", "tf", "positions", "doc_len"],
+            )
+            for i in range(0, out.num_rows, 131072):
+                yield out.slice(i, 131072)
+
+    return pruned.mapInArrow(unpack, schema)
+
+
+def _stats_from_partials(partials: DataFrame):
+    """``(term_stats, doc_stats)`` straight from partials.
+
+    ``df`` is an exact JVM-side aggregation of the ``n_docs`` column (a
+    doc appears once per term, so ``sum(n_docs)`` over a term's
+    partials IS its document frequency) — no decode, no Python.
+    ``doc_stats`` decodes (doc_id, doc_len) pairs with a
+    PARTITION-LOCAL unique first (a doc's partials all live in the
+    partition that tokenized it), so only ~1 row/doc crosses into the
+    final ``groupBy`` — which still exists because a parquet file
+    bigger than ``maxPartitionBytes`` can split mid-doc-run and
+    duplicate a boundary doc across scan partitions."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    term_stats = partials.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df")
+    )
+
+    ds_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("doc_len", T.LongType(), False),
+        ]
+    )
+    pruned = partials.select("n_docs", "doc_deltas", "doc_lens")
+
+    def decode_doc_stats(batches):
+        import pyarrow as pa
+
+        from .blocks import _bin_offsets
+        from .codec import decode_varints
+
+        all_docs, all_lens = [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            nd = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            npart = len(nd)
+            dd_data, _ = _bin_offsets(batch.column("doc_deltas"))
+            ll_data, _ = _bin_offsets(batch.column("doc_lens"))
+            raw = decode_varints(dd_data)
+            part_starts = np.zeros(npart, dtype=np.int64)
+            np.cumsum(nd[:-1], out=part_starts[1:])
+            csum = np.cumsum(raw.astype(np.int64))
+            prefix = np.zeros(npart, dtype=np.int64)
+            prefix[1:] = csum[part_starts[1:] - 1]
+            docs = csum - prefix[np.repeat(np.arange(npart), nd)]
+            all_docs.append(docs)
+            all_lens.append(decode_varints(ll_data).astype(np.int64))
+        if not all_docs:
+            return
+        docs = np.concatenate(all_docs)
+        lens = np.concatenate(all_lens)
+        uniq, idx = np.unique(docs, return_index=True)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uniq), pa.array(lens[idx])], names=["doc_id", "doc_len"]
+        )
+
+    doc_stats = (
+        pruned.mapInArrow(decode_doc_stats, ds_schema)
+        .groupBy("doc_id")
+        .agg(F.first("doc_len").alias("doc_len"))
+    )
+    return term_stats, doc_stats
 
 
 def _write_corpus_stats(spark, path: str, n_docs: int, avgdl: float) -> None:
@@ -496,6 +819,14 @@ def build_and_write(
 
     A rerun skips completed stages (manifest + ``_SUCCESS``); docIDs are
     deterministic, so resumed output is byte-identical.
+
+    ``with_blocks=True`` (a serving build) uses the FUSED pipeline:
+    stage 1 is ``partials`` — the tokenize pass emits compressed
+    partial blocks directly (``corpus_partials``), row postings are
+    never materialized (≈35× less data written/scanned between
+    stages), and ``load_index(...).postings`` is a decoded view.
+    ``with_blocks=False`` keeps the legacy row-postings layout (the
+    postings table IS the requested product there).
     """
     from contextlib import contextmanager
 
@@ -558,13 +889,17 @@ def build_and_write(
         },
     )
 
-    def stage_postings():
+    fused = with_blocks
+    emit_stage = "partials" if fused else "postings"
+
+    def stage_emit():
         import threading
 
-        postings, doc_map, n_docs, (acc_tokens, acc_postings) = corpus_postings(
+        maker = corpus_partials if fused else corpus_postings
+        emitted, doc_map, n_docs, (acc_tokens, acc_postings) = maker(
             pages, lang_filter, mode, compound_noun_min_length, order=doc_order
         )
-        # doc_map is independent of the postings sink — submit it
+        # doc_map is independent of the main sink — submit it
         # concurrently so its (url-pruned, Python-thin) job fills task
         # slots the tokenize pass leaves idle in its tail, instead of
         # paying a second full job latency serially
@@ -578,7 +913,7 @@ def build_and_write(
 
         t = threading.Thread(target=_write_map, daemon=True)
         t.start()
-        postings.write.mode("overwrite").parquet(f"{base_path}/postings")
+        emitted.write.mode("overwrite").parquet(f"{base_path}/{emit_stage}")
         t.join()
         if map_err:
             raise map_err[0]
@@ -593,15 +928,19 @@ def build_and_write(
         }
 
     with _build_confs():
-        run_stage(manifest, "postings", f"{base_path}/postings", stage_postings)
+        run_stage(manifest, emit_stage, f"{base_path}/{emit_stage}", stage_emit)
 
     def stage_stats():
         import threading
 
         from pyspark.sql import Observation
 
-        postings = spark.read.parquet(f"{base_path}/postings")
-        term_stats, doc_stats, _ = _stats_from_postings(postings)
+        if fused:
+            partials = spark.read.parquet(f"{base_path}/partials")
+            term_stats, doc_stats = _stats_from_partials(partials)
+        else:
+            postings = spark.read.parquet(f"{base_path}/postings")
+            term_stats, doc_stats, _ = _stats_from_postings(postings)
         # corpus stats ride the doc_stats write via Observation — exact
         # under task retries / speculation (observed metrics are action-
         # consistent), unlike transformation-side accumulators which
@@ -641,9 +980,9 @@ def build_and_write(
     if with_blocks:
 
         def stage_blocks():
-            from .blocks import SALT_SHIFT, build_blocks
+            from .blocks import SALT_SHIFT, build_blocks_from_partials
 
-            postings = spark.read.parquet(f"{base_path}/postings")
+            partials = spark.read.parquet(f"{base_path}/partials")
             term_stats = spark.read.parquet(f"{base_path}/term_stats")
             # corpus stats come from the stats stage's manifest counters
             # (present even on resume); parquet is the fallback for
@@ -655,23 +994,18 @@ def build_and_write(
                 corpus = spark.read.parquet(f"{base_path}/corpus_stats").first()
                 n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
 
-            blocks = build_blocks(
-                postings,
+            blocks = build_blocks_from_partials(
+                partials,
                 term_stats,
                 n_docs=n_docs,
                 avgdl=avgdl,
                 hot_min_df=hot_min_df,
                 salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
             )
-            try:
-                # block rows leave the re-blocker (term, first_doc)-
-                # sorted within partitions, so parquet row-group min/max
-                # stats prune term-filtered scans
-                blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
-            finally:
-                partials = getattr(blocks, "_partials_df", None)
-                if partials is not None:
-                    partials.unpersist()
+            # block rows leave the re-blocker (term, first_doc)-
+            # sorted within partitions, so parquet row-group min/max
+            # stats prune term-filtered scans
+            blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
             # footer-only count (metadata scan) for the lineage counter
             return {
                 "blocks_written": spark.read.parquet(f"{base_path}/blocks").count()
@@ -695,8 +1029,14 @@ def load_index(spark: SparkSession, base_path: str) -> InvertedIndex:
         if sep == "."
         else spark.read.parquet
     )
+    try:
+        postings = read(f"{base_path}{sep}postings")
+    except Exception:
+        # fused build: row postings were never materialized — serve the
+        # decoded view over the partial blocks (row-identical)
+        postings = postings_from_partials(read(f"{base_path}{sep}partials"))
     return InvertedIndex(
-        read(f"{base_path}{sep}postings"),
+        postings,
         read(f"{base_path}{sep}term_stats"),
         read(f"{base_path}{sep}doc_stats"),
         read(f"{base_path}{sep}corpus_stats"),

@@ -44,10 +44,20 @@ __all__ = [
 #: index member tables published to the catalog, in write order;
 #: doc_map (docID → url, what serving needs to render results) is NOT
 #: derivable from the others and must ship with the index
-INDEX_TABLES = ("postings", "doc_map", "term_stats", "doc_stats", "corpus_stats", "blocks")
+INDEX_TABLES = (
+    "postings",
+    "partials",
+    "doc_map",
+    "term_stats",
+    "doc_stats",
+    "corpus_stats",
+    "blocks",
+)
 
-#: members a build may legitimately lack (with_blocks=False)
-_OPTIONAL_TABLES = frozenset({"blocks"})
+#: members a build may legitimately lack: with_blocks=False builds have
+#: no blocks/partials; fused builds (with_blocks=True) materialize
+#: partials instead of row postings
+_OPTIONAL_TABLES = frozenset({"blocks", "partials", "postings"})
 
 
 def iceberg_available(spark: SparkSession) -> bool:

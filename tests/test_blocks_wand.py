@@ -43,7 +43,7 @@ def _decode_all(blocks_rows):
 
 
 def test_blocks_roundtrip_equals_row_postings(spark, materialized, blocks_df):
-    rows = spark.read.parquet(f"{BASE}/postings").collect()
+    rows = materialized.postings.collect()  # decoded view over partials
     expected = {}
     for r in rows:
         expected.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
@@ -62,7 +62,7 @@ def test_blocks_roundtrip_equals_row_postings(spark, materialized, blocks_df):
 
 
 def test_salted_merge_same_as_unsalted(spark, materialized):
-    postings = spark.read.parquet(f"{BASE}/postings")
+    postings = materialized.postings
     term_stats = spark.read.parquet(f"{BASE}/term_stats")
     corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
     # every term hot with 8-doc salt ranges (so salting GENUINELY splits
@@ -143,23 +143,23 @@ def test_resume_skips_completed_stages(spark, materialized):
 
     with open(f"{BASE}/manifest.json") as f:
         m1 = json.load(f)
-    assert set(m1["stages"]) == {"postings", "stats", "blocks"}
-    assert m1["stages"]["postings"]["counters"]["docs_tokenized"] == N_DOCS
+    assert set(m1["stages"]) == {"partials", "stats", "blocks"}
+    assert m1["stages"]["partials"]["counters"]["docs_tokenized"] == N_DOCS
 
     # drop the stats outputs → only that stage reruns
     shutil.rmtree(f"{BASE}/term_stats")
     del m1["stages"]["stats"]
     with open(f"{BASE}/manifest.json", "w") as f:
         json.dump(m1, f)
-    before = spark.read.parquet(f"{BASE}/postings").count()
+    before = spark.read.parquet(f"{BASE}/partials").count()
     pages = synthesize_webpages(spark, N_DOCS, partitions=3)
     build_and_write(pages, BASE, lang_filter=None, with_blocks=True, hot_min_df=30)
     with open(f"{BASE}/manifest.json") as f:
         m2 = json.load(f)
     assert m2["stages"]["stats"]["status"] == "complete"
-    # postings untouched (same row count, stage not re-run)
-    assert spark.read.parquet(f"{BASE}/postings").count() == before
-    assert m2["stages"]["postings"] == m1["stages"]["postings"]
+    # partials untouched (same row count, stage not re-run)
+    assert spark.read.parquet(f"{BASE}/partials").count() == before
+    assert m2["stages"]["partials"] == m1["stages"]["partials"]
 
 
 def test_batch_wand_rank_identical_to_serving(spark, materialized, blocks_df):
@@ -254,3 +254,46 @@ def test_direct_block_reader_positions_and_errors(spark, materialized):
     assert direct.fetch([]) == {}
     with _pytest.raises(ValueError):
         DirectBlockReader("/tmp/definitely_missing_block_dir_xyz")
+
+
+def test_arrow_blocks_byte_identical_to_pandas(spark, materialized):
+    """The Arrow-native pack/reblock stages (the default) must produce
+    BYTE-identical block rows to the pandas reference stages — same
+    cuts, same varint payloads, same metadata — with salting active
+    (salt_shift=3 genuinely splits terms) and without."""
+    postings = materialized.postings
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    for kwargs in (
+        dict(hot_min_df=1, salt_shift=3, num_partitions=48),
+        dict(hot_min_df=10**9),
+    ):
+        frames = {}
+        for impl in ("arrow", "pandas"):
+            df = build_blocks(
+                postings,
+                term_stats,
+                n_docs=corpus["n_docs"],
+                avgdl=corpus["avgdl"],
+                impl=impl,
+                **kwargs,
+            )
+            frames[impl] = sorted(
+                (
+                    (
+                        r["term"],
+                        r["first_doc"],
+                        r["n_docs"],
+                        bytes(r["doc_deltas"]),
+                        bytes(r["tfs"]),
+                        bytes(r["pos_deltas"]),
+                        bytes(r["doc_lens"]),
+                        r["block_max_tf"],
+                        round(r["block_max_impact"], 12),
+                    )
+                    for r in df.collect()
+                )
+            )
+            df._partials_df.unpersist()
+        assert frames["arrow"] == frames["pandas"]
+        assert len(frames["arrow"]) > 0

@@ -124,9 +124,17 @@ def test_compact_incremental_equals_batch_build(spark, tmp_path):
         df = spark.read.parquet(path).select(*cols)
         return sorted((tuple(r) for r in df.collect()), key=key)
 
+    def df_rows(df, cols, key):
+        return sorted((tuple(r) for r in df.select(*cols).collect()), key=key)
+
     pcols = ["term", "doc_id", "tf", "positions", "doc_len"]
     a = rows(f"{out}/postings", pcols, lambda t: (t[0], t[1]))
-    b = rows(f"{B}/batch/postings", pcols, lambda t: (t[0], t[1]))
+    # fused serving build: row postings are a decoded view over partials
+    from mecab_ko_lucene_analyzer_spark.index.build import load_index
+
+    b = df_rows(
+        load_index(spark, f"{B}/batch").postings, pcols, lambda t: (t[0], t[1])
+    )
     assert len(a) == len(b) > 0 and a == b
     bcols = spark.read.parquet(f"{B}/batch/blocks").columns
     a = rows(f"{out}/blocks", bcols, lambda t: (t[0], t[1], t[2]))
