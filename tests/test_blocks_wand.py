@@ -297,3 +297,66 @@ def test_arrow_blocks_byte_identical_to_pandas(spark, materialized):
             df._partials_df.unpersist()
         assert frames["arrow"] == frames["pandas"]
         assert len(frames["arrow"]) > 0
+
+
+def test_fused_build_row_identical_to_legacy(spark, materialized, tmp_path):
+    """The fused serving build (partials checkpoint, decoded row-postings
+    view) and the legacy layout (with_blocks=False materializes the row
+    table) must agree row-for-row — postings (incl. position payload
+    bytes) and every stats table — over the same corpus."""
+    from mecab_ko_lucene_analyzer_spark.index.build import load_index
+
+    pages = synthesize_webpages(spark, N_DOCS, partitions=4)
+    legacy = build_and_write(
+        pages, f"{tmp_path}/legacy", lang_filter=None, with_blocks=False
+    )
+    # fresh load: the module fixture's captured stats plans go stale
+    # when the resume test rewrites those directories
+    fused = load_index(spark, BASE)
+
+    def rows(df, cols, key):
+        return sorted(
+            (tuple(bytes(v) if isinstance(v, bytearray) else v for v in t)
+             for t in df.select(*cols).collect()),
+            key=key,
+        )
+
+    pcols = ["term", "doc_id", "tf", "positions", "doc_len"]
+    a = rows(fused.postings, pcols, lambda t: (t[0], t[1]))
+    b = rows(legacy.postings, pcols, lambda t: (t[0], t[1]))
+    assert len(a) == len(b) > 0 and a == b
+    for attr, cols, key in [
+        ("term_stats", ["term", "df"], lambda t: t[0]),
+        ("doc_stats", ["doc_id", "doc_len"], lambda t: t[0]),
+        ("corpus_stats", ["n_docs", "avgdl"], lambda t: t[0]),
+    ]:
+        assert rows(getattr(fused, attr), cols, key) == rows(
+            getattr(legacy, attr), cols, key
+        ), attr
+
+
+def test_pack_reblock_arrow_equals_pandas(spark, materialized):
+    """The Arrow-native pack/reblock stages must be BYTE-identical to
+    the pandas reference implementation — same block rows, same varint
+    payloads, same impacts — including under aggressive salting."""
+    postings = materialized.postings
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+
+    def rows(impl, **kw):
+        df = build_blocks(
+            postings, term_stats, corpus["n_docs"], corpus["avgdl"],
+            impl=impl, **kw,
+        )
+        out = sorted(
+            (tuple(bytes(v) if isinstance(v, bytearray) else v for v in t)
+             for t in df.collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        df._partials_df.unpersist()
+        return out
+
+    for kw in ({"hot_min_df": 10**9}, {"hot_min_df": 1, "salt_shift": 3}):
+        a = rows("arrow", **kw)
+        p = rows("pandas", **kw)
+        assert len(a) == len(p) > 0 and a == p, kw
