@@ -114,10 +114,15 @@ def _q_corpus_stats(spark, sf_dir):
 
 
 def _q_bm25_topk(spark, sf_dir):
+    # fully lazy single-job formulation: the (n, avgdl) corpus scalars
+    # ride a broadcast 1-row cross-join instead of a separate eager
+    # .first() job, so the driver pays ONE job latency and Spark's
+    # ReuseExchange dedupes the shared doc_len aggregation subtree
     toks = _tokens(spark, sf_dir)
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("doc_len"))
-    row = dl.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).first()
-    n, avgdl = float(row["n"]), float(row["avgdl"])
+    scalars = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("doc_len").alias("avgdl")
+    )
     tfs = (
         toks.filter(F.col("term").isin(BM25_QUERY))
         .groupBy("term", "doc_id")
@@ -127,12 +132,16 @@ def _q_bm25_topk(spark, sf_dir):
     scored = (
         tfs.join(F.broadcast(dfs), "term")
         .join(dl, "doc_id")
-        .withColumn("idf", F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
         .withColumn(
             "partial",
             F.col("idf")
             * F.col("tf")
-            / (F.col("tf") + K1 * (1 - B + B * F.col("doc_len") / F.lit(avgdl))),
+            / (F.col("tf") + K1 * (1 - B + B * F.col("doc_len") / F.col("avgdl"))),
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))

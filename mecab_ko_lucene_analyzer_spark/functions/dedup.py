@@ -195,10 +195,26 @@ def minhash_signatures(
 
     Docs with zero shingles (< n tokens) are dropped: an all-NULL
     signature would put every short doc in one bucket — a skew bomb at
-    web scale and semantically wrong."""
+    web scale and semantically wrong.
+
+    The token-hash array is pinned behind a one-element ``explode``
+    (a Generate node): ``shingle_hashes`` references it ~6× (slices +
+    fold accumulators) and ``CollapseProject`` would otherwise inline
+    the md5 transform into every reference — measured 3.3× slower
+    (md5 appeared 7× in the physical plan; higher-order-function
+    expressions get no codegen subexpression elimination, so each
+    copy re-hashes every token)."""
     hashed = (
-        docs.select("doc_id", token_hashes(text, hash_impl).alias("_th"))
-        .select("doc_id", shingle_hashes(F.col("_th"), n).alias("h"))
+        docs.select(
+            "doc_id",
+            F.explode(F.array(token_hashes(text, hash_impl))).alias("_th"),
+        )
+        # pin h the same way: the filter predicate below and the 32
+        # signature folds all reference it
+        .select(
+            "doc_id",
+            F.explode(F.array(shingle_hashes(F.col("_th"), n))).alias("h"),
+        )
         .filter(F.size("h") > 0)
     )
     coeffs = perm_coeffs(n_hashes, seed)
