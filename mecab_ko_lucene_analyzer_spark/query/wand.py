@@ -411,12 +411,80 @@ def _single_term_topk(c: TermCursor, k: int) -> list[tuple[int, float]]:
     return [(-d, s) for s, d in cand[:k]]
 
 
-def wand_topk(cursors: list[TermCursor], k: int = 10) -> list[tuple[int, float]]:
-    """Document-at-a-time block-max WAND. Returns [(doc_id, score)]
-    ordered by (score desc, doc_id asc), length ≤ k."""
+def _decode_term_postings(c: TermCursor) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ALL of a cursor's blocks in three vectorized passes →
+    (docs, scores). Varint payloads are concatenated and decoded once;
+    per-block doc-delta chains (each block's first delta is the absolute
+    docID, codec.py::encode_block) are rebased with a segmented cumsum —
+    no per-block numpy round-trips, so cost is O(total bytes), not
+    O(blocks)."""
+    d_bytes = b"".join(blk.doc_deltas for blk in c.blocks)
+    deltas = decode_varints(d_bytes).astype(np.int64)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    tf = decode_varints(b"".join(blk.tfs for blk in c.blocks)).astype(np.float64)
+    dl = decode_varints(b"".join(blk.doc_lens for blk in c.blocks)).astype(
+        np.float64
+    )
+    # varints per block: count delta-payload end bytes before each
+    # block's byte boundary (a varint's last byte is < 0x80)
+    byte_ends = np.flatnonzero(np.frombuffer(d_bytes, dtype=np.uint8) < 128)
+    bounds = np.cumsum([len(blk.doc_deltas) for blk in c.blocks])
+    counts = np.diff(np.searchsorted(byte_ends, bounds, side="left"), prepend=0)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    csum = np.cumsum(deltas)
+    base = np.where(starts > 0, csum[starts - 1], 0)
+    docs = csum - np.repeat(base, counts)
+    scores = c.idf * tf / (tf + c.k1 * (1 - c.b + c.b * dl / c.avgdl))
+    return docs, scores
+
+
+def _taat_topk(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Vectorized exact term-at-a-time top-k: decode every candidate
+    block, score per term in one numpy expression, sum per doc, take
+    top-k with the (score desc, doc_id asc) tie-break. Rank-identical to
+    the WAND loop (both compute the exact BM25 sum); ~100–1000× faster
+    per posting because no per-doc Python executes. Used when the
+    query's total compressed payload is bounded (see ``wand_topk``) —
+    the regime where decoding everything beats skipping."""
+    parts = [_decode_term_postings(c) for c in cursors]
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, scores)
+    order = np.lexsort((uniq, -acc))[:k]
+    return [(int(uniq[i]), float(acc[i])) for i in order if acc[i] > 0.0]
+
+
+# Above this many compressed payload bytes (~= postings, deltas are
+# 1–2 bytes each) the skipping WAND loop takes over: decoding
+# everything stops being cheaper than skipping, and truly hot terms
+# have already been routed to the distributed scorer (query/router.py).
+TAAT_MAX_BYTES = 4_000_000
+
+
+def wand_topk(
+    cursors: list[TermCursor], k: int = 10, strategy: str = "auto"
+) -> list[tuple[int, float]]:
+    """Top-k over compressed blocks. Returns [(doc_id, score)]
+    ordered by (score desc, doc_id asc), length ≤ k.
+
+    ``strategy``: ``"auto"`` (default) picks the vectorized exact TAAT
+    scorer when the query's total compressed payload is under
+    ``TAAT_MAX_BYTES`` and the document-at-a-time block-max WAND loop
+    otherwise; ``"wand"`` / ``"taat"`` force a path (tests pin both
+    rank-identical)."""
     cursors = [c for c in cursors if not c.exhausted()]
-    if len(cursors) == 1:
+    if len(cursors) == 1 and strategy != "wand":
         return _single_term_topk(cursors[0], k)
+    if strategy == "taat" or (
+        strategy == "auto"
+        and cursors
+        and sum(len(b.doc_deltas) for c in cursors for b in c.blocks)
+        <= TAAT_MAX_BYTES
+    ):
+        return _taat_topk(cursors, k) if cursors else []
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
 
     def theta() -> float:

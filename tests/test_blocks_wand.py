@@ -138,6 +138,26 @@ def test_wand_rank_identical_to_oracle(spark, materialized, blocks_df, terms):
         assert s1 == pytest.approx(s2, abs=1e-9)
 
 
+@pytest.mark.parametrize("terms", QUERIES, ids=["+".join(q) for q in QUERIES])
+def test_taat_rank_identical_to_wand(spark, materialized, blocks_df, terms):
+    """The vectorized exact TAAT path (auto-picked for bounded payloads)
+    must rank-match the skipping WAND loop on every fixture query —
+    both compute the exact BM25 sum, so docs AND scores agree."""
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+
+    def cursors():
+        return load_query_cursors(
+            blocks_df, term_stats, corpus["n_docs"], corpus["avgdl"], terms
+        )
+
+    via_wand = wand_topk(cursors(), k=10, strategy="wand")
+    via_taat = wand_topk(cursors(), k=10, strategy="taat")
+    assert [d for d, _ in via_taat] == [d for d, _ in via_wand]
+    for (_, s1), (_, s2) in zip(via_taat, via_wand):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
 def test_resume_skips_completed_stages(spark, materialized):
     import json
 
