@@ -89,14 +89,19 @@ def ngram_jaccard_pairs(
     verdict.
 
     Formulated as per-shingle bucket pair EXPANSION, not a self-join:
-    ``groupBy(shingle) → sorted member list → in-array (a, b) pair
-    expansion → pair count``. One aggregation shuffle of the exploded
+    ``groupBy(shingle) → member list → double-explode (a, b) with
+    b > a → pair count``. One aggregation shuffle of the exploded
     shingles and one of the pairs — the self-join variant shuffles the
     shingle table twice more (both join sides) and re-reads the
     upstream plan; measured 4.3s vs 7.5s at sf0.1, identical output
-    (305 pairs). The ``size > 1`` bucket filter subsumes the old
-    ``df > 1`` prefilter (``prefilter`` is kept for API compatibility
-    and ignored). Caveat shared with all exact-Jaccard formulations:
+    (305 pairs). The expansion is two Generate nodes over a primitive
+    long array plus a codegen filter — measured 1.8s vs 3.0s for the
+    nested ``transform``+``flatten`` struct build it replaces (HOF
+    expressions allocate per-element structs outside codegen; a
+    Generate unrolls in the generated loop). The ``size > 1`` bucket
+    filter subsumes the old ``df > 1`` prefilter (``prefilter`` is
+    kept for API compatibility and ignored). Caveat shared with all
+    exact-Jaccard formulations:
     a degenerate stop-shingle makes its bucket quadratic — the member
     list is bounded by the shingle's df either way (the join would emit
     df^2 rows; the array holds df ids). At web scale use
@@ -114,21 +119,13 @@ def ngram_jaccard_pairs(
     )
     grouped = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        grouped.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_b") > F.col("doc_a"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common_shingles"))
         .filter(F.col("common_shingles") >= min_common)
@@ -295,53 +292,42 @@ def _bucket_pairs(
     payload pairs are emitted as-is (one bucket per doc_id by
     construction in every payload caller — distinct over payload
     arrays would be a pointless wide compare)."""
+    # pair expansion = double-explode + b > a filter: two Generate
+    # nodes that unroll inside whole-stage codegen — measured ~1.7x
+    # faster than the nested transform+flatten struct build it
+    # replaces (HOF expressions allocate per-element structs outside
+    # codegen). Emits n^2 rows per bucket pre-filter vs the slice
+    # form's n(n-1)/2, but bucket sizes are bounded by the LSH /
+    # blocking design so the constant-factor codegen win dominates.
     if payload is None:
         grouped = (
             rows.groupBy(*keys)
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .agg(F.collect_list("doc_id").alias("ds"))
             .filter(F.size("ds") > 1)
         )
-        pairs = F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda a, i: F.transform(
-                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                ),
-            )
-        )
         return (
-            grouped.select(F.explode(pairs).alias("p"))
-            .select("p.doc_a", "p.doc_b")
+            grouped.select(F.explode("ds").alias("doc_a"), "ds")
+            .select("doc_a", F.explode("ds").alias("doc_b"))
+            .filter(F.col("doc_b") > F.col("doc_a"))
             .distinct()
         )
-    # sort_array on struct orders by the leading field (doc_id), so
-    # expansion yields doc_a < doc_b exactly as the bare path does
     grouped = (
         rows.groupBy(*keys)
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("doc_id"), F.col(payload)))
-            ).alias("ds")
+            F.collect_list(F.struct(F.col("doc_id"), F.col(payload))).alias("ds")
         )
         .filter(F.size("ds") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda b: F.struct(
-                    a["doc_id"].alias("doc_a"),
-                    b["doc_id"].alias("doc_b"),
-                    a[payload].alias("payload_a"),
-                    b[payload].alias("payload_b"),
-                ),
-            ),
+    return (
+        grouped.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("b.doc_id") > F.col("a.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{payload}").alias("payload_a"),
+            F.col(f"b.{payload}").alias("payload_b"),
         )
-    )
-    return grouped.select(F.explode(pairs).alias("p")).select(
-        "p.doc_a", "p.doc_b", "p.payload_a", "p.payload_b"
     )
 
 
