@@ -200,36 +200,58 @@ def minhash_signatures(
     the md5 transform into every reference — measured 3.3× slower
     (md5 appeared 7× in the physical plan; higher-order-function
     expressions get no codegen subexpression elimination, so each
-    copy re-hashes every token)."""
+    copy re-hashes every token).
+
+    The n_hashes permutation mins are computed in ONE ``mapInArrow``
+    hop over the shingle-hash arrays: the Arrow list buffers give a
+    flat int64 array + offsets with zero per-row Python, the whole
+    batch's ``(a_i*h + b_i) mod P31`` matrix is one numpy expression,
+    and per-doc mins fall out of a segmented ``minimum.reduceat``.
+    Measured 1.8–2.4s → 0.8–1.0s at sf0.1 vs the previous 32 scalar
+    ``F.aggregate`` folds (HOF lambdas evaluate interpreted per
+    element); bit-identical output, so the DuckDB oracle is unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
     hashed = (
         docs.select(
             "doc_id",
             F.explode(F.array(token_hashes(text, hash_impl))).alias("_th"),
         )
-        # pin h the same way: the filter predicate below and the 32
-        # signature folds all reference it
-        .select(
-            "doc_id",
-            F.explode(F.array(shingle_hashes(F.col("_th"), n))).alias("h"),
-        )
+        .select("doc_id", shingle_hashes(F.col("_th"), n).alias("h"))
         .filter(F.size("h") > 0)
     )
     coeffs = perm_coeffs(n_hashes, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    Bc = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
 
-    def _perm_min(a: int, b: int):
-        # scalar running min via aggregate — array_min(transform(...))
-        # materializes a permuted copy of h per coefficient (32
-        # array allocations per row); the fold keeps one long
-        return F.aggregate(
-            F.col("h"),
-            F.lit(P31).cast("long"),
-            lambda acc, x: F.least(acc, (F.lit(a) * x + F.lit(b)) % F.lit(P31)),
-        )
+    def _sig_batches(batches):
+        import numpy as np
 
-    return hashed.select(
-        "doc_id",
-        F.array(*[_perm_min(a, b) for a, b in coeffs]).alias("sig"),
-    )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(1)
+            offs = col.offsets.to_numpy().astype(np.int64)
+            flat = col.values.to_numpy().astype(np.int64)
+            # a sliced ListArray's offsets need not start at 0
+            rel = offs - offs[0]
+            flat = flat[offs[0] : offs[-1]]
+            # operands < 2^31 keep a*h + b < 2^62: no int64 overflow
+            perm = (flat[None, :] * A + Bc) % P31
+            mins = np.minimum.reduceat(perm, rel[:-1], axis=1)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(len(rel), dtype=np.int32) * len(coeffs),
+                    type=pa.int32(),
+                ),
+                pa.array(mins.T.ravel(), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), sig], ["doc_id", "sig"]
+            )
+
+    return hashed.mapInArrow(_sig_batches, "doc_id bigint, sig array<bigint>")
 
 
 def minhash_lsh_pairs(
