@@ -389,6 +389,30 @@ def test_degenerate_docs_through_hashed_shingles(spark):
     assert jac == {(4, 5)}
 
 
+def test_simhash_degenerate_docs_pin_fold_semantics(spark):
+    """The vectorized Arrow simhash must keep the original fold form's
+    degenerate behavior exactly: empty token array → every majority
+    test is 0 ≥ 0 → all 60 bits set; NULL text → NULL fold condition →
+    otherwise(0) on every bit → simhash 0. Normal docs hash by
+    majority as usual (identical docs equal)."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import (
+        SIMHASH_BITS,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "hello"), (4, "hello"),
+         (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    by_id = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    all_ones = (1 << SIMHASH_BITS) - 1
+    assert by_id[0] == 0
+    assert by_id[1] == all_ones and by_id[2] == all_ones
+    assert by_id[3] == by_id[4]
+    assert 0 < by_id[3] < all_ones and 0 < by_id[5] < all_ones
+
+
 def test_hash_impl_unknown_rejected(docs):
     with pytest.raises(ValueError, match="hash_impl"):
         minhash_lsh_pairs(docs, hash_impl="sha1")
