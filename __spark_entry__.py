@@ -269,14 +269,13 @@ BATCH_QUERIES: list[tuple[int, list[str]]] = [
 ]
 
 
-def _q_batch_bm25_topk(spark, sf_dir):
-    """Bulk retrieval: a 4-query batch scored in ONE Spark job via
-    block-max WAND over a block index built from the whitespace tokens
-    (one term-pruned fetch + broadcast + executor-parallel WAND) —
-    rank-identical to per-query serving, exactly replicable in SQL."""
+def _ws_block_index(spark, sf_dir):
+    """Positions-carrying block index over the whitespace tokens (the
+    SQL-replicable tokenization): the real codec + block-max build
+    (`index/blocks.py::build_blocks`), shared by the bulk-retrieval and
+    phrase contract queries. Returns (blocks, term_stats, n, avgdl)."""
     from mecab_ko_lucene_analyzer_spark.functions.udfs import encode_positions_udf
     from mecab_ko_lucene_analyzer_spark.index.blocks import build_blocks
-    from mecab_ko_lucene_analyzer_spark.query import wand_topk_batch
 
     toks = _docs(spark, sf_dir).select(
         "doc_id",
@@ -300,6 +299,53 @@ def _q_batch_bm25_topk(spark, sf_dir):
     blocks = build_blocks(
         postings, term_stats, row["n"], float(row["avgdl"]), hot_min_df=10**9
     )
+    return blocks, term_stats, row["n"], float(row["avgdl"])
+
+
+#: contract phrases: a bigram with broad support and a trigram subset
+#: of it, so the consecutive-position check (not mere conjunction) is
+#: what separates the two result sets
+PHRASE_QUERIES: list[list[str]] = [
+    ["table", "hash"],
+    ["stream", "table", "hash"],
+]
+
+
+def _q_phrase_match(spark, sf_dir):
+    """Positional phrase retrieval through the SERVING engine (Q4
+    semantics, `DanawaSearchQueryBuilder.java:287-291` match_phrase):
+    builds the positions-carrying block index, evaluates each Phrase
+    AST via the production cursor tree (`_PhraseNode` consecutive-
+    position check over varint pos_deltas), and returns every matching
+    doc. Phrase score is 0 by contract, so k = n_docs yields the full
+    doc set ordered by doc_id. Oracle: DuckDB token-adjacency
+    self-joins on unnest ordinality — exercising I2/I3 position
+    encoding end-to-end under the driver's hash gate."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import Phrase
+    from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
+
+    blocks, term_stats, n, avgdl = _ws_block_index(spark, sf_dir)
+    rows = []
+    for terms in PHRASE_QUERIES:
+        hits = execute_ast(
+            Phrase(tuple(terms)), blocks, term_stats, n, avgdl, k=n
+        )
+        rows.extend((" ".join(terms), int(d)) for d, _ in hits)
+    partials = getattr(blocks, "_partials_df", None)
+    if partials is not None:
+        partials.unpersist()
+    return spark.createDataFrame(rows, "phrase string, doc_id long")
+
+
+def _q_batch_bm25_topk(spark, sf_dir):
+    """Bulk retrieval: a 4-query batch scored in ONE Spark job via
+    block-max WAND over a block index built from the whitespace tokens
+    (one term-pruned fetch + broadcast + executor-parallel WAND) —
+    rank-identical to per-query serving, exactly replicable in SQL."""
+    from mecab_ko_lucene_analyzer_spark.query import wand_topk_batch
+
+    blocks, term_stats, n, avgdl = _ws_block_index(spark, sf_dir)
+    row = {"n": n, "avgdl": avgdl}
     qdf = spark.createDataFrame(BATCH_QUERIES, "query_id long, terms array<string>")
     out = wand_topk_batch(blocks, qdf, row["n"], float(row["avgdl"]), k=10)
     result = out.select(
@@ -507,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "emb_near_dup": _q_emb_near_dup,
         "batch_bm25_topk": _q_batch_bm25_topk,
+        "phrase_match": _q_phrase_match,
         "streaming_postings_tf": _q_streaming_postings_tf,
         "streaming_dedup": _q_streaming_dedup,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
@@ -687,6 +734,38 @@ def _ann_lsh_topk_sql(dim: int = 64, n_planes: int = 4, seed: int = 42, k: int =
             )
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
         """
+
+
+def _phrase_match_sql() -> str:
+    """Token-adjacency oracle for :func:`_q_phrase_match`: positions
+    from unnest ordinality, one ``p + i`` chained self-join branch per
+    contract phrase."""
+    branches = []
+    for terms in PHRASE_QUERIES:
+        phrase = " ".join(terms)
+        joins = " ".join(
+            f"JOIN pos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(
+            f"t{i}.tok = '{t}'" for i, t in enumerate(terms)
+        )
+        branches.append(
+            f"SELECT DISTINCT '{phrase}' AS phrase, t0.doc_id "
+            f"FROM pos t0 {joins} WHERE {conds}"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+            FROM toks
+        )
+        {union}
+    """
 
 
 def _batch_bm25_topk_sql(k: int = 10) -> str:
@@ -972,6 +1051,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_topk_sql(),
         "emb_near_dup": _emb_near_dup_sql(),
         "batch_bm25_topk": _batch_bm25_topk_sql(),
+        # positional phrase retrieval: token adjacency via unnest
+        # ordinality self-joins (p+1 chains), one UNION branch per
+        # contract phrase — mirrors the serving engine's consecutive-
+        # position check over varint-encoded pos_deltas
+        "phrase_match": _phrase_match_sql(),
         # incremental streaming index ≡ batch: same oracle as postings_tf
         "streaming_postings_tf": f"""
             WITH toks AS ({_TOKS_SQL})
