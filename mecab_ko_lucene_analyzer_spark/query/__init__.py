@@ -1,4 +1,10 @@
-from .batch import wand_topk_batch
+from .batch import ast_topk_batch, wand_topk_batch
 from .bm25 import bm25_topk, bm25_oracle, lucene_idf
 
-__all__ = ["bm25_topk", "bm25_oracle", "lucene_idf", "wand_topk_batch"]
+__all__ = [
+    "bm25_topk",
+    "bm25_oracle",
+    "lucene_idf",
+    "wand_topk_batch",
+    "ast_topk_batch",
+]

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from .ast import And, Or, Phrase, Term, ast_terms
 from .wand import TermCursor, load_query_cursors
 
-__all__ = ["execute_ast", "topk_and", "topk_or"]
+__all__ = ["execute_ast", "execute_ast_cursors", "topk_and", "topk_or"]
 
 _INF = 1 << 62
 
@@ -162,6 +162,30 @@ def _build_tree(node, cursors: dict[str, TermCursor]):
     return cls(children)
 
 
+def execute_ast_cursors(
+    ast, cursors: dict[str, TermCursor], k: int = 10
+) -> list[tuple[int, float]]:
+    """Evaluate an AST over prebuilt term cursors → top-k
+    [(doc_id, score)], tie-break (score desc, doc_id asc). The
+    cursor-tree half of :func:`execute_ast`, shared with the bulk
+    executor path (``batch.py::ast_topk_batch``) where cursors come
+    from a broadcast payload instead of a Spark fetch."""
+    root = _build_tree(ast, cursors)
+    heap: list[tuple[float, int]] = []
+    d = root.cur_doc
+    while d < _INF:
+        score = root.score()
+        item = (score, -d)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+        root.next_geq(d + 1)
+        d = root.cur_doc
+    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(-dd, s) for s, dd in ranked]
+
+
 def execute_ast(
     ast,
     blocks: DataFrame,
@@ -187,20 +211,7 @@ def execute_ast(
             cache=cache,
         )
     }
-    root = _build_tree(ast, cursors)
-    heap: list[tuple[float, int]] = []
-    d = root.cur_doc
-    while d < _INF:
-        score = root.score()
-        item = (score, -d)
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-        root.next_geq(d + 1)
-        d = root.cur_doc
-    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
-    return [(-dd, s) for s, dd in ranked]
+    return execute_ast_cursors(ast, cursors, k)
 
 
 def topk_or(blocks, term_stats, n_docs, avgdl, terms, k=10):

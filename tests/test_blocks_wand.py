@@ -205,6 +205,53 @@ def test_batch_wand_rank_identical_to_serving(spark, materialized, blocks_df):
         assert sorted(got.get(qid, [])) == sorted(want), terms
 
 
+def test_ast_batch_rank_identical_to_serving(spark, materialized, blocks_df):
+    """Full-AST bulk retrieval (the reference's real query shape:
+    AND terms + synonym OR + boost-0 phrase) must rank-match the
+    serving path's per-query ``execute_ast`` — including the
+    positional phrase filter through the broadcast payload."""
+    from mecab_ko_lucene_analyzer_spark.query import ast_topk_batch
+    from mecab_ko_lucene_analyzer_spark.query.ast import (
+        And,
+        Or,
+        Phrase,
+        Term,
+        to_json,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
+
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    asts = [
+        Term("검색"),
+        And((Term("검색"), Term("엔진"))),
+        Or((Term("삼성전자"), Term("웹페이지"))),
+        Phrase(("검색", "엔진")),
+        # the DanawaSearchQueryBuilder shape: AND terms + phrase(boost 0)
+        And((Term("검색"), Term("엔진"), Phrase(("검색", "엔진")))),
+        And((Or((Term("한국어"), Term("문서"))), Term("색인"))),
+        Phrase(("한국어", "색인"), slop=2),
+        And((Term("없는단어쿼리"), Term("검색"))),  # empty AND branch
+    ]
+    batch = [(i, to_json(a)) for i, a in enumerate(asts)]
+    qdf = spark.createDataFrame(batch, "query_id long, query_json string")
+    got = {}
+    for r in ast_topk_batch(blocks_df, qdf, n_docs, avgdl, k=7).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for qid, ast in enumerate(asts):
+        want = [
+            (rank, d, round(s, 9))
+            for rank, (d, s) in enumerate(
+                execute_ast(ast, blocks_df, term_stats, n_docs, avgdl, k=7),
+                start=1,
+            )
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), ast
+
+
 def test_direct_block_reader_identical_to_spark_fetch(spark, materialized, blocks_df):
     """The serving cold path (footer-pruned direct Arrow read, zero
     Spark jobs) must return byte-identical block payloads and dfs to
