@@ -215,6 +215,58 @@ class SearchEngine:
                 hit["highlight_terms"] = terms
         return out
 
+    def search_bulk(
+        self,
+        texts: list[str],
+        k: int = 10,
+        conjunctive: bool = True,
+    ) -> DataFrame:
+        """Bulk retrieval (the training-data shape: hard-negative
+        mining, relevance distillation, eval sweeps): analyze every
+        query through the SAME chain ``search`` uses, then score the
+        whole batch in ONE Spark job — ``ast_topk_batch`` for
+        conjunctive/synonym ASTs (phrases included), ``wand_topk_batch``
+        for disjunctive bag-of-words. Rank-identical per query to the
+        driver serving path by construction (both run the same cursor
+        evaluation executor-side). Returns a DataFrame
+        (query_id = position in ``texts``, rank, doc_id, score)."""
+        from .query.batch import RESULT_SCHEMA, ast_topk_batch, wand_topk_batch
+
+        # per-query routing mirrors search(): conjunctive or
+        # synonym-bearing queries take the AST engine, plain
+        # disjunctive bags take WAND — so each query's ranking matches
+        # its serving-path twin exactly
+        ast_rows, term_rows = [], []
+        for i, text in enumerate(texts):
+            toks = self.analyze(text)
+            if not toks:
+                continue
+            if conjunctive or any(t.get("synonyms") for t in toks):
+                ast_rows.append((i, to_json(build_query_ast(toks))))
+            else:
+                term_rows.append((i, [t["term"] for t in toks]))
+        parts = []
+        if ast_rows:
+            qdf = self.spark.createDataFrame(
+                ast_rows, "query_id long, query_json string"
+            )
+            parts.append(
+                ast_topk_batch(self.blocks, qdf, self.n_docs, self.avgdl, k)
+            )
+        if term_rows:
+            qdf = self.spark.createDataFrame(
+                term_rows, "query_id long, terms array<string>"
+            )
+            parts.append(
+                wand_topk_batch(self.blocks, qdf, self.n_docs, self.avgdl, k)
+            )
+        if not parts:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def count(self, text: str, conjunctive: bool = True) -> int:
         """Match count (Q8 ``trackTotalHits`` equivalent), served from
         the block index — never the row-postings table:

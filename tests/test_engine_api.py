@@ -38,6 +38,29 @@ def test_count_conjunctive_vs_disjunctive(engine):
     assert 0 < c_and <= c_or
 
 
+def test_search_bulk_rank_identical_to_serving(engine):
+    """One-job bulk retrieval must return, per query, exactly the
+    ranked list the serving path's search() returns — across the
+    AST sub-batch (conjunctive + synonym queries) and the WAND
+    sub-batch (plain disjunctive bags)."""
+    texts = ["검색 엔진", "한국어 문서", "삼성전자", "없는단어쿼리"]
+    for conjunctive in (True, False):
+        got = {}
+        rows = engine.search_bulk(texts, k=8, conjunctive=conjunctive)
+        for r in rows.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+        for i, text in enumerate(texts):
+            want = [
+                (rank, h["doc_id"], round(h["score"], 9))
+                for rank, h in enumerate(
+                    engine.search(text, k=8, conjunctive=conjunctive), start=1
+                )
+            ]
+            assert sorted(got.get(i, [])) == sorted(want), (text, conjunctive)
+
+
 def test_query_ast_json_roundtrip(engine):
     ast = engine.build_query("검색 문서")
     j = to_json(ast)
