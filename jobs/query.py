@@ -17,7 +17,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    group = ap.add_mutually_exclusive_group(required=True)
+    group.add_argument("--query")
+    group.add_argument(
+        "--bulk",
+        help="file with one query text per line — the whole batch is "
+        "scored in ONE Spark job (engine.search_bulk)",
+    )
+    ap.add_argument(
+        "--out",
+        help="parquet output path for --bulk results (default: print "
+        "JSON lines)",
+    )
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--disjunctive", action="store_true")
     ap.add_argument("--explain", action="store_true")
@@ -38,10 +49,35 @@ def main() -> None:
     engine = SearchEngine(
         spark, args.index, AnalyzerOption(), max_driver_df=args.max_driver_df
     )
-    if args.explain:
-        print(engine.explain_query(args.query))
-    hits = engine.search(args.query, k=args.k, conjunctive=not args.disjunctive)
-    print(json.dumps(hits, ensure_ascii=False, indent=2))
+    if args.bulk:
+        with open(args.bulk, encoding="utf-8") as f:
+            texts = [line.strip() for line in f if line.strip()]
+        result = engine.search_bulk(
+            texts, k=args.k, conjunctive=not args.disjunctive
+        )
+        if args.out:
+            result.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"queries": len(texts), "out": args.out}))
+        else:
+            for r in result.orderBy("query_id", "rank").collect():
+                print(
+                    json.dumps(
+                        {
+                            "query_id": r["query_id"],
+                            "rank": r["rank"],
+                            "doc_id": r["doc_id"],
+                            "score": r["score"],
+                        },
+                        ensure_ascii=False,
+                    )
+                )
+    else:
+        if args.explain:
+            print(engine.explain_query(args.query))
+        hits = engine.search(
+            args.query, k=args.k, conjunctive=not args.disjunctive
+        )
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
     spark.stop()
 
 

@@ -61,6 +61,38 @@ def test_search_bulk_rank_identical_to_serving(engine):
             assert sorted(got.get(i, [])) == sorted(want), (text, conjunctive)
 
 
+def test_query_cli_bulk(engine, spark, tmp_path, capsys, monkeypatch):
+    """jobs/query.py --bulk: a query file scored in one job, JSON-lines
+    out, ranks agreeing with the serving path."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve()))
+    import query as query_job
+
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("검색 엔진\n삼성전자\n", encoding="utf-8")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["query.py", "--index", BASE, "--bulk", str(qfile), "-k", "5"],
+    )
+    monkeypatch.setattr(
+        "mecab_ko_lucene_analyzer_spark.plans.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    query_job.main()
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert lines and {r["query_id"] for r in lines} == {0, 1}
+    serving = engine.search("검색 엔진", k=5)
+    got_q0 = [r["doc_id"] for r in lines if r["query_id"] == 0]
+    assert got_q0 == [h["doc_id"] for h in serving]
+
+
 def test_query_ast_json_roundtrip(engine):
     ast = engine.build_query("검색 문서")
     j = to_json(ast)
