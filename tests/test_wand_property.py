@@ -87,18 +87,27 @@ def _brute_force(postings, query, doc_lens, n_docs, avgdl, k):
 @settings(max_examples=300, deadline=None)
 @given(corpora())
 def test_wand_rank_identical_on_random_postings(data):
+    """Every strategy — the skipping WAND loop, the vectorized exact
+    TAAT path, and auto dispatch — must rank-match brute-force BM25.
+    Strategies are forced explicitly: tiny random payloads would
+    otherwise route auto to TAAT only and leave the WAND loop without
+    property coverage."""
     n_docs, doc_lens, postings, query, k, block_size = data
     avgdl = sum(doc_lens) / n_docs
-    cursors = [
-        c
-        for c in (
-            _build_cursor(t, postings[t], doc_lens, n_docs, avgdl, block_size)
-            for t in query
-        )
-        if c is not None
-    ]
-    got = wand_topk(cursors, k)
+
+    def cursors():
+        return [
+            c
+            for c in (
+                _build_cursor(t, postings[t], doc_lens, n_docs, avgdl, block_size)
+                for t in query
+            )
+            if c is not None
+        ]
+
     expected = _brute_force(postings, query, doc_lens, n_docs, avgdl, k)
-    assert [d for d, _ in got] == [d for d, _ in expected]
-    for (_, s1), (_, s2) in zip(got, expected):
-        assert abs(s1 - s2) < 1e-9
+    for strategy in ("auto", "wand", "taat"):
+        got = wand_topk(cursors(), k, strategy=strategy)
+        assert [d for d, _ in got] == [d for d, _ in expected], strategy
+        for (_, s1), (_, s2) in zip(got, expected):
+            assert abs(s1 - s2) < 1e-9
