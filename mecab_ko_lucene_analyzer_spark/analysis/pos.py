@@ -232,18 +232,20 @@ class Pos:
 
     def clone_shifted(self, shift: int) -> "Pos":
         """Copy with offsets moved by ``shift`` — cached chunk tokens
-        are relocated per occurrence (tokenizer eojeol cache)."""
-        p = Pos(
-            self.surface,
-            self.pos_id,
-            self.start_offset + shift,
-            self.position_incr,
-            self.position_length,
-        )
+        are relocated per occurrence (tokenizer eojeol cache). Runs
+        once per token OCCURRENCE on the analysis hot path, so it
+        bypasses ``__init__`` (which would double-set half the slots)
+        and fills every slot exactly once."""
+        p = Pos.__new__(Pos)
+        p.surface = self.surface
+        p.pos_id = self.pos_id
         p.start_pos_id = self.start_pos_id
         p.end_pos_id = self.end_pos_id
         p.pos = self.pos
         p.semantic_class = self.semantic_class
+        p.start_offset = self.start_offset + shift
+        p.position_incr = self.position_incr
+        p.position_length = self.position_length
         p.expression = self.expression
         p.space_len = self.space_len
         p.is_node = self.is_node
