@@ -376,22 +376,13 @@ def load_query_cursors(
 
 
 def _single_term_topk(c: TermCursor, k: int) -> list[tuple[int, float]]:
-    """Vectorized term-at-a-time top-k for one-term queries: decode each
-    block once, score the whole array, keep a running candidate pool —
-    no per-posting Python loop."""
-    docs_all = []
-    scores_all = []
-    for blk in c.blocks:
-        docs = np.cumsum(decode_varints(blk.doc_deltas).astype(np.int64))
-        tf = decode_varints(blk.tfs).astype(np.float64)
-        dl = decode_varints(blk.doc_lens).astype(np.float64)
-        scores = c.idf * tf / (tf + c.k1 * (1 - c.b + c.b * dl / c.avgdl))
-        docs_all.append(docs)
-        scores_all.append(scores)
-    if not docs_all:
+    """Vectorized term-at-a-time top-k for one-term queries: one
+    segmented decode (:func:`_decode_term_postings`), score the whole
+    array, keep a running candidate pool — no per-posting Python
+    loop."""
+    docs, scores = _decode_term_postings(c)
+    if docs.size == 0:
         return []
-    docs = np.concatenate(docs_all)
-    scores = np.concatenate(scores_all)
     if len(docs) > k:
         idx = np.argpartition(-scores, k - 1)[: max(k * 2, k)]
     else:
