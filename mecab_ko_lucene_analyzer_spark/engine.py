@@ -33,7 +33,11 @@ class SearchEngine:
     max_driver_df: int = 1_000_000
 
     def __post_init__(self):
-        from .query.wand import BlockCache, DirectBlockReader
+        from .query.wand import (
+            BlockCache,
+            DirectBlockReader,
+            DirectDocMapReader,
+        )
 
         sp = self.spark
         self.blocks = sp.read.parquet(f"{self.base_path}/blocks")
@@ -51,6 +55,15 @@ class SearchEngine:
         except Exception:
             direct = None
         self.block_cache = BlockCache(self.blocks, direct=direct)
+        # same treatment for the URL resolve: doc_ids are ascending and
+        # contiguous per doc_map file, so row-group stats prune the
+        # k-id lookup — no Spark job on the serving path
+        try:
+            self._doc_map_direct = DirectDocMapReader(
+                f"{self.base_path}/doc_map"
+            )
+        except Exception:
+            self._doc_map_direct = None
         self._df_cache: dict[str, int] = {}
         #: route taken by the last search/count call — "driver" (WAND
         #: cursors) or "distributed" (block-table scorer); diagnostics
@@ -204,10 +217,13 @@ class SearchEngine:
         if not hits:
             return []
         ids = [d for d, _ in hits]
-        urls = {
-            r["doc_id"]: r["url"]
-            for r in self.doc_map.filter(F.col("doc_id").isin(ids)).collect()
-        }
+        if self._doc_map_direct is not None:
+            urls = self._doc_map_direct.fetch(ids)
+        else:
+            urls = {
+                r["doc_id"]: r["url"]
+                for r in self.doc_map.filter(F.col("doc_id").isin(ids)).collect()
+            }
         out = [{"doc_id": d, "score": s, "url": urls.get(d)} for d, s in hits]
         if highlight:
             terms = [t["term"] for t in tokens]

@@ -162,14 +162,104 @@ def _build_tree(node, cursors: dict[str, TermCursor]):
     return cls(children)
 
 
+def _and_or_groups(ast) -> list[list[str]] | None:
+    """Decompose the reference's standard query shape —
+    ``And(Term | Or(Term...), ...)``, a bare ``Term``, or a bare
+    synonym ``Or`` — into term groups for the vectorized evaluator.
+    Returns None for any other shape (phrases, nested booleans)."""
+    def group_of(node):
+        if isinstance(node, Term):
+            return [node.term]
+        if isinstance(node, Or) and all(
+            isinstance(c, Term) for c in node.children
+        ):
+            return [c.term for c in node.children]
+        return None
+
+    g = group_of(ast)
+    if g is not None:
+        return [g]
+    if isinstance(ast, And) and ast.children:
+        groups = []
+        for child in ast.children:
+            g = group_of(child)
+            if g is None:
+                return None
+            groups.append(g)
+        return groups
+    return None
+
+
+def _vectorized_and_or_topk(
+    groups: list[list[str]], cursors: dict[str, TermCursor], k: int
+) -> list[tuple[int, float]]:
+    """Exact vectorized evaluation of AND-over-groups with the tree
+    evaluator's scoring semantics: a doc matches iff every group has a
+    matching member; each group contributes the MAX over its matching
+    members (synonym-Or, ``_OrNode.score``); the doc's score is the
+    sum over groups in child order (``_AndNode.score`` — numpy adds in
+    the same order, so floats agree bit-for-bit). Replaces the
+    per-posting ``next_geq`` Python walk for the serving-dominant
+    query shape."""
+    import numpy as np
+
+    from .wand import _decode_term_postings
+
+    per_group: list[tuple[np.ndarray, np.ndarray]] = []
+    for members in groups:
+        live = [cursors[t] for t in members if t in cursors]
+        if not live:
+            return []  # an empty AND branch matches nothing
+        parts = [_decode_term_postings(c) for c in live]
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        gmax = np.full(len(uniq), -np.inf)
+        np.maximum.at(gmax, inv, scores)
+        per_group.append((uniq, gmax))
+    all_docs = np.concatenate([g[0] for g in per_group])
+    all_scores = np.concatenate([g[1] for g in per_group])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_scores)
+    cnt = np.bincount(inv, minlength=len(uniq))
+    keep = cnt == len(per_group)
+    uniq, acc = uniq[keep], acc[keep]
+    order = np.lexsort((uniq, -acc))[:k]
+    return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
 def execute_ast_cursors(
-    ast, cursors: dict[str, TermCursor], k: int = 10
+    ast, cursors: dict[str, TermCursor], k: int = 10, strategy: str = "auto"
 ) -> list[tuple[int, float]]:
     """Evaluate an AST over prebuilt term cursors → top-k
     [(doc_id, score)], tie-break (score desc, doc_id asc). The
     cursor-tree half of :func:`execute_ast`, shared with the bulk
     executor path (``batch.py::ast_topk_batch``) where cursors come
-    from a broadcast payload instead of a Spark fetch."""
+    from a broadcast payload instead of a Spark fetch.
+
+    ``strategy="auto"``: phrase-free AND/OR shapes under a bounded
+    payload take the exact vectorized evaluator (same dispatch
+    philosophy as ``wand_topk``'s TAAT path); phrases and nested
+    booleans walk the cursor tree. ``"tree"``/``"vectorized"`` force a
+    path (tests pin both identical)."""
+    from .wand import TAAT_MAX_BYTES
+
+    if strategy != "tree":
+        groups = _and_or_groups(ast)
+        if groups is not None:
+            payload = sum(
+                len(b.doc_deltas)
+                for t in {m for g in groups for m in g}
+                if t in cursors
+                for b in cursors[t].blocks
+            )
+            if strategy == "vectorized" or payload <= TAAT_MAX_BYTES:
+                return _vectorized_and_or_topk(groups, cursors, k)
+        elif strategy == "vectorized":
+            raise ValueError(
+                "AST shape not vectorizable (phrase or nested boolean)"
+            )
     root = _build_tree(ast, cursors)
     heap: list[tuple[float, int]] = []
     d = root.cur_doc

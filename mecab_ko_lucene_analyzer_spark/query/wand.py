@@ -33,6 +33,7 @@ __all__ = [
     "fetch_term_blocks",
     "BlockCache",
     "DirectBlockReader",
+    "DirectDocMapReader",
 ]
 
 _INF = 1 << 62
@@ -292,6 +293,96 @@ class DirectBlockReader:
                     )
                 )
                 out[t] = (blks, df + data["n_docs"][i])
+        return out
+
+
+class DirectDocMapReader:
+    """Serving-node URL resolution without a Spark job — the doc_map
+    sibling of :class:`DirectBlockReader`. ``build.py::_doc_map_df``
+    writes ascending, per-partition-contiguous doc_ids, so parquet
+    row-group statistics prune a k-id lookup to the row groups that
+    can contain them. Removes the last per-query Spark job from
+    ``engine.search`` (the ``doc_map.filter(isin).collect()`` URL
+    resolve)."""
+
+    def __init__(self, path: str):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        self._files = []  # (ParquetFile, [(min, max) per row group])
+        for fn in sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet")):
+            pf = pq.ParquetFile(fn)
+            if pf.metadata.num_row_groups == 0:
+                continue
+            rg0 = pf.metadata.row_group(0)
+            id_idx = next(
+                i
+                for i in range(rg0.num_columns)
+                if rg0.column(i).path_in_schema == "doc_id"
+            )
+            ranges = []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(id_idx).statistics
+                if st is None or not st.has_min_max:
+                    ranges.append((None, None))  # unprunable: always read
+                else:
+                    ranges.append((st.min, st.max))
+            self._files.append((pf, ranges))
+        if not self._files:
+            raise ValueError(f"no local parquet doc_map files under {path!r}")
+        # row groups decode once and serve from memory afterwards
+        # (searchsorted lookups on the sorted doc_id array); bounded so
+        # a 10^12-doc map can't accrete unboundedly on one serving node
+        self._rg_cache: dict[tuple[int, int], tuple] = {}
+        self._rg_cache_max = 256
+
+    def _row_group(self, fid: int, rgid: int):
+        key = (fid, rgid)
+        ent = self._rg_cache.get(key)
+        if ent is None:
+            tbl = self._files[fid][0].read_row_groups(
+                [rgid], columns=["doc_id", "url"]
+            )
+            dids = tbl.column("doc_id").to_numpy()
+            urls = tbl.column("url")
+            if dids.size > 1 and not bool(np.all(np.diff(dids) >= 0)):
+                # unsorted (foreign writer): fall back to a dict
+                ent = (None, dict(zip(dids.tolist(), urls.to_pylist())))
+            else:
+                ent = (dids, urls)
+            if len(self._rg_cache) >= self._rg_cache_max:
+                self._rg_cache.clear()
+            self._rg_cache[key] = ent
+        return ent
+
+    def fetch(self, ids: list[int]) -> dict[int, str]:
+        want = np.unique(np.asarray(list(ids), dtype=np.int64))
+        if want.size == 0:
+            return {}
+        out: dict[int, str] = {}
+        for fid, (_, ranges) in enumerate(self._files):
+            for rgid, (lo, hi) in enumerate(ranges):
+                if lo is None:
+                    sel = want
+                else:
+                    if want[-1] < lo or want[0] > hi:
+                        continue
+                    sel = want[(want >= lo) & (want <= hi)]
+                    if sel.size == 0:
+                        continue
+                dids, urls = self._row_group(fid, rgid)
+                if dids is None:  # dict fallback
+                    for d in sel.tolist():
+                        if d in urls:
+                            out[d] = urls[d]
+                    continue
+                idx = np.searchsorted(dids, sel)
+                ok = idx < dids.size
+                idx_c = np.where(ok, idx, 0)
+                ok &= dids[idx_c] == sel
+                for d, i in zip(sel[ok].tolist(), idx_c[ok].tolist()):
+                    out[d] = urls[i].as_py()
         return out
 
 

@@ -252,6 +252,44 @@ def test_ast_batch_rank_identical_to_serving(spark, materialized, blocks_df):
         assert sorted(got.get(qid, [])) == sorted(want), ast
 
 
+def test_vectorized_and_or_identical_to_tree(spark, materialized, blocks_df):
+    """The vectorized AND/OR evaluator (serving fast path) must return
+    exactly what the cursor-tree walk returns — docs AND bit-identical
+    scores (same float addition order) — across conjunctions, synonym
+    ORs, and AND-of-OR mixes, including missing-term branches."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import And, Or, Term
+    from mecab_ko_lucene_analyzer_spark.query.executor import (
+        execute_ast_cursors,
+    )
+
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    asts = [
+        Term("검색"),
+        And((Term("검색"), Term("엔진"))),
+        Or((Term("검색"), Term("엔진"), Term("삼성전자"))),
+        And((Or((Term("검색"), Term("서치"))), Term("엔진"))),
+        And((Term("한국어"), Or((Term("문서"), Term("색인"))), Term("는"))),
+        And((Term("없는단어쿼리"), Term("검색"))),
+        Or((Term("없는단어쿼리"), Term("검색"))),
+    ]
+    for ast in asts:
+        from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+
+        def cursors():
+            return {
+                c.term: c
+                for c in load_query_cursors(
+                    blocks_df, term_stats, n_docs, avgdl, sorted(ast_terms(ast))
+                )
+            }
+
+        tree = execute_ast_cursors(ast, cursors(), k=10, strategy="tree")
+        vec = execute_ast_cursors(ast, cursors(), k=10, strategy="vectorized")
+        assert vec == tree, ast
+
+
 def test_direct_block_reader_identical_to_spark_fetch(spark, materialized, blocks_df):
     """The serving cold path (footer-pruned direct Arrow read, zero
     Spark jobs) must return byte-identical block payloads and dfs to

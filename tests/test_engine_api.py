@@ -61,6 +61,23 @@ def test_search_bulk_rank_identical_to_serving(engine):
             assert sorted(got.get(i, [])) == sorted(want), (text, conjunctive)
 
 
+def test_direct_doc_map_matches_spark_resolve(engine):
+    """The zero-Spark-job URL resolve must return exactly what the
+    pruned Spark filter returns, and search() must use it on a local
+    index."""
+    import pyspark.sql.functions as F
+
+    assert engine._doc_map_direct is not None
+    hits = engine.search("검색 엔진", k=10, conjunctive=False)
+    ids = [h["doc_id"] for h in hits]
+    via_spark = {
+        r["doc_id"]: r["url"]
+        for r in engine.doc_map.filter(F.col("doc_id").isin(ids)).collect()
+    }
+    assert engine._doc_map_direct.fetch(ids) == via_spark
+    assert all(h["url"] == via_spark[h["doc_id"]] for h in hits)
+
+
 def test_query_cli_bulk(engine, spark, tmp_path, capsys, monkeypatch):
     """jobs/query.py --bulk: a query file scored in one job, JSON-lines
     out, ranks agreeing with the serving path."""
