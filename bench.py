@@ -150,7 +150,24 @@ def bm25_query_p95_ms(spark, sf_dir: str, reps: int = 20) -> dict:
     def p95(lat):
         return round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 1)
 
-    return {"cold": p95(cold), "warm": p95(warm)}
+    # end-to-end serving latency: analyze → cursors → score → URL
+    # resolve through SearchEngine (zero Spark jobs on the warm path —
+    # vectorized AND/OR evaluator + DirectDocMapReader)
+    from mecab_ko_lucene_analyzer_spark.analysis.dictionary import AnalyzerOption
+    from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
+
+    engine = SearchEngine(spark, base, AnalyzerOption())
+    texts = ["검색 엔진", "삼성전자", "한국어 문서 색인", "데이터 처리", "웹페이지"]
+    for t in texts:
+        engine.search(t, k=10)
+    e2e = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        engine.search(texts[i % len(texts)], k=10)
+        e2e.append((time.perf_counter() - t0) * 1000)
+    e2e.sort()
+
+    return {"cold": p95(cold), "warm": p95(warm), "search_e2e": p95(e2e)}
 
 
 def materialize_corpus(n_docs: int, path: str, partitions: int = 128) -> None:
@@ -810,6 +827,8 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "query_p95_ms": p95["warm"],  # serving-path (warm term cache)
         "query_p95_ms_cold": p95["cold"],
+        # full engine.search: analyze + score + URL resolve, warm
+        "search_e2e_p95_ms": p95["search_e2e"],
         "indexing": indexing,
     }
     print(json.dumps(result))
