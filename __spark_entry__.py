@@ -337,6 +337,54 @@ def _q_phrase_match(spark, sf_dir):
     return spark.createDataFrame(rows, "phrase string, doc_id long")
 
 
+#: contract count queries: conjunctive + disjunctive over the same
+#: term pair, so the two Q8 semantics separate in the result
+COUNT_QUERIES: list[tuple[str, list[str]]] = [
+    ("and", ["table", "hash"]),
+    ("or", ["table", "hash"]),
+    ("and", ["stream", "table"]),
+]
+
+
+def _q_match_count(spark, sf_dir):
+    """Q8 count (``trackTotalHits`` / ``SearchUtil.java:136-150``
+    analog) served from the BLOCK index: decode the query terms'
+    docID arrays from their blocks and intersect/union in numpy —
+    the ``engine.count`` shape, never a corpus scan. Oracle: DuckDB
+    per-doc distinct-term counting over the token table."""
+    import numpy as np
+
+    from mecab_ko_lucene_analyzer_spark.index.codec import decode_varints
+
+    blocks, _, _, _ = _ws_block_index(spark, sf_dir)
+    need = sorted({t for _, terms in COUNT_QUERIES for t in terms})
+    rows = blocks.filter(F.col("term").isin(need)).select(
+        "term", "doc_deltas"
+    ).collect()
+    docs_by_term: dict[str, list] = {}
+    for r in rows:
+        arr = np.cumsum(decode_varints(bytes(r["doc_deltas"])).astype(np.int64))
+        docs_by_term.setdefault(r["term"], []).append(arr)
+    out = []
+    for mode, terms in COUNT_QUERIES:
+        sets = [
+            np.concatenate(docs_by_term.get(t, [np.empty(0, dtype=np.int64)]))
+            for t in terms
+        ]
+        if mode == "and":
+            acc = sets[0]
+            for s in sets[1:]:
+                acc = np.intersect1d(acc, s)
+            cnt = int(acc.size)
+        else:
+            cnt = int(np.unique(np.concatenate(sets)).size)
+        out.append((" ".join(terms), mode, cnt))
+    partials = getattr(blocks, "_partials_df", None)
+    if partials is not None:
+        partials.unpersist()
+    return spark.createDataFrame(out, "terms string, mode string, cnt long")
+
+
 def _q_batch_bm25_topk(spark, sf_dir):
     """Bulk retrieval: a 4-query batch scored in ONE Spark job via
     block-max WAND over a block index built from the whitespace tokens
@@ -554,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "phrase_match": _q_phrase_match,
+        "match_count": _q_match_count,
         "streaming_postings_tf": _q_streaming_postings_tf,
         "streaming_dedup": _q_streaming_dedup,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
@@ -734,6 +783,27 @@ def _ann_lsh_topk_sql(dim: int = 64, n_planes: int = 4, seed: int = 42, k: int =
             )
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
         """
+
+
+def _match_count_sql() -> str:
+    """Per-doc distinct-term counting oracle for :func:`_q_match_count`:
+    conjunctive = docs holding ALL query terms, disjunctive = docs
+    holding any."""
+    branches = []
+    for mode, terms in COUNT_QUERIES:
+        lst = ", ".join(f"'{t}'" for t in terms)
+        having = (
+            f"HAVING count(DISTINCT term) = {len(terms)}"
+            if mode == "and"
+            else ""
+        )
+        branches.append(
+            f"SELECT '{' '.join(terms)}' AS terms, '{mode}' AS mode, "
+            f"(SELECT count(*) FROM (SELECT doc_id FROM toks "
+            f"WHERE term IN ({lst}) GROUP BY doc_id {having}))::BIGINT AS cnt"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"WITH toks AS ({_TOKS_SQL}) {union}"
 
 
 def _phrase_match_sql() -> str:
@@ -1056,6 +1126,8 @@ def oracle_sql() -> dict[str, str]:
         # contract phrase — mirrors the serving engine's consecutive-
         # position check over varint-encoded pos_deltas
         "phrase_match": _phrase_match_sql(),
+        # Q8 count semantics from the block index
+        "match_count": _match_count_sql(),
         # incremental streaming index ≡ batch: same oracle as postings_tf
         "streaming_postings_tf": f"""
             WITH toks AS ({_TOKS_SQL})
