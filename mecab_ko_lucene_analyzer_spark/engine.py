@@ -267,14 +267,22 @@ class SearchEngine:
                 ast_rows, "query_id long, query_json string"
             )
             parts.append(
-                ast_topk_batch(self.blocks, qdf, self.n_docs, self.avgdl, k)
+                ast_topk_batch(
+                    self.blocks, qdf, self.n_docs, self.avgdl, k,
+                    term_stats=self.term_stats,
+                    max_broadcast_df=self.max_driver_df,
+                )
             )
         if term_rows:
             qdf = self.spark.createDataFrame(
                 term_rows, "query_id long, terms array<string>"
             )
             parts.append(
-                wand_topk_batch(self.blocks, qdf, self.n_docs, self.avgdl, k)
+                wand_topk_batch(
+                    self.blocks, qdf, self.n_docs, self.avgdl, k,
+                    term_stats=self.term_stats,
+                    max_broadcast_df=self.max_driver_df,
+                )
             )
         if not parts:
             return self.spark.createDataFrame([], RESULT_SCHEMA)

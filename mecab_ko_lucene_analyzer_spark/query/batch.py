@@ -44,6 +44,28 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+def _hot_vocab(
+    term_stats: DataFrame | None,
+    vocab: list[str],
+    max_broadcast_df: int | None,
+) -> set[str]:
+    """Terms whose df exceeds the broadcast budget. The same guard the
+    serving router applies per query (``router.py``), applied to the
+    BATCH vocabulary: a josa-class term in one query of a million-query
+    batch must not pull its (at 10^12 docs, multi-GB) block list into
+    the driver fetch + executor broadcast."""
+    if term_stats is None or max_broadcast_df is None or not vocab:
+        return set()
+    from .router import term_dfs
+
+    dfs = term_dfs(term_stats, vocab)
+    return {t for t, df in dfs.items() if df > max_broadcast_df}
+
+
+def _hot_results_df(spark, rows: list[tuple[int, int, int, float]]):
+    return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
 def wand_topk_batch(
     blocks: DataFrame,
     queries: DataFrame,
@@ -52,10 +74,19 @@ def wand_topk_batch(
     k: int = 10,
     terms_col: str = "terms",
     id_col: str = "query_id",
+    term_stats: DataFrame | None = None,
+    max_broadcast_df: int | None = None,
 ) -> DataFrame:
     """Score every query row (``query_id``, ``terms array<string>``)
     against the block index; returns (query_id, rank, doc_id, score),
-    rank-identical to the serving path's :func:`wand_topk` per query."""
+    rank-identical to the serving path's :func:`wand_topk` per query.
+
+    With ``term_stats`` + ``max_broadcast_df``, queries containing a
+    hot term (df above the budget) are routed to the distributed
+    scorer (``router.py::bm25_topk_blocks``) instead of riding the
+    broadcast — one Spark job per hot query, driver traffic O(k).
+    Hot queries are assumed rare in a batch (they are the head of the
+    df distribution, not the head of the query distribution)."""
     spark = blocks.sparkSession
     vocab = sorted(
         {
@@ -66,6 +97,31 @@ def wand_topk_batch(
             if (t := r["t"]) is not None
         }
     )
+    hot = _hot_vocab(term_stats, vocab, max_broadcast_df)
+    hot_part = None
+    if hot:
+        from .router import bm25_topk_blocks, term_dfs
+
+        # only the hot queries come to the driver (distributed filter)
+        hot_lit = F.array(*[F.lit(t) for t in sorted(hot)])
+        hot_rows = [
+            (r[id_col], list(r[terms_col]))
+            for r in queries.filter(
+                F.arrays_overlap(F.col(terms_col), hot_lit)
+            ).select(id_col, terms_col).collect()
+        ]
+        hot_ids = {qid for qid, _t in hot_rows}
+        out_rows: list[tuple[int, int, int, float]] = []
+        for qid, terms in hot_rows:
+            dfs = term_dfs(term_stats, sorted(set(terms)))
+            hits = bm25_topk_blocks(blocks, dfs, n_docs, avgdl, k)
+            out_rows.extend(
+                (int(qid), rank, int(d), float(s))
+                for rank, (d, s) in enumerate(hits, start=1)
+            )
+        hot_part = _hot_results_df(spark, out_rows)
+        queries = queries.filter(~F.col(id_col).isin(sorted(hot_ids)))
+        vocab = [t for t in vocab if t not in hot]
     by_term = fetch_term_blocks(blocks, vocab)  # one pruned scan
     # ship plain tuples, not _Block objects (smaller + no class pickle)
     payload = {
@@ -113,7 +169,8 @@ def wand_topk_batch(
                 }
             )
 
-    return queries.select(id_col, terms_col).mapInPandas(score, RESULT_SCHEMA)
+    cold = queries.select(id_col, terms_col).mapInPandas(score, RESULT_SCHEMA)
+    return cold.unionByName(hot_part) if hot_part is not None else cold
 
 
 def ast_topk_batch(
@@ -124,6 +181,8 @@ def ast_topk_batch(
     k: int = 10,
     ast_col: str = "query_json",
     id_col: str = "query_id",
+    term_stats: DataFrame | None = None,
+    max_broadcast_df: int | None = None,
 ) -> DataFrame:
     """Bulk retrieval for FULL query ASTs — the reference's real query
     shape (``DanawaSearchQueryBuilder.java:240-305`` emits
@@ -167,6 +226,54 @@ def ast_topk_batch(
     )
     vocab = sorted(r["term"] for r in vocab_df)
     needs_positions = any(r["phrase"] for r in vocab_df)
+    hot = _hot_vocab(term_stats, vocab, max_broadcast_df)
+    hot_part = None
+    if hot:
+        from .executor import execute_ast
+        from .router import ast_routable, distributed_ast_topk, term_dfs
+
+        # flag hot queries DISTRIBUTED (the parse runs executor-side);
+        # only those rows come to the driver
+        hot_set = hot
+
+        def flag_hot(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                keep_ids, keep_specs = [], []
+                for qid, spec in zip(pdf[id_col], pdf[ast_col]):
+                    if ast_terms(from_json(spec)) & hot_set:
+                        keep_ids.append(int(qid))
+                        keep_specs.append(spec)
+                yield pd.DataFrame(
+                    {"query_id": pd.Series(keep_ids, dtype="int64"),
+                     "query_json": pd.Series(keep_specs, dtype="object")}
+                )
+
+        hot_rows = (
+            queries.select(id_col, ast_col)
+            .mapInPandas(flag_hot, "query_id long, query_json string")
+            .collect()
+        )
+        hot_ids = {r["query_id"] for r in hot_rows}
+        out_rows: list[tuple[int, int, int, float]] = []
+        for r in hot_rows:
+            ast = from_json(r["query_json"])
+            dfs = term_dfs(term_stats, sorted(ast_terms(ast)))
+            if ast_routable(ast):
+                hits = distributed_ast_topk(ast, blocks, dfs, n_docs, avgdl, k)
+            else:
+                # hot term inside a phrase: the one residual
+                # driver-fetch shape (documented in router.py) — same
+                # fallback the serving path takes
+                hits = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k)
+            out_rows.extend(
+                (int(r["query_id"]), rank, int(d), float(s))
+                for rank, (d, s) in enumerate(hits, start=1)
+            )
+        hot_part = _hot_results_df(spark, out_rows)
+        queries = queries.filter(~F.col(id_col).isin(sorted(hot_ids)))
+        vocab = [t for t in vocab if t not in hot]
     by_term = fetch_term_blocks(blocks, vocab, with_positions=needs_positions)
     payload = {
         t: (
@@ -221,4 +328,5 @@ def ast_topk_batch(
                 }
             )
 
-    return queries.select(id_col, ast_col).mapInPandas(score, RESULT_SCHEMA)
+    cold = queries.select(id_col, ast_col).mapInPandas(score, RESULT_SCHEMA)
+    return cold.unionByName(hot_part) if hot_part is not None else cold

@@ -252,6 +252,81 @@ def test_ast_batch_rank_identical_to_serving(spark, materialized, blocks_df):
         assert sorted(got.get(qid, [])) == sorted(want), ast
 
 
+def test_batch_hot_term_routing(spark, materialized, blocks_df, monkeypatch):
+    """Batch queries containing a hot term (df above the broadcast
+    budget) must route to the distributed scorer: the hot term's
+    blocks are NEVER fetched for the broadcast payload, and the
+    routed results stay rank-identical to the unrouted run."""
+    import mecab_ko_lucene_analyzer_spark.query.batch as batch_mod
+    from mecab_ko_lucene_analyzer_spark.query import (
+        ast_topk_batch,
+        wand_topk_batch,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.ast import (
+        And,
+        Phrase,
+        Term,
+        to_json,
+    )
+
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    hot_df = max(r["df"] for r in term_stats.collect())  # '는'-class term
+    budget = hot_df - 1
+    hot_terms = {r["term"] for r in term_stats.collect() if r["df"] > budget}
+    assert hot_terms  # the fixture has at least one josa-class term
+
+    fetched: list[str] = []
+    real_fetch = batch_mod.fetch_term_blocks
+
+    def spy_fetch(blocks, terms, with_positions=False):
+        fetched.extend(terms)
+        return real_fetch(blocks, terms, with_positions)
+
+    monkeypatch.setattr(batch_mod, "fetch_term_blocks", spy_fetch)
+
+    hot_term = sorted(hot_terms)[0]
+    bag = [(0, ["검색", "엔진"]), (1, [hot_term, "검색"])]
+    qdf = spark.createDataFrame(bag, "query_id long, terms array<string>")
+    unrouted = {
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk_batch(blocks_df, qdf, n_docs, avgdl, k=5).collect()
+    }
+    fetched.clear()
+    routed = {
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk_batch(
+            blocks_df, qdf, n_docs, avgdl, k=5,
+            term_stats=term_stats, max_broadcast_df=budget,
+        ).collect()
+    }
+    assert routed == unrouted
+    assert not (set(fetched) & hot_terms)
+
+    asts = [
+        (0, to_json(And((Term("검색"), Term("엔진"))))),
+        (1, to_json(And((Term(hot_term), Term("검색"))))),
+        # hot term inside a phrase: driver-cursor fallback shape
+        (2, to_json(Phrase((hot_term, "검색")))),
+    ]
+    adf = spark.createDataFrame(asts, "query_id long, query_json string")
+    unrouted = {
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in ast_topk_batch(blocks_df, adf, n_docs, avgdl, k=5).collect()
+    }
+    fetched.clear()
+    routed = {
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in ast_topk_batch(
+            blocks_df, adf, n_docs, avgdl, k=5,
+            term_stats=term_stats, max_broadcast_df=budget,
+        ).collect()
+    }
+    assert routed == unrouted
+    assert not (set(fetched) & hot_terms)
+
+
 def test_vectorized_and_or_identical_to_tree(spark, materialized, blocks_df):
     """The vectorized AND/OR evaluator (serving fast path) must return
     exactly what the cursor-tree walk returns — docs AND bit-identical
