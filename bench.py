@@ -650,8 +650,8 @@ def main() -> None:
         replica_agg = replica_single = replica_high = replica_ratio = None
         replica_quiet = False
         replica_probe_frac = replica_probe_stability = None
-        rep_attempts_max = int(os.environ.get("SPARK_GRAFT_REPLICA_ATTEMPTS", "4"))
-        rep_budget = float(os.environ.get("SPARK_GRAFT_REPLICA_BUDGET", "1500"))
+        rep_attempts_max = int(os.environ.get("SPARK_GRAFT_REPLICA_ATTEMPTS", "6"))
+        rep_budget = float(os.environ.get("SPARK_GRAFT_REPLICA_BUDGET", "2400"))
         # Selection among attempts prefers WINDOW TRUSTWORTHINESS, not
         # headline size: a struck denominator (e.g. the 4-replica phase
         # drawing a bad minute) inflates the headline toward the 1.0
