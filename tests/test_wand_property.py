@@ -111,3 +111,61 @@ def test_wand_rank_identical_on_random_postings(data):
         assert [d for d, _ in got] == [d for d, _ in expected], strategy
         for (_, s1), (_, s2) in zip(got, expected):
             assert abs(s1 - s2) < 1e-9
+
+
+@st.composite
+def and_or_asts(draw):
+    """Random AND-of-groups ASTs over the corpus's term universe:
+    each group is a Term or a synonym Or, possibly referencing terms
+    absent from the postings (empty branches)."""
+    corpus = draw(corpora())
+    n_docs, doc_lens, postings, _query, k, block_size = corpus
+    universe = sorted(postings) + ["missing1", "missing2"]
+    n_groups = draw(st.integers(min_value=1, max_value=4))
+    groups = []
+    for _ in range(n_groups):
+        members = draw(
+            st.lists(
+                st.sampled_from(universe), min_size=1, max_size=3, unique=True
+            )
+        )
+        groups.append(members)
+    return n_docs, doc_lens, postings, groups, k, block_size
+
+
+@settings(max_examples=200, deadline=None)
+@given(and_or_asts())
+def test_vectorized_and_or_property(data):
+    """The vectorized AND/OR evaluator equals the cursor-tree walk —
+    docs, ranks, and scores — over arbitrary random postings and
+    random AND-of-(Term|Or) shapes, including groups whose terms have
+    no postings at all."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import And, Or, Term
+    from mecab_ko_lucene_analyzer_spark.query.executor import (
+        execute_ast_cursors,
+    )
+
+    n_docs, doc_lens, postings, groups, k, block_size = data
+    avgdl = sum(doc_lens) / n_docs
+
+    def cursors():
+        out = {}
+        for t, tfs in postings.items():
+            c = _build_cursor(t, tfs, doc_lens, n_docs, avgdl, block_size)
+            if c is not None:
+                out[t] = c
+        return out
+
+    def node(members):
+        if len(members) == 1:
+            return Term(members[0])
+        return Or(tuple(Term(m) for m in members))
+
+    ast = (
+        node(groups[0])
+        if len(groups) == 1
+        else And(tuple(node(g) for g in groups))
+    )
+    tree = execute_ast_cursors(ast, cursors(), k=k, strategy="tree")
+    vec = execute_ast_cursors(ast, cursors(), k=k, strategy="vectorized")
+    assert vec == tree
