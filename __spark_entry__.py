@@ -269,11 +269,20 @@ BATCH_QUERIES: list[tuple[int, list[str]]] = [
 ]
 
 
+_WS_INDEX_CACHE: dict[str, tuple] = {}
+
+
 def _ws_block_index(spark, sf_dir):
     """Positions-carrying block index over the whitespace tokens (the
     SQL-replicable tokenization): the real codec + block-max build
-    (`index/blocks.py::build_blocks`), shared by the bulk-retrieval and
-    phrase contract queries. Returns (blocks, term_stats, n, avgdl)."""
+    (`index/blocks.py::build_blocks`), shared by the bulk-retrieval,
+    phrase, and count contract queries. Memoized per sf_dir — the
+    driver runs all three in one process, and the cache owns the
+    persisted partials (callers must NOT unpersist). Returns
+    (blocks, term_stats, n, avgdl)."""
+    cached = _WS_INDEX_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     from mecab_ko_lucene_analyzer_spark.functions.udfs import encode_positions_udf
     from mecab_ko_lucene_analyzer_spark.index.blocks import build_blocks
 
@@ -299,7 +308,9 @@ def _ws_block_index(spark, sf_dir):
     blocks = build_blocks(
         postings, term_stats, row["n"], float(row["avgdl"]), hot_min_df=10**9
     )
-    return blocks, term_stats, row["n"], float(row["avgdl"])
+    entry = (blocks, term_stats, row["n"], float(row["avgdl"]))
+    _WS_INDEX_CACHE[sf_dir] = entry
+    return entry
 
 
 #: contract phrases: a bigram with broad support and a trigram subset
@@ -331,9 +342,6 @@ def _q_phrase_match(spark, sf_dir):
             Phrase(tuple(terms)), blocks, term_stats, n, avgdl, k=n
         )
         rows.extend((" ".join(terms), int(d)) for d, _ in hits)
-    partials = getattr(blocks, "_partials_df", None)
-    if partials is not None:
-        partials.unpersist()
     return spark.createDataFrame(rows, "phrase string, doc_id long")
 
 
@@ -379,9 +387,6 @@ def _q_match_count(spark, sf_dir):
         else:
             cnt = int(np.unique(np.concatenate(sets)).size)
         out.append((" ".join(terms), mode, cnt))
-    partials = getattr(blocks, "_partials_df", None)
-    if partials is not None:
-        partials.unpersist()
     return spark.createDataFrame(out, "terms string, mode string, cnt long")
 
 
@@ -400,9 +405,6 @@ def _q_batch_bm25_topk(spark, sf_dir):
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     ).cache()
     result.count()
-    partials = getattr(blocks, "_partials_df", None)
-    if partials is not None:
-        partials.unpersist()
     return result
 
 
