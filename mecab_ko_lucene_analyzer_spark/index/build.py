@@ -1029,9 +1029,21 @@ def load_index(spark: SparkSession, base_path: str) -> InvertedIndex:
         if sep == "."
         else spark.read.parquet
     )
-    try:
+    if sep == "/":
+        # probe via the Hadoop FS API (file://, hdfs://, s3a:// all
+        # work) instead of letting spark.read throw PATH_NOT_FOUND —
+        # the thrown probe dumps a full Java stacktrace into every
+        # serving log for fused builds, which never materialize the
+        # row-postings directory
+        from ..streaming.incremental import _fs_and_path
+
+        fs, jpath, _jvm = _fs_and_path(spark, f"{base_path}/postings")
+        has_postings = fs.exists(jpath)
+    else:
+        has_postings = spark.catalog.tableExists(f"{base_path}.postings")
+    if has_postings:
         postings = read(f"{base_path}{sep}postings")
-    except Exception:
+    else:
         # fused build: row postings were never materialized — serve the
         # decoded view over the partial blocks (row-identical)
         postings = postings_from_partials(read(f"{base_path}{sep}partials"))
