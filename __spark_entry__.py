@@ -281,7 +281,7 @@ def _ws_block_index(spark, sf_dir):
     persisted partials (callers must NOT unpersist). Returns
     (blocks, term_stats, n, avgdl)."""
     cached = _WS_INDEX_CACHE.get(sf_dir)
-    if cached is not None:
+    if cached is not None and cached[0].sparkSession is spark:
         return cached
     from mecab_ko_lucene_analyzer_spark.functions.udfs import encode_positions_udf
     from mecab_ko_lucene_analyzer_spark.index.blocks import build_blocks
