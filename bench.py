@@ -673,7 +673,13 @@ def main() -> None:
             except Exception as e:  # no BENCH record is worse than a fallback
                 if replica_agg is None:
                     replica_err = repr(e)[:200]
-                break
+                # a transient failure (slow JVM start under the very
+                # load the retries target) must not abandon the
+                # remaining attempts — keep trying within the budget
+                if time.perf_counter() - t_rep > rep_budget:
+                    break
+                continue
+            replica_err = None  # a prior attempt's transient failure is moot
             cap1 = max(cap1, max(probes))
             # Window quietness = probe STABILITY WITHIN the triple
             # (min/max across its adjacent probes): the same-window

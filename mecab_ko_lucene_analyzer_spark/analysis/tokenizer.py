@@ -159,23 +159,24 @@ _CHUNK_CACHE: dict[tuple, list[Pos]] = {}
 _CHUNK_CACHE_MAX = 131072
 
 
-def _provider_cache_token(provider) -> int:
+def _provider_cache_token(provider) -> int | None:
     """Process-unique token namespacing a provider's entries in the
     chunk/stream caches. ``id(provider)`` is NOT usable as a fallback:
     CPython recycles addresses after GC, so a new provider allocated at
     a freed provider's address would read the dead provider's cached
     token streams. Custom cache-capable providers without a
     ``cache_token`` get one assigned on first use; if the attribute is
-    unsettable (slots/frozen), every call draws a fresh token — which
-    disables caching for that provider rather than risking stale
-    reads."""
+    unsettable (slots/frozen), returns None — caching is disabled for
+    that provider (a fresh per-call token would WRITE unreachable
+    entries, repeatedly filling and bulk-clearing the shared cache and
+    wiping other providers' warm entries)."""
     tok = getattr(provider, "cache_token", None)
     if tok is None:
         tok = next(_PROVIDER_GENERATION)
         try:
             provider.cache_token = tok
         except Exception:
-            pass
+            return None
     return tok
 
 
@@ -200,7 +201,12 @@ def tokenize(
     """
     provider = provider or get_lattice_provider()
     lowered = text.lower()
-    if not getattr(provider, "supports_chunk_cache", False):
+    ptok = (
+        _provider_cache_token(provider)
+        if getattr(provider, "supports_chunk_cache", False)
+        else None
+    )
+    if ptok is None:
         nodes = provider.parse(lowered)
         gen = TokenGenerator(
             make_appender(mode, option), compound_noun_min_length, nodes
@@ -211,7 +217,6 @@ def tokenize(
         if option is not None
         else None
     )
-    ptok = _provider_cache_token(provider)
     out: list[Pos] = []
     for m in _CHUNK_RE.finditer(lowered):
         chunk = m.group(0)
@@ -251,11 +256,15 @@ def index_token_stream(
     concatenates — no per-occurrence object creation at all.
     """
     provider = provider or get_lattice_provider()
-    if not getattr(provider, "supports_chunk_cache", False):
+    ptok = (
+        _provider_cache_token(provider)
+        if getattr(provider, "supports_chunk_cache", False)
+        else None
+    )
+    if ptok is None:
         toks = tokenize(text, mode, compound_noun_min_length, provider=provider)
         return [p.token_string() for p in toks], [p.position_incr for p in toks]
     lowered = text.lower()
-    ptok = _provider_cache_token(provider)
     terms: list[str] = []
     incrs: list[int] = []
     for m in _CHUNK_RE.finditer(lowered):

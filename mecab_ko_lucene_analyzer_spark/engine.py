@@ -5,6 +5,7 @@ plugin surface (Q10 actions analyze / build-index / search,
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -64,7 +65,12 @@ class SearchEngine:
             )
         except Exception:
             self._doc_map_direct = None
-        self._df_cache: dict[str, int] = {}
+        #: LRU-bounded like the adjacent BlockCache — an open-ended
+        #: query stream (typos included) must not grow driver memory
+        #: monotonically (int values are tiny, but 10^8 distinct terms
+        #: of key strings are not)
+        self._df_cache: "OrderedDict[str, int]" = OrderedDict()
+        self._df_cache_max = 100_000
         #: route taken by the last search/count call — "driver" (WAND
         #: cursors) or "distributed" (block-table scorer); diagnostics
         #: + tested routing evidence
@@ -80,7 +86,13 @@ class SearchEngine:
             fetched = term_dfs(self.term_stats, misses)
             for t in misses:
                 self._df_cache[t] = fetched.get(t, 0)
-        return {t: self._df_cache[t] for t in set(terms)}
+        out = {}
+        for t in set(terms):
+            self._df_cache.move_to_end(t)
+            out[t] = self._df_cache[t]
+        while len(self._df_cache) > self._df_cache_max:
+            self._df_cache.popitem(last=False)
+        return out
 
     def cache(self) -> "SearchEngine":
         """Pin the serving tables (blocks + stats) in executor memory —

@@ -175,16 +175,50 @@ def _bin_offsets(col):
     return data[offs[0] : offs[-1]], offs - offs[0]
 
 
+_INT32_MAX = 2**31 - 1
+
+
 def _pa_binary(data, bounds):
     """Arrow binary array over an existing (buffer, int64 bounds) pair —
-    no per-row bytes objects."""
+    no per-row bytes objects. Raises (instead of silently wrapping the
+    int32 offsets) on payloads ≥ 2 GiB; emitters keep slices under the
+    ceiling via :func:`_binary_row_slices`."""
     import pyarrow as pa
 
+    if len(bounds) and bounds[-1] - bounds[0] > _INT32_MAX:
+        raise ValueError(
+            "binary payload exceeds Arrow's 2 GiB int32 offset ceiling; "
+            "emit the batch in row slices (_binary_row_slices)"
+        )
+    if bounds[0] != 0:
+        data = data[bounds[0] : bounds[-1]]
+        bounds = bounds - bounds[0]
     return pa.Array.from_buffers(
         pa.binary(),
         len(bounds) - 1,
         [None, pa.py_buffer(bounds.astype(np.int32)), pa.py_buffer(data)],
     )
+
+
+def _binary_row_slices(bounds_cols, n_rows, max_bytes=1 << 30):
+    """Row ranges ``(lo, hi)`` such that every binary column's payload
+    per range stays ≤ ``max_bytes`` (greedy; single full range in the
+    common case). A hot-term partition at 10^12-doc scale can carry a
+    multi-GiB position payload — one Arrow batch would overflow the
+    int32 offsets — so emitters chunk rows by byte budget instead."""
+    if n_rows == 0:
+        return
+    if all(b[-1] - b[0] <= max_bytes for b in bounds_cols):
+        yield 0, n_rows
+        return
+    lo = 0
+    while lo < n_rows:
+        hi = n_rows
+        for b in bounds_cols:
+            hi = min(hi, int(np.searchsorted(b, b[lo] + max_bytes, "right")) - 1)
+        hi = max(hi, lo + 1)  # never stall; an oversize single row raises
+        yield lo, hi
+        lo = hi
 
 
 def _gather_bytes(data, src_starts, src_lens):
@@ -268,19 +302,23 @@ def _pack_stage_arrow(hot: frozenset, salt_shift: int, block_size: int):
         allpos = _gather_bytes(pos_data, pos_bnd[:-1][order], src_lens)
         pos_b = np.zeros(len(gstarts) + 1, dtype=np.int64)
         np.cumsum(np.add.reduceat(src_lens, gstarts), out=pos_b[1:])
-        yield pa.RecordBatch.from_arrays(
-            [
-                dict_col.dictionary.take(pa.array(codes_s[gstarts])),
-                pa.array(salts_s[gstarts]),
-                pa.array(docs_s[gstarts]),
-                pa.array(gsizes.astype(np.int32)),
-                _pa_binary(dd, dd_b),
-                _pa_binary(tt, tt_b),
-                _pa_binary(allpos, pos_b),
-                _pa_binary(ll, ll_b),
-            ],
-            names=[f.name for f in PARTIAL_SCHEMA.fields],
-        )
+        names = [f.name for f in PARTIAL_SCHEMA.fields]
+        for lo, hi in _binary_row_slices(
+            (dd_b, tt_b, pos_b, ll_b), len(gstarts)
+        ):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    dict_col.dictionary.take(pa.array(codes_s[gstarts][lo:hi])),
+                    pa.array(salts_s[gstarts][lo:hi]),
+                    pa.array(docs_s[gstarts][lo:hi]),
+                    pa.array(gsizes[lo:hi].astype(np.int32)),
+                    _pa_binary(dd, dd_b[lo : hi + 1]),
+                    _pa_binary(tt, tt_b[lo : hi + 1]),
+                    _pa_binary(allpos, pos_b[lo : hi + 1]),
+                    _pa_binary(ll, ll_b[lo : hi + 1]),
+                ],
+                names=names,
+            )
 
     return pack
 
@@ -378,22 +416,28 @@ def _reblock_stage_arrow(avgdl: float, k1: float, b: float, block_size: int):
         impacts = tfs_f / (
             tfs_f + k1 * (1 - b + b * dls.astype(np.float64) / avgdl)
         )
-        out = pa.RecordBatch.from_arrays(
-            [
-                term_col.take(pa.array(terms_head[bstarts])),
-                pa.array(docs[bstarts]),
-                pa.array(bsizes.astype(np.int32)),
-                _pa_binary(dd, dd_b),
-                _pa_binary(tt, tt_b),
-                _pa_binary(allpos_sorted, pos_b),
-                _pa_binary(ll, ll_b),
-                pa.array(np.maximum.reduceat(tfs, bstarts).astype(np.int32)),
-                pa.array(np.maximum.reduceat(impacts, bstarts)),
-            ],
-            names=[f.name for f in BLOCKS_SCHEMA.fields],
-        )
-        for i in range(0, out.num_rows, 4096):
-            yield out.slice(i, 4096)
+        max_tfs = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+        max_impacts = np.maximum.reduceat(impacts, bstarts)
+        names = [f.name for f in BLOCKS_SCHEMA.fields]
+        for lo, hi in _binary_row_slices(
+            (dd_b, tt_b, pos_b, ll_b), len(bstarts)
+        ):
+            out = pa.RecordBatch.from_arrays(
+                [
+                    term_col.take(pa.array(terms_head[bstarts][lo:hi])),
+                    pa.array(docs[bstarts][lo:hi]),
+                    pa.array(bsizes[lo:hi].astype(np.int32)),
+                    _pa_binary(dd, dd_b[lo : hi + 1]),
+                    _pa_binary(tt, tt_b[lo : hi + 1]),
+                    _pa_binary(allpos_sorted, pos_b[lo : hi + 1]),
+                    _pa_binary(ll, ll_b[lo : hi + 1]),
+                    pa.array(max_tfs[lo:hi]),
+                    pa.array(max_impacts[lo:hi]),
+                ],
+                names=names,
+            )
+            for i in range(0, out.num_rows, 4096):
+                yield out.slice(i, 4096)
 
     return reblock
 

@@ -174,7 +174,8 @@ def _rows_stable_across_jobs(df: DataFrame) -> bool:
     reorder rows between jobs — callers must materialize once
     instead."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        plan = jplan.toString()
     except Exception:
         return False
     allowed = ("Relation", "LocalRelation", "Project", "Filter")
@@ -188,7 +189,29 @@ def _rows_stable_across_jobs(df: DataFrame) -> bool:
             return True
         if name and name not in allowed:
             return False
-    return True
+    # node-shape allowlist is not enough: a Filter/Project over
+    # rand()/uuid()/a nondeterministic UDF passes it but re-evaluates
+    # to a DIFFERENT row set per job — exactly the docID mismatch this
+    # guard exists to prevent. Expression.deterministic is the exact
+    # Catalyst signal (it already folds in children).
+    return _plan_expressions_deterministic(jplan)
+
+
+def _plan_expressions_deterministic(jplan) -> bool:
+    """Every expression in every node of a (java) logical plan reports
+    ``deterministic`` — walked via py4j; fail closed on any error."""
+    try:
+        exprs = jplan.expressions()
+        for i in range(exprs.size()):
+            if not exprs.apply(i).deterministic():
+                return False
+        kids = jplan.children()
+        return all(
+            _plan_expressions_deterministic(kids.apply(i))
+            for i in range(kids.size())
+        )
+    except Exception:
+        return False
 
 
 def _docid_partitions(pages, lang_filter, num_partitions, order):

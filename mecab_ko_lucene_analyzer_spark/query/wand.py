@@ -207,6 +207,41 @@ def fetch_term_blocks(
     return out
 
 
+def _footer_index(path: str, stats_col: str, what: str) -> list:
+    """Shared scaffold for the direct (no-Spark-job) parquet readers:
+    open every file under ``path`` and load per-row-group (min, max)
+    statistics of ``stats_col`` from the footers (a few KB per file).
+    Returns ``[(ParquetFile, [(min, max) per row group]), ...]``;
+    row groups without usable stats get ``(None, None)`` (always
+    read). Raises when the directory holds no parquet files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for fn in sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet")):
+        pf = pq.ParquetFile(fn)
+        if pf.metadata.num_row_groups == 0:
+            continue
+        rg0 = pf.metadata.row_group(0)
+        col_idx = next(
+            i
+            for i in range(rg0.num_columns)
+            if rg0.column(i).path_in_schema == stats_col
+        )
+        ranges = []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                ranges.append((None, None))  # unprunable: always read
+            else:
+                ranges.append((st.min, st.max))
+        files.append((pf, ranges))
+    if not files:
+        raise ValueError(f"no local parquet {what} files under {path!r}")
+    return files
+
+
 class DirectBlockReader:
     """Serving-node cold-path reader: term-pruned block fetch straight
     from the parquet files via Arrow — NO Spark job.
@@ -226,31 +261,7 @@ class DirectBlockReader:
     O(row groups containing its terms)."""
 
     def __init__(self, path: str):
-        import glob as _glob
-
-        import pyarrow.parquet as pq
-
-        self._files = []  # (ParquetFile, [(min, max) per row group])
-        for fn in sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet")):
-            pf = pq.ParquetFile(fn)
-            if pf.metadata.num_row_groups == 0:
-                continue
-            rg0 = pf.metadata.row_group(0)
-            term_idx = next(
-                i
-                for i in range(rg0.num_columns)
-                if rg0.column(i).path_in_schema == "term"
-            )
-            ranges = []
-            for rg in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(rg).column(term_idx).statistics
-                if st is None or not st.has_min_max:
-                    ranges.append((None, None))  # unprunable: always read
-                else:
-                    ranges.append((st.min, st.max))
-            self._files.append((pf, ranges))
-        if not self._files:
-            raise ValueError(f"no local parquet block files under {path!r}")
+        self._files = _footer_index(path, "term", "block")
 
     def fetch(
         self, terms: list[str], with_positions: bool = False
@@ -306,31 +317,7 @@ class DirectDocMapReader:
     resolve)."""
 
     def __init__(self, path: str):
-        import glob as _glob
-
-        import pyarrow.parquet as pq
-
-        self._files = []  # (ParquetFile, [(min, max) per row group])
-        for fn in sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet")):
-            pf = pq.ParquetFile(fn)
-            if pf.metadata.num_row_groups == 0:
-                continue
-            rg0 = pf.metadata.row_group(0)
-            id_idx = next(
-                i
-                for i in range(rg0.num_columns)
-                if rg0.column(i).path_in_schema == "doc_id"
-            )
-            ranges = []
-            for rg in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(rg).column(id_idx).statistics
-                if st is None or not st.has_min_max:
-                    ranges.append((None, None))  # unprunable: always read
-                else:
-                    ranges.append((st.min, st.max))
-            self._files.append((pf, ranges))
-        if not self._files:
-            raise ValueError(f"no local parquet doc_map files under {path!r}")
+        self._files = _footer_index(path, "doc_id", "doc_map")
         # row groups decode once and serve from memory afterwards
         # (searchsorted lookups on the sorted doc_id array); bounded so
         # a 10^12-doc map can't accrete unboundedly on one serving node

@@ -183,15 +183,27 @@ def publish_index(
             "no usable Iceberg catalog: configure spark.sql.catalog.<name> = "
             "org.apache.iceberg.spark.SparkCatalog (+ the iceberg-spark-runtime jar)"
         )
+    frames = {}
+    for name in INDEX_TABLES:
+        try:
+            frames[name] = spark.read.parquet(f"{base_path}/{name}")
+        except Exception:
+            if name not in _OPTIONAL_TABLES:  # e.g. with_blocks=False builds
+                raise
+    if not ({"postings", "partials"} & frames.keys()):
+        # both are optional INDIVIDUALLY (legacy builds have postings,
+        # fused builds have partials) — but an index with NEITHER has
+        # no posting data at all: a truncated/mis-pathed directory,
+        # not a valid build. Probed BEFORE any write so nothing is
+        # half-published.
+        raise RuntimeError(
+            f"{base_path} has neither 'postings' nor 'partials' — not a "
+            "complete index (truncated build or wrong path?); refusing "
+            "to publish a posting-less index"
+        )
     published = []
     for name in INDEX_TABLES:
-        path = f"{base_path}/{name}"
-        try:
-            df = spark.read.parquet(path)
-        except Exception:
-            if name in _OPTIONAL_TABLES:  # e.g. with_blocks=False builds
-                continue
-            raise
-        write_table(df, f"{namespace}.{name}", mode=mode)
-        published.append(f"{namespace}.{name}")
+        if name in frames:
+            write_table(frames[name], f"{namespace}.{name}", mode=mode)
+            published.append(f"{namespace}.{name}")
     return published

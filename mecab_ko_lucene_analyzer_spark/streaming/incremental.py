@@ -169,15 +169,20 @@ def _read_pointer(spark: SparkSession, index_path: str) -> dict | None:
     fs, jpath, jvm = _fs_and_path(spark, _pointer_path(index_path))
     for attempt in range(10):
         if fs.exists(jpath):
-            stream = fs.open(jpath)
+            # the open itself sits INSIDE the retried block: on local
+            # FS the flip is delete-then-rename, and the file can
+            # vanish between the exists() probe and the open()
+            stream = None
             try:
+                stream = fs.open(jpath)
                 data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
                 return json.loads(data)
             except Exception:
                 if attempt == 9:
                     raise
             finally:
-                stream.close()
+                if stream is not None:
+                    stream.close()
         elif not fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{index_path}/versions")
         ):

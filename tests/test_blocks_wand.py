@@ -540,3 +540,39 @@ def test_pack_reblock_arrow_equals_pandas(spark, materialized):
         a = rows("arrow", **kw)
         p = rows("pandas", **kw)
         assert len(a) == len(p) > 0 and a == p, kw
+
+
+def test_arrow_stages_sliced_emission_identical(spark, materialized, monkeypatch):
+    """Forcing a tiny per-batch byte budget (the 2 GiB int32-offset
+    guard path) through the Arrow pack/reblock stages must change
+    NOTHING about the output rows — multi-slice emission is purely a
+    batch-boundary concern."""
+    import mecab_ko_lucene_analyzer_spark.index.blocks as blocks_mod
+
+    postings = materialized.postings
+    term_stats = spark.read.parquet(f"{BASE}/term_stats")
+    corpus = spark.read.parquet(f"{BASE}/corpus_stats").first()
+
+    def rows():
+        df = build_blocks(
+            postings, term_stats, corpus["n_docs"], corpus["avgdl"],
+            impl="arrow", hot_min_df=1, salt_shift=3,
+        )
+        out = sorted(
+            (tuple(bytes(v) if isinstance(v, bytearray) else v for v in t)
+             for t in df.collect()),
+            key=lambda t: (t[0], t[1]),
+        )
+        df._partials_df.unpersist()
+        return out
+
+    baseline = rows()
+    orig = blocks_mod._binary_row_slices
+
+    def tiny_budget(bounds_cols, n_rows, max_bytes=1 << 30):
+        return orig(bounds_cols, n_rows, max_bytes=64)
+
+    monkeypatch.setattr(blocks_mod, "_binary_row_slices", tiny_budget)
+    sliced = rows()
+    assert len(sliced) == len(baseline) > 0
+    assert sliced == baseline

@@ -66,3 +66,89 @@ def test_compression_is_effective():
     assert len(dd) <= 128 + 5  # first doc absolute, then 1-byte deltas
     assert len(tt) == 128
     assert len(pp) == 128
+
+
+def test_binary_row_slices_respects_byte_budget():
+    """Emitters must chunk Arrow binary output so no slice's payload
+    exceeds the budget (the int32-offset ceiling guard at scale)."""
+    from mecab_ko_lucene_analyzer_spark.index.blocks import (
+        _binary_row_slices,
+        _pa_binary,
+    )
+
+    # 6 rows with payload sizes 4,4,4,4,4,4 → budget 10 forces ≤2 rows
+    bounds = np.arange(0, 28, 4, dtype=np.int64)
+    slices = list(_binary_row_slices((bounds,), 6, max_bytes=10))
+    assert slices == [(0, 2), (2, 4), (4, 6)]
+    # a second, tighter column dominates the split
+    tight = np.arange(0, 70, 10, dtype=np.int64)
+    slices = list(_binary_row_slices((bounds, tight), 6, max_bytes=20))
+    assert all(hi - lo <= 2 for lo, hi in slices)
+    assert [lo for lo, _ in slices] + [slices[-1][1]] == sorted(
+        {lo for lo, _ in slices} | {hi for _, hi in slices}
+    )
+    # single oversize row never stalls (advances one row; _pa_binary
+    # raises loudly for it rather than wrapping offsets)
+    big = np.array([0, 50], dtype=np.int64)
+    assert list(_binary_row_slices((big,), 1, max_bytes=10)) == [(0, 1)]
+    # fast path: everything under budget → one full range
+    assert list(_binary_row_slices((bounds,), 6, max_bytes=1 << 30)) == [(0, 6)]
+    # empty input → no slices
+    assert list(_binary_row_slices((np.zeros(1, dtype=np.int64),), 0)) == []
+
+    # rebased slice construction: bytes round-trip per slice
+    data = np.frombuffer(b"aaaabbbbccccddddeeeeffff", dtype=np.uint8)
+    arr = _pa_binary(data, bounds[2:5])  # rows 2..3 of the original
+    assert arr.to_pylist() == [b"cccc", b"dddd"]
+
+    # the int32 ceiling raises instead of silently wrapping
+    import pytest
+
+    huge = np.array([0, 2**31], dtype=np.int64)
+    with pytest.raises(ValueError, match="2 GiB"):
+        _pa_binary(np.empty(0, dtype=np.uint8), huge)
+
+
+def test_pack_stage_multi_slice_emission_direct(monkeypatch):
+    """Driver-side (no Spark) check that the pack stage REALLY splits
+    its output under a small byte budget and that the union of slices
+    decodes identically to the single-batch emission."""
+    import pyarrow as pa
+
+    import mecab_ko_lucene_analyzer_spark.index.blocks as blocks_mod
+    from mecab_ko_lucene_analyzer_spark.index.blocks import _pack_stage_arrow
+
+    n = 200
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "term": [f"t{i % 7}" for i in range(n)],
+            "doc_id": list(range(n)),
+            "tf": [1 + i % 3 for i in range(n)],
+            "doc_len": [10] * n,
+            "positions": [bytes([i % 120]) for i in range(n)],
+        },
+        schema=pa.schema(
+            [
+                ("term", pa.string()),
+                ("doc_id", pa.int64()),
+                ("tf", pa.int64()),
+                ("doc_len", pa.int64()),
+                ("positions", pa.binary()),
+            ]
+        ),
+    )
+    pack = _pack_stage_arrow(frozenset(), 16, 128)
+    single = list(pack(iter([batch])))
+    assert len(single) == 1
+
+    orig = blocks_mod._binary_row_slices
+    monkeypatch.setattr(
+        blocks_mod,
+        "_binary_row_slices",
+        lambda b, r, max_bytes=1 << 30: orig(b, r, max_bytes=16),
+    )
+    sliced = list(pack(iter([batch])))
+    assert len(sliced) > 1  # the budget genuinely engaged
+    merged = pa.Table.from_batches(sliced)
+    base = pa.Table.from_batches(single)
+    assert merged.to_pylist() == base.to_pylist()

@@ -124,6 +124,13 @@ def test_rows_stable_classifier(spark, tmp_path):
     assert not _rows_stable_across_jobs(
         spark.createDataFrame([("a", "b")], "url string, text string")
     )
+    # node shape (Filter/Project over a scan) is not enough: a
+    # NONDETERMINISTIC predicate or projection re-evaluates to a
+    # different row set per job — must be classified unstable
+    assert not _rows_stable_across_jobs(fp.filter(F.rand(seed=1) < 0.5))
+    assert not _rows_stable_across_jobs(
+        fp.select("url", F.rand(seed=1).alias("r"))
+    )
 
 
 def test_shuffled_input_keeps_postings_docmap_consistent(spark):

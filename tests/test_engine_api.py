@@ -207,3 +207,24 @@ def test_highlight_synonym_expanded_terms():
     assert "<em>삼성전자</em>" in marked
     assert "<em>검색엔진은</em>" in marked or "<em>검색엔진</em>은" in marked
     assert "samsung" not in marked
+
+
+def test_df_cache_is_lru_bounded(engine):
+    """The per-term df cache must evict (LRU) instead of growing with
+    every distinct query term forever — a long-lived serving node sees
+    an open-ended term stream (typos included)."""
+    engine._df_cache.clear()
+    old_max = engine._df_cache_max
+    try:
+        engine._df_cache_max = 4
+        for i in range(10):
+            engine._dfs([f"없는용어{i}"])
+        assert len(engine._df_cache) <= 4
+        # recently-used keys survive, oldest evicted
+        assert "없는용어9" in engine._df_cache
+        assert "없는용어0" not in engine._df_cache
+        # values still correct through eviction (misses refetch)
+        dfs = engine._dfs(["없는용어0"])
+        assert dfs["없는용어0"] == 0
+    finally:
+        engine._df_cache_max = old_max

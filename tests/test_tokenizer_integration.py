@@ -141,8 +141,44 @@ def test_custom_provider_cache_token_assigned_not_id():
         __slots__ = ("supports_chunk_cache",)
 
     f = Frozen()
-    a, b = _provider_cache_token(f), _provider_cache_token(f)
-    assert a != b  # unsettable → fresh token per call (no cache reuse)
+    # unsettable → None: caching disabled outright. (A fresh token per
+    # call would WRITE unreachable entries, repeatedly filling and
+    # bulk-clearing the shared cache — wiping other providers' warm
+    # entries.)
+    assert _provider_cache_token(f) is None
+    assert _provider_cache_token(f) is None
     # the bundled provider keeps its constructor-assigned token
     prov = get_lattice_provider()
     assert _provider_cache_token(prov) == prov.cache_token
+
+
+def test_unsettable_provider_never_writes_shared_caches():
+    """A slots/frozen chunk-cache-capable provider must not leave any
+    entries in the shared chunk/stream caches (nor read stale ones) —
+    it falls back to the uncached parse path."""
+    from mecab_ko_lucene_analyzer_spark.analysis import tokenizer as tok_mod
+    from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import (
+        index_token_stream,
+    )
+
+    base = DictionaryLatticeProvider(
+        stems={"커스텀": "NNG,*,T,커스텀,*,*,*,*"},
+        suffixes={"은": "JX,*,T,은,*,*,*,*"},
+    )
+
+    class Frozen:
+        __slots__ = ()
+        supports_chunk_cache = True
+
+        def parse(self, text):
+            return base.parse(text)
+
+    f = Frozen()
+    before_chunk = dict(tok_mod._CHUNK_CACHE)
+    before_stream = dict(tok_mod._INDEX_STREAM_CACHE)
+    toks = tokenize("커스텀은", provider=f)
+    assert [p.surface for p in toks][1] == "커스텀"
+    terms, _ = index_token_stream("커스텀은", provider=f)
+    assert terms  # the fallback path still tokenizes correctly
+    assert tok_mod._CHUNK_CACHE == before_chunk
+    assert tok_mod._INDEX_STREAM_CACHE == before_stream
