@@ -390,6 +390,53 @@ def _q_match_count(spark, sf_dir):
     return spark.createDataFrame(out, "terms string, mode string, cnt long")
 
 
+#: highlight contract terms — both appear throughout the synthetic
+#: corpus, mixed-case occurrences included (the model lowercases)
+HIGHLIGHT_TERMS = ["spark", "data"]
+
+
+def _q_highlight_spans(spark, sf_dir):
+    """Q9 highlighting under the driver gate: the production span
+    pipeline (term-SET model + overlap merge —
+    ``TermHighlightingQuery.java:26-48`` semantics, shared ``_merge``)
+    over the whitespace tokenization, Arrow-batched via mapInPandas.
+    Oracle: DuckDB recomputes each matched token's char span from
+    cumulative token lengths (single-space separators). The Korean
+    chain's spans stay pytest-golden-gated (DuckDB cannot run the
+    analyzer)."""
+    import pandas as pd
+
+    from mecab_ko_lucene_analyzer_spark.query.highlight import (
+        whitespace_highlight_spans,
+    )
+
+    terms = list(HIGHLIGHT_TERMS)
+
+    def emit(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            starts: list[int] = []
+            ends: list[int] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for s, e in whitespace_highlight_spans(text, terms):
+                    ids.append(did)
+                    starts.append(s)
+                    ends.append(e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "start_offset": pd.Series(starts, dtype="int64"),
+                    "end_offset": pd.Series(ends, dtype="int64"),
+                }
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(emit, "doc_id long, start_offset long, end_offset long")
+    )
+
+
 def _q_batch_bm25_topk(spark, sf_dir):
     """Bulk retrieval: a 4-query batch scored in ONE Spark job via
     block-max WAND over a block index built from the whitespace tokens
@@ -605,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": _q_batch_bm25_topk,
         "phrase_match": _q_phrase_match,
         "match_count": _q_match_count,
+        "highlight_spans": _q_highlight_spans,
         "streaming_postings_tf": _q_streaming_postings_tf,
         "streaming_dedup": _q_streaming_dedup,
         "analyze_ko_tokens": _q_analyze_ko_tokens,
@@ -1130,6 +1178,29 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": _phrase_match_sql(),
         # Q8 count semantics from the block index
         "match_count": _match_count_sql(),
+        # Q9 char spans: cumulative token lengths over the UNFILTERED
+        # split (each empty token from consecutive spaces consumes one
+        # separator char, exactly as the Python side counts)
+        "highlight_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+                SELECT doc_id, unnest(t) AS tok,
+                       generate_subscripts(t, 1) AS i
+                FROM toks
+            ), offs AS (
+                SELECT doc_id, tok,
+                       COALESCE(sum(length(tok) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS s
+                FROM pos
+            )
+            SELECT doc_id, CAST(s AS BIGINT) AS start_offset,
+                   CAST(s + length(tok) AS BIGINT) AS end_offset
+            FROM offs
+            WHERE lower(tok) IN ({", ".join(f"'{t}'" for t in HIGHLIGHT_TERMS)})
+        """,
         # incremental streaming index ≡ batch: same oracle as postings_tf
         "streaming_postings_tf": f"""
             WITH toks AS ({_TOKS_SQL})

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from ..analysis.tokenizer import tokenize
 
-__all__ = ["highlight_spans", "phrase_highlight_spans", "highlight"]
+__all__ = [
+    "highlight_spans",
+    "phrase_highlight_spans",
+    "whitespace_highlight_spans",
+    "highlight",
+]
 
 
 def _merge(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -27,6 +32,29 @@ def _merge(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
         else:
             merged.append((s, e))
     return merged
+
+
+def whitespace_highlight_spans(
+    text: str | None, query_terms: set[str] | list[str]
+) -> list[tuple[int, int]]:
+    """:func:`highlight_spans` over the plain whitespace tokenization —
+    the SQL-replicable variant used by the driver contract (the Korean
+    chain's spans are pinned by the golden suite instead; DuckDB cannot
+    run the analyzer). Same term-SET model and the same ``_merge``:
+    every occurrence of any (lowercased) query term yields its
+    (start, end) char span. Offsets count single-space separators, so
+    consecutive spaces shift later tokens exactly as ``str.split(' ')``
+    sees them."""
+    if not text:
+        return []
+    lowered = set(t.lower() for t in query_terms)
+    spans = []
+    start = 0
+    for tok in text.split(" "):
+        if tok and tok.lower() in lowered:
+            spans.append((start, start + len(tok)))
+        start += len(tok) + 1
+    return _merge(spans)
 
 
 def highlight_spans(

@@ -228,3 +228,23 @@ def test_df_cache_is_lru_bounded(engine):
         assert dfs["없는용어0"] == 0
     finally:
         engine._df_cache_max = old_max
+
+
+def test_whitespace_highlight_spans_semantics():
+    """The SQL-replicable highlight variant: char offsets count
+    single-space separators (consecutive spaces shift later tokens),
+    matching is case-insensitive term-set, and the shared _merge is
+    applied (no-op for whitespace tokens — spans can never touch)."""
+    from mecab_ko_lucene_analyzer_spark.query.highlight import (
+        whitespace_highlight_spans,
+    )
+
+    assert whitespace_highlight_spans("Spark  and data", ["spark", "data"]) == [
+        (0, 5),
+        (11, 15),
+    ]
+    assert whitespace_highlight_spans("", ["x"]) == []
+    assert whitespace_highlight_spans(None, ["x"]) == []
+    assert whitespace_highlight_spans("nothing here", ["spark"]) == []
+    # repeated occurrences each get a span
+    assert whitespace_highlight_spans("data data", ["data"]) == [(0, 4), (5, 9)]
