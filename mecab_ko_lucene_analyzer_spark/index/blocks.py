@@ -162,8 +162,13 @@ def _pack_stage(hot: frozenset, salt_shift: int, block_size: int):
 def _bin_offsets(col):
     """(data_view, row_bounds) of an Arrow binary array — the
     concatenated payload bytes and per-row int64 bounds, both zero-copy
-    views into the Arrow buffers."""
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    views into the Arrow buffers. Handles both ``binary`` (int32
+    offsets) and ``large_binary`` (int64 offsets — what the stage
+    inputs are upcast to so multi-GiB partitions concatenate safely)."""
+    import pyarrow as pa
+
+    off_dtype = np.int64 if col.type == pa.large_binary() else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + len(col) + 1
     ].astype(np.int64)
     dbuf = col.buffers()[2]
@@ -198,6 +203,30 @@ def _pa_binary(data, bounds):
         len(bounds) - 1,
         [None, pa.py_buffer(bounds.astype(np.int32)), pa.py_buffer(data)],
     )
+
+
+def _combine_large(chunks):
+    """Concatenate input batches into ONE chunk safely: binary/string
+    columns are upcast to their ``large_`` variants (int64 offsets)
+    first, so a multi-GiB partition payload cannot overflow the int32
+    offsets mid-``combine_chunks`` (ArrowInvalid) — nor can a
+    still-chunked column silently desync from the numpy views of the
+    numeric columns (``.chunk(0)`` on a multi-chunk column would
+    process a row subset)."""
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches(chunks)
+    fields = [
+        pa.field(
+            f.name,
+            pa.large_binary()
+            if f.type == pa.binary()
+            else (pa.large_string() if f.type == pa.string() else f.type),
+            f.nullable,
+        )
+        for f in tbl.schema
+    ]
+    return tbl.cast(pa.schema(fields)).combine_chunks()
 
 
 def _binary_row_slices(bounds_cols, n_rows, max_bytes=1 << 30):
@@ -254,7 +283,7 @@ def _pack_stage_arrow(hot: frozenset, salt_shift: int, block_size: int):
         chunks = [c for c in batches if c.num_rows]
         if not chunks:
             return
-        tbl = pa.Table.from_batches(chunks).combine_chunks()
+        tbl = _combine_large(chunks)
         term_col = tbl.column("term").chunk(0)
         docs = tbl.column("doc_id").to_numpy()
         tfs = tbl.column("tf").to_numpy().astype(np.uint64)
@@ -308,7 +337,9 @@ def _pack_stage_arrow(hot: frozenset, salt_shift: int, block_size: int):
         ):
             yield pa.RecordBatch.from_arrays(
                 [
-                    dict_col.dictionary.take(pa.array(codes_s[gstarts][lo:hi])),
+                    dict_col.dictionary.take(
+                        pa.array(codes_s[gstarts][lo:hi])
+                    ).cast(pa.string()),
                     pa.array(salts_s[gstarts][lo:hi]),
                     pa.array(docs_s[gstarts][lo:hi]),
                     pa.array(gsizes[lo:hi].astype(np.int32)),
@@ -341,7 +372,7 @@ def _reblock_stage_arrow(avgdl: float, k1: float, b: float, block_size: int):
         chunks = [c for c in batches if c.num_rows]
         if not chunks:
             return
-        tbl = pa.Table.from_batches(chunks).combine_chunks()
+        tbl = _combine_large(chunks)
         term_col = tbl.column("term").chunk(0)
         p_salts = tbl.column("salt").to_numpy()
         p_ndocs = tbl.column("n_docs").to_numpy().astype(np.int64)
@@ -424,7 +455,9 @@ def _reblock_stage_arrow(avgdl: float, k1: float, b: float, block_size: int):
         ):
             out = pa.RecordBatch.from_arrays(
                 [
-                    term_col.take(pa.array(terms_head[bstarts][lo:hi])),
+                    term_col.take(
+                        pa.array(terms_head[bstarts][lo:hi])
+                    ).cast(pa.string()),
                     pa.array(docs[bstarts][lo:hi]),
                     pa.array(bsizes[lo:hi].astype(np.int32)),
                     _pa_binary(dd, dd_b[lo : hi + 1]),

@@ -29,138 +29,12 @@ __all__ = [
     "build_index",
     "build_and_write",
     "load_index",
-    "corpus_tokens",
     "corpus_partials",
     "postings_from_partials",
 ]
 
 K1 = 1.2
 B = 0.75
-
-
-def corpus_tokens(
-    pages: DataFrame,
-    lang_filter: str | None = "ko",
-    mode: str = "standard",
-    compound_noun_min_length: int = 3,
-    num_partitions: int | None = None,
-):
-    """Corpus → ``(tokens, doc_map)`` in ONE Python pass.
-
-    Fuses docID assignment (I1) and tokenization (A1–A10/I2) into a
-    single ``mapInPandas`` over the range-partitioned corpus: the text
-    crosses the Arrow boundary once, and no intermediate docID-stamped
-    corpus is materialized. ``tokens`` carries ``doc_len`` so the
-    block encoder never joins back to doc stats.
-
-    Returns ``(tokens_df, doc_map_df)`` where ``doc_map`` is
-    ``(doc_id, url)`` (resolution table for query results), both reading
-    the same persisted shuffle.
-    """
-    import pandas as pd
-    import pyspark.sql.types as T
-    from pyspark import StorageLevel
-
-    from ..analysis.tokenizer import get_lattice_provider, tokenize
-
-    spark = pages.sparkSession
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    if lang_filter is not None:
-        pages = pages.filter(F.col("lang") == lang_filter)
-    pruned = pages.select("url", "text")
-    parts = (
-        pruned.repartitionByRange(num_partitions, "url")
-        .sortWithinPartitions("url")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    tokens_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("term", T.StringType(), False),
-            T.StructField("type", T.StringType(), False),
-            T.StructField("position", T.IntegerType(), False),
-            T.StructField("start_offset", T.IntegerType(), False),
-            T.StructField("end_offset", T.IntegerType(), False),
-            T.StructField("doc_len", T.IntegerType(), False),
-        ]
-    )
-
-    def emit_tokens(batches):
-        provider = get_lattice_provider()
-        seen = 0
-        base = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if base is None:
-                base = offsets[int(pdf["_pid"].iloc[0])]
-            doc_ids, terms, types, positions, starts, ends, doc_lens = (
-                [], [], [], [], [], [], [],
-            )
-            for off, txt in enumerate(pdf["text"]):
-                d = base + seen + off
-                toks = tokenize(
-                    txt or "", mode, compound_noun_min_length, provider=provider
-                )
-                position = -1
-                for p in toks:
-                    position += p.position_incr
-                    doc_ids.append(d)
-                    terms.append(p.token_string())
-                    types.append(p.pos_id.name)
-                    positions.append(position)
-                    starts.append(p.start_offset)
-                    ends.append(p.end_offset)
-                doc_lens.extend([len(toks)] * len(toks))
-            seen += len(pdf)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(doc_ids, dtype="int64"),
-                    "term": terms,
-                    "type": types,
-                    "position": pd.Series(positions, dtype="int32"),
-                    "start_offset": pd.Series(starts, dtype="int32"),
-                    "end_offset": pd.Series(ends, dtype="int32"),
-                    "doc_len": pd.Series(doc_lens, dtype="int32"),
-                }
-            )
-
-    map_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("url", T.StringType(), False),
-        ]
-    )
-
-    def emit_map(batches):
-        seen = 0
-        base = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if base is None:
-                base = offsets[int(pdf["_pid"].iloc[0])]
-            ids = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"), "url": pdf["url"].values}
-            )
-
-    return parts.mapInPandas(emit_tokens, tokens_schema), parts.mapInPandas(
-        emit_map, map_schema
-    )
 
 
 def _rows_stable_across_jobs(df: DataFrame) -> bool:
@@ -174,44 +48,37 @@ def _rows_stable_across_jobs(df: DataFrame) -> bool:
     reorder rows between jobs — callers must materialize once
     instead."""
     try:
-        jplan = df._jdf.queryExecution().optimizedPlan()
-        plan = jplan.toString()
+        return _stable_plan(df._jdf.queryExecution().optimizedPlan())
     except Exception:
         return False
-    allowed = ("Relation", "LocalRelation", "Project", "Filter")
-    for line in plan.splitlines():
-        name = line.strip().lstrip("+-: ").split(" ", 1)[0].split("[", 1)[0]
-        if name == "InMemoryRelation":
-            # a cache IS a single shared materialization; the lines
-            # below it describe the plan that fills it, not what the
-            # passes re-execute. Any combiner above a cache (join,
-            # union) fails the allowlist before this line is reached.
-            return True
-        if name and name not in allowed:
+
+
+#: deterministic leaf scans (file relations enumerate rows from
+#: file-split planning; local relations are literals). LogicalRDD is
+#: deliberately ABSENT: it can wrap any rdd — conservatively unstable.
+_STABLE_LEAVES = frozenset({"LogicalRelation", "LocalRelation", "Relation"})
+
+
+def _stable_plan(jplan) -> bool:
+    """Tree walk of a (java) logical plan via py4j: stable iff every
+    node is a deterministic scan leaf, a cache (``InMemoryRelation`` is
+    a Catalyst LEAF — one shared materialization feeds every pass, so
+    nothing beneath it re-executes), or a Project/Filter whose every
+    expression reports Catalyst-``deterministic``. The expression check
+    is NOT skippable above a cache: ``cached.filter(rand() < p)``
+    re-evaluates the filter to a different row set per job even though
+    the cache itself is stable. Fail closed on any py4j error."""
+    name = jplan.nodeName()
+    if name == "InMemoryRelation" or name in _STABLE_LEAVES:
+        return True
+    if name not in ("Project", "Filter"):
+        return False
+    exprs = jplan.expressions()
+    for i in range(exprs.size()):
+        if not exprs.apply(i).deterministic():
             return False
-    # node-shape allowlist is not enough: a Filter/Project over
-    # rand()/uuid()/a nondeterministic UDF passes it but re-evaluates
-    # to a DIFFERENT row set per job — exactly the docID mismatch this
-    # guard exists to prevent. Expression.deterministic is the exact
-    # Catalyst signal (it already folds in children).
-    return _plan_expressions_deterministic(jplan)
-
-
-def _plan_expressions_deterministic(jplan) -> bool:
-    """Every expression in every node of a (java) logical plan reports
-    ``deterministic`` — walked via py4j; fail closed on any error."""
-    try:
-        exprs = jplan.expressions()
-        for i in range(exprs.size()):
-            if not exprs.apply(i).deterministic():
-                return False
-        kids = jplan.children()
-        return all(
-            _plan_expressions_deterministic(kids.apply(i))
-            for i in range(kids.size())
-        )
-    except Exception:
-        return False
+    kids = jplan.children()
+    return all(_stable_plan(kids.apply(i)) for i in range(kids.size()))
 
 
 def _docid_partitions(pages, lang_filter, num_partitions, order):
@@ -561,19 +428,29 @@ def corpus_partials(
         pos_b = np.zeros(len(gstarts) + 1, dtype=np.int64)
         np.cumsum(np.add.reduceat(src_lens, gstarts), out=pos_b[1:])
         uniq_arr = pa.array(uniques, type=pa.string())
-        yield pa.RecordBatch.from_arrays(
-            [
-                uniq_arr.take(pa.array(codes_s[gstarts])),
-                pa.array(np.zeros(len(gstarts), dtype=np.int64)),
-                pa.array(docs_s[gstarts]),
-                pa.array(gsizes.astype(np.int32)),
-                _pa_binary(dd, dd_b),
-                _pa_binary(tt, tt_b),
-                _pa_binary(allpos, pos_b),
-                _pa_binary(ll, ll_b),
-            ],
-            names=[f.name for f in PARTIAL_SCHEMA.fields],
-        )
+        names = [f.name for f in PARTIAL_SCHEMA.fields]
+        # byte-budgeted row slices, same as the blocks-stage emitters:
+        # one tokenize partition's concatenated payload can exceed
+        # Arrow's 2 GiB int32-offset ceiling with a raised
+        # maxPartitionBytes override
+        from .blocks import _binary_row_slices
+
+        for lo, hi in _binary_row_slices(
+            (dd_b, tt_b, pos_b, ll_b), len(gstarts)
+        ):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    uniq_arr.take(pa.array(codes_s[gstarts][lo:hi])),
+                    pa.array(np.zeros(hi - lo, dtype=np.int64)),
+                    pa.array(docs_s[gstarts][lo:hi]),
+                    pa.array(gsizes[lo:hi].astype(np.int32)),
+                    _pa_binary(dd, dd_b[lo : hi + 1]),
+                    _pa_binary(tt, tt_b[lo : hi + 1]),
+                    _pa_binary(allpos, pos_b[lo : hi + 1]),
+                    _pa_binary(ll, ll_b[lo : hi + 1]),
+                ],
+                names=names,
+            )
 
     return (
         text_parts.mapInArrow(emit_partials, PARTIAL_SCHEMA),
@@ -909,6 +786,12 @@ def build_and_write(
             "doc_order": doc_order,
             "k1": K1,
             "b": B,
+            # blocks-stage parameters belong in the fingerprint too:
+            # rerunning with different salting must NOT skip the blocks
+            # stage and silently serve the old un-resalted blocks
+            "with_blocks": with_blocks,
+            "hot_min_df": hot_min_df,
+            "salt_shift": salt_shift,
         },
     )
 

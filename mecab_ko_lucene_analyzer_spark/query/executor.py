@@ -110,20 +110,20 @@ class _PhraseNode(_AndNode):
             super().next_geq(d + 1)
 
     def _phrase_match(self) -> bool:
+        # forward DP over sorted position lists — EXISTS semantics:
+        # term i+1 may sit at any position in (p_i, p_i + 1 + slop].
+        # (A greedy earliest-next walk is wrong for slop >= 1: picking
+        # the earliest candidate in one window can dead-end the next
+        # window even though a later candidate completes the chain.)
         pos_lists = [ch.c.positions_current() for ch in self.children]
-        base = pos_lists[0]
-        for start in base:
-            ok = True
-            expect = start
-            for ps in pos_lists[1:]:
-                nxt = ps[(ps > expect) & (ps <= expect + 1 + self.slop)]
-                if nxt.size == 0:
-                    ok = False
-                    break
-                expect = int(nxt[0])
-            if ok:
-                return True
-        return False
+        reach = pos_lists[0]
+        for ps in pos_lists[1:]:
+            if reach.size == 0:
+                return False
+            lo = np.searchsorted(reach, ps - 1 - self.slop, "left")
+            hi = np.searchsorted(reach, ps - 1, "right")
+            reach = ps[hi > lo]
+        return reach.size > 0
 
     def score(self) -> float:
         return 0.0
@@ -137,20 +137,47 @@ def _has_phrase(node) -> bool:
     return False
 
 
-def _build_tree(node, cursors: dict[str, TermCursor]):
+def _take_cursor(term: str, cursors: dict[str, TermCursor], used: set[str]):
+    """Hand out the dict's cursor on FIRST use and an independent clone
+    on every later occurrence of the same term in one AST. Cursors are
+    mutable iterators: aliasing one across two tree branches lets a
+    Phrase/And branch advance it out from under a sibling Term branch,
+    silently dropping matching docs (e.g. the Q2 shape
+    ``Or(Term(t), Phrase((s, t)))`` when a synonym phrase contains the
+    token's own word). Blocks are shared (decode is lazy and
+    cursor-local); only the iteration state is duplicated."""
+    c = cursors.get(term)
+    if c is None:
+        return None
+    if term in used:
+        return TermCursor(
+            term=c.term,
+            idf=c.idf,
+            blocks=list(c.blocks),
+            k1=c.k1,
+            b=c.b,
+            avgdl=c.avgdl,
+        )
+    used.add(term)
+    return c
+
+
+def _build_tree(node, cursors: dict[str, TermCursor], used: set[str] | None = None):
+    if used is None:
+        used = set()
     if isinstance(node, Term):
-        c = cursors.get(node.term)
+        c = _take_cursor(node.term, cursors, used)
         return _TermNode(c) if c is not None else _Empty()
     if isinstance(node, Phrase):
         children = []
         for t in node.terms:
-            c = cursors.get(t)
+            c = _take_cursor(t, cursors, used)
             if c is None:
                 return _Empty()
             children.append(_TermNode(c))
         return _PhraseNode(children, node.slop)
     cls = _AndNode if isinstance(node, And) else _OrNode
-    children = [_build_tree(c, cursors) for c in node.children]
+    children = [_build_tree(c, cursors, used) for c in node.children]
     if isinstance(node, And) and any(isinstance(c, _Empty) for c in children):
         return _Empty()
     if isinstance(node, Or):

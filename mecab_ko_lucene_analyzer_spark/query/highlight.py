@@ -86,14 +86,20 @@ def phrase_highlight_spans(
 ) -> list[tuple[int, int]]:
     """Char spans of tokens participating in an in-order phrase window
     within ``slop`` — the executor's ``_PhraseNode`` semantics (each
-    next term at a position in ``(prev, prev + 1 + slop]``, greedy
-    first match) applied at highlight time.
+    next term at a position in ``(prev, prev + 1 + slop]``, EXISTS
+    semantics over all candidate chains — greedy first-match is wrong
+    for slop >= 1: the earliest candidate in one window can dead-end
+    the next window even though a later candidate completes the chain)
+    applied at highlight time. An occurrence highlights iff it is a
+    member of at least one complete valid chain.
 
     The reference highlighter has no span awareness (it term-sets the
     whole query — every term occurrence lights up even outside the
     phrase window); this is the stricter phrase-consistent rendering
     for ``match_phrase`` queries, so only window members highlight."""
     terms = [t.lower() for t in phrase_terms]
+    if not terms:
+        return []
     occ: dict[str, list[tuple[int, int, int]]] = {t: [] for t in terms}
     position = -1
     for p in tokenize(text, mode, compound_noun_min_length):
@@ -101,27 +107,33 @@ def phrase_highlight_spans(
         ts = p.token_string().lower()
         if ts in occ:
             occ[ts].append((position, p.start_offset, p.end_offset))
-    spans: list[tuple[int, int]] = []
-    for pos0, s0, e0 in occ[terms[0]] if terms else []:
-        chain = [(s0, e0)]
-        expect = pos0
-        ok = True
-        for t in terms[1:]:
-            nxt = next(
-                (
-                    (q, s, e)
-                    for (q, s, e) in occ[t]
-                    if expect < q <= expect + 1 + slop
-                ),
-                None,
-            )
-            if nxt is None:
-                ok = False
-                break
-            expect = nxt[0]
-            chain.append((nxt[1], nxt[2]))
-        if ok:
-            spans.extend(chain)
+    slots = [occ[t] for t in terms]
+    n = len(slots)
+    # forward pass: occurrence j of slot i is reachable iff some
+    # reachable occurrence of slot i-1 sits in its lookback window
+    fwd = [[True] * len(slots[0])] + [[False] * len(s) for s in slots[1:]]
+    for i in range(1, n):
+        prev = [p for (p, _, _), ok in zip(slots[i - 1], fwd[i - 1]) if ok]
+        fwd[i] = [
+            any(pp < q <= pp + 1 + slop for pp in prev)
+            for (q, _, _) in slots[i]
+        ]
+    # backward pass: keep only occurrences that also CONTINUE into a
+    # complete chain (the last slot's reachable set seeds it)
+    use = [[False] * len(s) for s in slots]
+    use[n - 1] = list(fwd[n - 1])
+    for i in range(n - 2, -1, -1):
+        nxt = [q for (q, _, _), ok in zip(slots[i + 1], use[i + 1]) if ok]
+        use[i] = [
+            ok and any(p < q <= p + 1 + slop for q in nxt)
+            for (p, _, _), ok in zip(slots[i], fwd[i])
+        ]
+    spans = [
+        (s, e)
+        for i in range(n)
+        for (p, s, e), ok in zip(slots[i], use[i])
+        if ok
+    ]
     return _merge(spans)
 
 

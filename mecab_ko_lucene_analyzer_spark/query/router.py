@@ -91,9 +91,8 @@ def _decode_stage(idf_by_term: dict[str, float], avgdl: float, k1: float, b: flo
 
         for pdf in batches:
             docs_out, terms_out, partial_out = [], [], []
-            for term, first_doc, dd, tfs, dls in zip(
+            for term, dd, tfs, dls in zip(
                 pdf["term"],
-                pdf["first_doc"],
                 pdf["doc_deltas"],
                 pdf["tfs"],
                 pdf["doc_lens"],
@@ -135,8 +134,12 @@ def _partials(
     if not terms:
         return blocks.sparkSession.createDataFrame([], _PARTIAL_SCHEMA)
     idf = {t: lucene_idf(n_docs, dfs[t]) for t in terms}
+    # first_doc is deliberately NOT selected: docIDs rebuild from the
+    # delta chain alone (each block's first delta is absolute), and a
+    # josa-class hot term owns millions of blocks — 8 wasted bytes per
+    # block through the scan and the Arrow boundary add up
     pruned = blocks.filter(F.col("term").isin(terms)).select(
-        "term", "first_doc", "doc_deltas", "tfs", "doc_lens"
+        "term", "doc_deltas", "tfs", "doc_lens"
     )
     return pruned.mapInPandas(_decode_stage(idf, avgdl, k1, b), _PARTIAL_SCHEMA)
 

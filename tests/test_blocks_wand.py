@@ -576,3 +576,34 @@ def test_arrow_stages_sliced_emission_identical(spark, materialized, monkeypatch
     sliced = rows()
     assert len(sliced) == len(baseline) > 0
     assert sliced == baseline
+
+
+def test_blocks_params_change_invalidates_manifest(spark, tmp_path):
+    """Rerunning build_and_write with different salting parameters must
+    re-execute the stages, not silently serve the old blocks — the
+    manifest fingerprint includes (with_blocks, hot_min_df,
+    salt_shift)."""
+    import glob
+    import json
+    import os
+
+    base = str(tmp_path / "idx")
+    pages = synthesize_webpages(spark, 40, partitions=2)
+    build_and_write(pages, base, lang_filter=None, with_blocks=True,
+                    hot_min_df=10**9)
+    with open(f"{base}/manifest.json") as f:
+        assert json.load(f)["config"]["hot_min_df"] == 10**9
+    mt = {f: os.path.getmtime(f) for f in glob.glob(f"{base}/blocks/*")}
+
+    # same params → all stages skipped, nothing rewritten
+    build_and_write(pages, base, lang_filter=None, with_blocks=True,
+                    hot_min_df=10**9)
+    assert {f: os.path.getmtime(f) for f in glob.glob(f"{base}/blocks/*")} == mt
+
+    # different salting → fresh manifest, blocks rewritten
+    build_and_write(pages, base, lang_filter=None, with_blocks=True,
+                    hot_min_df=1, salt_shift=3)
+    with open(f"{base}/manifest.json") as f:
+        m2 = json.load(f)
+    assert m2["config"]["hot_min_df"] == 1 and m2["config"]["salt_shift"] == 3
+    assert {f: os.path.getmtime(f) for f in glob.glob(f"{base}/blocks/*")} != mt

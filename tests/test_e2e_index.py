@@ -131,6 +131,17 @@ def test_rows_stable_classifier(spark, tmp_path):
     assert not _rows_stable_across_jobs(
         fp.select("url", F.rand(seed=1).alias("r"))
     )
+    # ...and the check is NOT skippable above a cache: the cache is one
+    # materialization but a nondeterministic filter OVER it still
+    # re-evaluates to a different row set per job
+    cached2 = fp.repartition(3).cache()
+    try:
+        assert not _rows_stable_across_jobs(cached2.filter(F.rand(seed=1) < 0.5))
+        assert _rows_stable_across_jobs(
+            cached2.filter(F.col("lang") == "ko").select("url")
+        )
+    finally:
+        cached2.unpersist()
 
 
 def test_shuffled_input_keeps_postings_docmap_consistent(spark):

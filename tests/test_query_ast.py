@@ -111,22 +111,23 @@ def _brute_force(docs, ast, n_docs, avgdl, k=10, k1=1.2, b=0.75):
         if isinstance(node, Term):
             return term_score(node.term, toks, dl)
         if isinstance(node, Phrase):
+            # exhaustive EXISTS-semantics oracle (all candidate chains
+            # via itertools.product — independent of the engine's DP,
+            # deliberately not the greedy first-match walk, which has
+            # false negatives for slop >= 1)
+            import itertools
+
             pos = {}
             for t in toks:
                 pos.setdefault(t["term"], []).append(t["position"])
-            cur = pos.get(node.terms[0], [])
-            for start in cur:
-                expect = start
-                ok = True
-                for w in node.terms[1:]:
-                    nxt = [
-                        p for p in pos.get(w, []) if expect < p <= expect + 1 + node.slop
-                    ]
-                    if not nxt:
-                        ok = False
-                        break
-                    expect = nxt[0]
-                if ok:
+            cands = [pos.get(w, []) for w in node.terms]
+            if any(not c for c in cands):
+                return None
+            for chain in itertools.product(*cands):
+                if all(
+                    chain[i] < chain[i + 1] <= chain[i] + 1 + node.slop
+                    for i in range(len(chain) - 1)
+                ):
                     return 0.0
             return None
         if isinstance(node, And):
