@@ -1058,10 +1058,16 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_doc_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
+        # whitespace-run normalization in lockstep with
+        # functions/text.py::fingerprint (tabs/newlines collapse too)
         "fingerprint": """
             SELECT doc_id,
                    md5(array_to_string(
-                       list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                       list_filter(
+                           string_split(
+                               regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                               ' '),
+                           x -> x <> ''),
                        ' ')) AS fingerprint
             FROM documents
         """,

@@ -38,7 +38,11 @@ class SetDictionary(frozenset):
 
     @classmethod
     def from_lines(cls, lines) -> "SetDictionary":
-        return cls(w.strip() for w in lines if w.strip() and not w.startswith("#"))
+        # comment test on the STRIPPED line — an indented '  # note'
+        # must not load as the literal word '# note'
+        return cls(
+            s for w in lines if (s := w.strip()) and not s.startswith("#")
+        )
 
 
 class SynonymDictionary:

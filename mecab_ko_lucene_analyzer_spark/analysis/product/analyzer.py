@@ -58,13 +58,18 @@ class ProductNameAnalyzer:
         self.d = dicts
         self.option = option or ProductAnalyzerOption()
         self.extractor = KoreanWordExtractor(dicts.tag_prob)
+        # one rule instance for the analyzer's lifetime: it is
+        # stateless across process()/add_entry() calls, and per-call
+        # construction allocated a fresh KoreanWordExtractor per
+        # document on the product hot path
+        self.rule = ProductNameParsingRule(
+            dicts, self.option.use_for_query, self.option.use_synonym
+        )
 
     # -- tokenizer stage ---------------------------------------------------
 
     def _base_entries(self, text: str) -> list[RuleEntry]:
-        rule = ProductNameParsingRule(
-            self.d, self.option.use_for_query, self.option.use_synonym
-        )
+        rule = self.rule
         out: list[RuleEntry] = []
         trimmed = text.rstrip()
         if (
@@ -95,9 +100,7 @@ class ProductNameAnalyzer:
         extra_terms in query mode)."""
         if self.option.to_uppercase:
             pass  # applied per-term below
-        rule = ProductNameParsingRule(
-            self.d, self.option.use_for_query, self.option.use_synonym
-        )
+        rule = self.rule
         entries = self._base_entries(text)
         queue = rule.process(entries, full_extract=True)
         return (
@@ -189,6 +192,21 @@ class ProductNameAnalyzer:
             emit: list[tuple[RuleEntry, int]] = [(entry, 1)]
             for s in entry.sub_entries or []:
                 emit.append((s, 0))
+                # rule-attached synonyms ride their sub-entry into the
+                # index at the same position (dictionary synonyms stay
+                # query-side — ProductNameAnalysisFilter.java:248 gates
+                # applySynonym on useForQuery; unit synonyms are built
+                # by modifyRuleEntry regardless and were previously
+                # attached here but never emitted)
+                if s.synonyms and self.option.use_synonym:
+                    for syn in s.synonyms:
+                        emit.append(
+                            (
+                                RuleEntry(syn, 0, len(syn), s.start_offset,
+                                          s.end_offset, s.type),
+                                0,
+                            )
+                        )
             if entry.synonyms and self.option.use_synonym:
                 for syn in entry.synonyms:
                     emit.append(

@@ -213,7 +213,10 @@ class KoreanWordExtractor:
             ):
                 if inx - start <= self.tabular_size:
                     return inx - start
-            pp = ppt
+            pp = pt  # shift the lookahead window (pp = ppt was a no-op
+            # that left ppt None forever, disabling this whole branch —
+            # every long name got the hard tabular_size cut, splitting
+            # dictionary words mid-window)
         # fall back: first ascii/non-ascii class flip from the left
         t = None
         cut = length
@@ -224,6 +227,7 @@ class KoreanWordExtractor:
             pasc = pt in ("ALPHA", "NUMBER", "SYMBOL") if pt else None
             if pt is not None and asc != pasc:
                 cut = inx - start
+                break  # FIRST flip, per the contract above
         if cut <= self.tabular_size and cut > 0:
             return cut
         return self.tabular_size

@@ -159,7 +159,9 @@ class ProductNameParsingRule:
     # ---- main pipeline ---------------------------------------------------
 
     def process(self, queue: list[RuleEntry], full_extract: bool = True) -> list[RuleEntry]:
-        queue = [e for e in queue if e.type == FULL_STRING or e.length > 0 or True]
+        # defensive copy only — zero-length entries are handled by
+        # phase1 (skip) and phase5 (pop), not filtered here
+        queue = list(queue)
         self._phase1(queue, full_extract)
         self._phase2(queue)
         self._phase3(queue, full_extract)
@@ -499,6 +501,8 @@ class ProductNameParsingRule:
                                 e0.end_offset + len(unit), UNIT)
                 if self.use_synonym and units:
                     sub.synonyms = [number + u for u in units]
+                if e0.sub_entries is None:  # full_extract=False path
+                    e0.sub_entries = []
                 e0.sub_entries.insert(0, sub)
         if full_extract and synonyms:
             e0.synonyms = synonyms
@@ -657,10 +661,9 @@ class ProductNameParsingRule:
                 continue
             if e0.type == SYMBOL:
                 # standalone-symbol whitelist is empty in the reference —
-                # every surviving lone symbol is dropped (:944-1015)
-                if e0.length != 1 or e0.term not in AVAIL_SYMBOLS:
-                    queue.pop(qinx)
-                    continue
+                # every surviving lone symbol is dropped unconditionally
+                # (:944-1015; AVAIL_SYMBOLS only matters inside model
+                # names, so no whitelist test here)
                 queue.pop(qinx)
                 continue
             if e0.type == MODEL_NAME and e0.length > 2 and char_type(e0.term[-1]) == SYMBOL:

@@ -154,6 +154,22 @@ def make_appender(mode: str, option: TokenizerOption | None = None) -> PosAppend
     return _APPENDERS[mode](option or TokenizerOption())
 
 
+def _lower_offsetsafe(text: str) -> str:
+    """Lowercase WITHOUT changing the string length, so every token's
+    start/end offset stays valid against the original document.
+    ``str.lower()`` is not length-preserving ('İ'.lower() is two code
+    points), which would shift every later offset. The fast path is the
+    plain C-speed lower(); only texts containing a length-changing
+    mapping (vanishingly rare in web text) pay the per-char pass, where
+    such chars are kept as-is."""
+    lowered = text.lower()
+    if len(lowered) == len(text):
+        return lowered
+    return "".join(
+        low if len(low := ch.lower()) == 1 else ch for ch in text
+    )
+
+
 _CHUNK_RE = __import__("re").compile(r"\S+")
 _CHUNK_CACHE: dict[tuple, list[Pos]] = {}
 _CHUNK_CACHE_MAX = 131072
@@ -200,7 +216,7 @@ def tokenize(
     state into a dict hit + clone per word.
     """
     provider = provider or get_lattice_provider()
-    lowered = text.lower()
+    lowered = _lower_offsetsafe(text)
     ptok = (
         _provider_cache_token(provider)
         if getattr(provider, "supports_chunk_cache", False)
@@ -264,7 +280,7 @@ def index_token_stream(
     if ptok is None:
         toks = tokenize(text, mode, compound_noun_min_length, provider=provider)
         return [p.token_string() for p in toks], [p.position_incr for p in toks]
-    lowered = text.lower()
+    lowered = _lower_offsetsafe(text)
     terms: list[str] = []
     incrs: list[int] = []
     for m in _CHUNK_RE.finditer(lowered):

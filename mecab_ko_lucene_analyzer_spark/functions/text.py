@@ -25,8 +25,15 @@ EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
 
 
 def whitespace_tokens(text: Column | str = "text") -> Column:
-    """Whitespace token array with empties removed (the shared exact
-    tokenization for SQL-replicable operators)."""
+    """SPACE-token array with empties removed (the shared exact
+    tokenization for SQL-replicable operators). Splits on the single
+    space character only — the DuckDB oracles mirror it with
+    ``string_split(text, ' ')``, and the highlight offset math counts
+    one separator char per boundary. Corpora with tab/newline
+    separators should normalize whitespace at ingestion
+    (``regexp_replace(text, '\\s+', ' ')``); :func:`fingerprint` does
+    its own normalization because its CONTRACT is whitespace-run
+    insensitivity."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, " "), lambda x: x != F.lit(""))
 
@@ -94,12 +101,16 @@ def language_id(docs: DataFrame, text: str = "text", lang: str = "lang") -> Data
 
 def fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
     """Normalized-token-stream md5 fingerprint (near-dup prefilter /
-    exact-dedup key that ignores case and whitespace runs)."""
+    exact-dedup key that ignores case and whitespace runs). ALL
+    whitespace (tabs, newlines, runs) collapses to one space before
+    tokenizing, so re-crawls differing only in formatting fingerprint
+    identically — whitespace_tokens alone is space-only by contract."""
+    normalized = F.regexp_replace(F.lower(F.col(text)), r"\s+", " ")
     return docs.select(
         "doc_id",
-        F.md5(
-            F.concat_ws(" ", whitespace_tokens(F.lower(F.col(text))))
-        ).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", whitespace_tokens(normalized))).alias(
+            "fingerprint"
+        ),
     )
 
 

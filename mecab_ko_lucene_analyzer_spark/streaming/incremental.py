@@ -47,23 +47,51 @@ def _fs_and_path(spark: SparkSession, path_str: str):
     return jpath.getFileSystem(hconf), jpath, jvm
 
 
-def _next_doc_base(spark: SparkSession, state_path: str) -> int:
+def _read_doc_state(spark: SparkSession, state_path: str) -> dict:
     fs, jpath, jvm = _fs_and_path(spark, state_path)
     if not fs.exists(jpath):
-        return 0
+        return {"next_doc_base": 0, "last_batch_id": None, "last_base": 0}
     stream = fs.open(jpath)
     try:
         data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return json.loads(data)["next_doc_base"]
+    st = json.loads(data)
+    st.setdefault("last_batch_id", None)
+    st.setdefault("last_base", 0)
+    return st
 
 
-def _save_doc_base(spark: SparkSession, state_path: str, base: int) -> None:
+def _batch_doc_base(spark: SparkSession, state_path: str, batch_id: int) -> int:
+    """Doc base for ``batch_id`` — REPLAY-AWARE: foreachBatch is
+    at-least-once, and a batch whose writes (and state save) completed
+    but whose streaming checkpoint commit did not will be re-invoked
+    with the SAME batch_id. Handing the replay the already-advanced
+    base would duplicate every document under fresh doc_ids; handing it
+    the recorded ``last_base`` reproduces the original ids exactly (the
+    batch content is stable under the offset-log replay, and the writes
+    are per-batch-partition overwrites — idempotent)."""
+    st = _read_doc_state(spark, state_path)
+    if st["last_batch_id"] == batch_id:
+        return st["last_base"]
+    return st["next_doc_base"]
+
+
+def _save_doc_base(
+    spark: SparkSession, state_path: str, batch_id: int, base: int, n_docs: int
+) -> None:
     fs, jpath, _jvm = _fs_and_path(spark, state_path)
     out = fs.create(jpath, True)  # overwrite; parents auto-created
     try:
-        out.write(json.dumps({"next_doc_base": base}).encode("utf-8"))
+        out.write(
+            json.dumps(
+                {
+                    "next_doc_base": base + n_docs,
+                    "last_batch_id": batch_id,
+                    "last_base": base,
+                }
+            ).encode("utf-8")
+        )
     finally:
         out.close()
 
@@ -106,7 +134,7 @@ def incremental_index_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        base = _next_doc_base(batch_df.sparkSession, state_path)
+        base = _batch_doc_base(batch_df.sparkSession, state_path, batch_id)
         # deterministic within the batch: rank of url, offset by the base
         from ..index.docids import assign_doc_ids
 
@@ -126,18 +154,26 @@ def incremental_index_stream(
         ).withColumn(
             "positions", encode_positions_udf()(F.col("positions_arr"))
         ).drop("positions_arr")
+        # dynamic partition OVERWRITE of this batch's partition (not
+        # append): foreachBatch replays the same batch_id after a crash
+        # between the writes and the checkpoint commit, and an append
+        # would land a second copy of every document — overwrite makes
+        # the replay byte-idempotent (same base → same doc_ids)
         (
             postings.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(f"{index_path}/postings_delta")
         )
         docs.select("doc_id", "url").withColumn(
             "batch_id", F.lit(batch_id)
-        ).write.mode("append").partitionBy("batch_id").parquet(
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(
             f"{index_path}/doc_map_delta"
         )
-        _save_doc_base(batch_df.sparkSession, state_path, base + n_docs)
+        _save_doc_base(batch_df.sparkSession, state_path, batch_id, base, n_docs)
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)

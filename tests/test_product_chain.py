@@ -196,3 +196,31 @@ def test_full_string_query_only(dicts):
 def test_uppercase_option(dicts):
     toks = analyze(dicts, "sl-m2029", to_uppercase=True)
     assert toks[0]["term"] == "SL-M2029"
+
+
+def test_long_name_window_cut_prefers_symbol_boundary():
+    """Names longer than tabular_size must cut at a symbol boundary,
+    not a hard mid-word cut (the pp-shift in _cut_length was a no-op,
+    leaving the boundary branch dead — dictionary words straddling the
+    20-char cut were destroyed into UNK fragments)."""
+    from mecab_ko_lucene_analyzer_spark.analysis.product import (
+        TagProbDictionary,
+    )
+    from mecab_ko_lucene_analyzer_spark.analysis.product.extractor import (
+        KoreanWordExtractor,
+        PosTag,
+    )
+
+    d = TagProbDictionary.from_words(
+        {"가나다라마바": ("N", -8.0), "사아자차카타": ("N", -8.0)}
+    )
+    ex = KoreanWordExtractor(d, tabular_size=8)
+    text = "가나다라마바-사아자차카타-가나다라마바"
+    segs = ex.extract(text)
+    words = [
+        text[s.start : s.start + s.length]
+        for s in segs
+        if s.tag_prob.tag == PosTag.N
+    ]
+    assert words == ["가나다라마바", "사아자차카타", "가나다라마바"]
+    assert all(s.tag_prob.tag != PosTag.UNK for s in segs)

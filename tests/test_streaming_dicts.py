@@ -154,16 +154,19 @@ def test_doc_base_state_via_hadoop_fs(spark, tmp_path):
     this roundtrip fails if the state reverts to local-file probing.
     On a real cluster the same code path serves hdfs:// and s3a://."""
     from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
-        _next_doc_base,
+        _batch_doc_base,
         _save_doc_base,
     )
 
     state = f"file://{tmp_path}/_stream_state/doc_base.json"
-    assert _next_doc_base(spark, state) == 0  # absent → base 0
-    _save_doc_base(spark, state, 1234)
-    assert _next_doc_base(spark, state) == 1234
-    _save_doc_base(spark, state, 5678)  # overwrite, not append
-    assert _next_doc_base(spark, state) == 5678
+    assert _batch_doc_base(spark, state, 0) == 0  # absent → base 0
+    _save_doc_base(spark, state, batch_id=0, base=0, n_docs=1234)
+    assert _batch_doc_base(spark, state, 1) == 1234
+    _save_doc_base(spark, state, batch_id=1, base=1234, n_docs=4444)
+    assert _batch_doc_base(spark, state, 2) == 5678
+    # REPLAY of an already-committed batch_id gets its ORIGINAL base
+    # back, not the advanced one (foreachBatch is at-least-once)
+    assert _batch_doc_base(spark, state, 1) == 1234
     # the file landed where the index lives (strip the scheme to check)
     assert (tmp_path / "_stream_state" / "doc_base.json").exists()
 
@@ -378,3 +381,42 @@ def test_engine_from_incremental_serves_current_compaction(spark, tmp_path):
     assert eng.base_path == out
     hits = eng.search("데이터", k=5, conjunctive=False)
     assert hits and all(h["url"].startswith("https://example-") for h in hits)
+
+
+def test_incremental_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the batch's writes
+    but before the streaming checkpoint commit replays the SAME
+    batch_id on restart. The replay must reproduce the original rows
+    byte-identically (same doc base, partition overwrite) — the old
+    append-mode writes duplicated every replayed document under fresh
+    doc_ids."""
+    import glob
+    import os
+
+    B = str(tmp_path)
+    pages = synthesize_webpages(spark, 30, partitions=2)
+    pages.write.parquet(f"{B}/in")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+    read = lambda: sorted(  # noqa: E731
+        tuple(bytes(v) if isinstance(v, bytearray) else v for v in r)
+        for r in spark.read.parquet(f"{B}/idx/postings_delta").collect()
+    )
+    before = read()
+    # simulate the crash window: drop the latest commit marker so the
+    # restarted stream re-invokes process_batch with the same batch_id
+    commits = sorted(
+        f for f in glob.glob(f"{B}/ckpt/commits/*") if not f.endswith(".crc")
+    )
+    os.remove(commits[-1])
+    crc = f"{os.path.dirname(commits[-1])}/.{os.path.basename(commits[-1])}.crc"
+    if os.path.exists(crc):  # stale checksum breaks the re-commit
+        os.remove(crc)
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+    assert read() == before
+    dm = spark.read.parquet(f"{B}/idx/doc_map_delta")
+    assert dm.count() == 30
+    assert dm.select("doc_id").distinct().count() == 30
