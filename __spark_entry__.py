@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 K1 = 1.2
 B = 0.75
 BM25_QUERY = ["spark", "query", "data"]
-EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
+# imported, NOT copied: the Spark side of quality_score/lang_id reads
+# this list from functions.text — a local copy would let the two sides
+# drift and hash-mismatch at the driver gate with no local test failure
+from mecab_ko_lucene_analyzer_spark.functions.text import (  # noqa: E402
+    EN_STOPWORDS,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,10 +449,9 @@ def _q_batch_bm25_topk(spark, sf_dir):
     rank-identical to per-query serving, exactly replicable in SQL."""
     from mecab_ko_lucene_analyzer_spark.query import wand_topk_batch
 
-    blocks, term_stats, n, avgdl = _ws_block_index(spark, sf_dir)
-    row = {"n": n, "avgdl": avgdl}
+    blocks, _, n, avgdl = _ws_block_index(spark, sf_dir)
     qdf = spark.createDataFrame(BATCH_QUERIES, "query_id long, terms array<string>")
-    out = wand_topk_batch(blocks, qdf, row["n"], float(row["avgdl"]), k=10)
+    out = wand_topk_batch(blocks, qdf, n, avgdl, k=10)
     result = out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     ).cache()
@@ -669,7 +673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _md5h64_sql(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+    # delegates to the package's canonical DuckDB rendering of md5_h64
+    # so a hash-width change there cannot silently break oracle parity
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import md5_h64_sql
+
+    return md5_h64_sql(expr)
 
 
 def _shingle_hash_ctes() -> str:
