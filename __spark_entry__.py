@@ -459,6 +459,70 @@ def _q_batch_bm25_topk(spark, sf_dir):
     return result
 
 
+#: Q2 contract query: one synonym OR-group plus one required term —
+#: the reference's standard analyzed-query shape (every token becomes a
+#: must clause; a token with synonyms becomes an OR subquery,
+#: ``DanawaSearchQueryBuilder.java`` synonym handling / ``query/ast.py``
+#: ``build_query_ast``). Terms have broad corpus support so the
+#: group-max vs plain-sum scoring separates in the result.
+SYNONYM_GROUP: tuple[str, ...] = ("table", "hash")
+SYNONYM_REQUIRED = "stream"
+SYNONYM_K = 20
+
+
+def _q_synonym_or_topk(spark, sf_dir):
+    """Q2 synonym OR-group retrieval through the SERVING evaluator:
+    ``And(Or(group...), Term(required))`` over the block index, scored
+    with the production semantics — a doc matches iff the required term
+    AND at least one group member appear; the group contributes the MAX
+    over its matching members' BM25 partials (``_OrNode.score``), the
+    doc score is the sum over clauses (``_AndNode.score``). This is the
+    exact AST ``build_query_ast`` emits for a synonym-bearing token, so
+    the driver gate now covers Q2's scoring, not just its construction.
+    Oracle: per-term BM25 partials, ``max`` within the group, ``+`` the
+    required term's partial, rank by (score desc, doc_id)."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import And, Or, Term
+    from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
+
+    blocks, term_stats, n, avgdl = _ws_block_index(spark, sf_dir)
+    ast = And(
+        (Or(tuple(Term(t) for t in SYNONYM_GROUP)), Term(SYNONYM_REQUIRED))
+    )
+    hits = execute_ast(ast, blocks, term_stats, n, avgdl, k=SYNONYM_K)
+    rows = [(i + 1, int(d), round(s, 6)) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
+
+#: Q8 scroll contract: page 2 of the flagship BM25 query (ranks 11-25)
+#: through the serving WAND path — the ``engine.search(offset=...)``
+#: deep-paging shape (``SearchUtil.java:136-150`` scroll equivalent).
+SCROLL_OFFSET = 10
+SCROLL_PAGE_K = 15
+
+
+def _q_scroll_page(spark, sf_dir):
+    """Q8 scroll paging under the driver gate: fetch ``offset + k``
+    via block-max WAND over the serving cursors (the exact
+    ``engine.search`` paging contract) and slice — returning ranks
+    11..25 of the same disjunctive query ``bm25_topk`` gates at ranks
+    1..10, so the serving path's scores are oracle-checked BEYOND the
+    head page. Oracle: full ranking with ``row_number``, sliced by
+    rank."""
+    from mecab_ko_lucene_analyzer_spark.query.wand import (
+        load_query_cursors,
+        wand_topk,
+    )
+
+    blocks, term_stats, n, avgdl = _ws_block_index(spark, sf_dir)
+    cursors = load_query_cursors(blocks, term_stats, n, avgdl, BM25_QUERY)
+    hits = wand_topk(cursors, SCROLL_OFFSET + SCROLL_PAGE_K)[SCROLL_OFFSET:]
+    rows = [
+        (SCROLL_OFFSET + i + 1, int(d), round(s, 6))
+        for i, (d, s) in enumerate(hits)
+    ]
+    return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
+
 def _q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (5th dedup flavor): LSH-bucketed
     candidates, rounded cosine >= 0.4 (the synthetic table has no true
@@ -656,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": _q_batch_bm25_topk,
         "phrase_match": _q_phrase_match,
         "match_count": _q_match_count,
+        "synonym_or_topk": _q_synonym_or_topk,
+        "scroll_page": _q_scroll_page,
         "highlight_spans": _q_highlight_spans,
         "streaming_postings_tf": _q_streaming_postings_tf,
         "streaming_dedup": _q_streaming_dedup,
@@ -936,6 +1002,89 @@ def _batch_bm25_topk_sql(k: int = 10) -> str:
         """
 
 
+def _synonym_or_topk_sql(k: int = SYNONYM_K) -> str:
+    """Q2 oracle: BM25 partials per (term, doc); the synonym group
+    contributes ``max(partial)`` over its matching members, the
+    required term its own partial; docs must match both clauses
+    (inner join) — the executor's ``_OrNode``/``_AndNode`` semantics
+    in ANSI SQL."""
+    group_list = ", ".join(f"'{t}'" for t in SYNONYM_GROUP)
+    all_terms = ", ".join(
+        f"'{t}'" for t in (*SYNONYM_GROUP, SYNONYM_REQUIRED)
+    )
+    return f"""
+        WITH toks AS ({_TOKS_SQL}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+        corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+        tfs AS (
+            SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+            WHERE term IN ({all_terms}) GROUP BY 1, 2
+        ),
+        dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+        part AS (
+            SELECT tfs.term, tfs.doc_id,
+                   ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   AS partial
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        ),
+        grp AS (
+            SELECT doc_id, max(partial) AS s FROM part
+            WHERE term IN ({group_list}) GROUP BY 1
+        ),
+        req AS (
+            SELECT doc_id, max(partial) AS s FROM part
+            WHERE term = '{SYNONYM_REQUIRED}' GROUP BY 1
+        ),
+        ranked AS (
+            SELECT grp.doc_id, grp.s + req.s AS score, row_number() OVER (
+                ORDER BY grp.s + req.s DESC, grp.doc_id ASC) AS rank
+            FROM grp JOIN req ON grp.doc_id = req.doc_id
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _scroll_page_sql(offset: int = SCROLL_OFFSET, k: int = SCROLL_PAGE_K) -> str:
+    """Q8 oracle: the bm25_topk ranking continued past the head page —
+    ``row_number`` over the full scored set, sliced to
+    (offset, offset + k]."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+        WITH toks AS ({_TOKS_SQL}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+        corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+        tfs AS (
+            SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+            WHERE term IN ({in_list}) GROUP BY 1, 2
+        ),
+        dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+        scored AS (
+            SELECT tfs.doc_id,
+                   sum(
+                       ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                       * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ) AS score
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY tfs.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, score, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
+        FROM ranked WHERE rank > {offset} AND rank <= {offset + k}
+    """
+
+
 def _emb_near_dup_sql(
     dim: int = 64, n_planes: int = 4, seed: int = 42, threshold: float = 0.4
 ) -> str:
@@ -1192,6 +1341,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": _phrase_match_sql(),
         # Q8 count semantics from the block index
         "match_count": _match_count_sql(),
+        "synonym_or_topk": _synonym_or_topk_sql(),
+        "scroll_page": _scroll_page_sql(),
         # Q9 char spans: cumulative token lengths over the UNFILTERED
         # split (each empty token from consecutive spaces consumes one
         # separator char, exactly as the Python side counts)

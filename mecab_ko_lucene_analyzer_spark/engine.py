@@ -193,9 +193,9 @@ class SearchEngine:
                     ast, self.blocks, dfs, self.n_docs, self.avgdl, fetch
                 )
             else:
-                # phrase ASTs stay on the driver cursors (position
-                # alignment); hot phrase queries are the one residual
-                # driver-fetch shape, documented in router.py
+                # only Or-NESTED phrases (multi-word synonym expansion)
+                # stay on the driver cursors; bare/AND-level phrases
+                # route distributed via phrase_match_docs (router.py)
                 self.last_route = "driver"
                 hits = execute_ast(
                     ast,

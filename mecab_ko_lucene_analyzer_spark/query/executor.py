@@ -91,6 +91,25 @@ class _AndNode:
         return sum(ch.score() for ch in self.children)
 
 
+def phrase_reach(pos_lists, slop: int = 0) -> bool:
+    """Sloppy-phrase position check — forward DP over the per-slot
+    sorted position arrays, EXISTS semantics: slot i+1 may sit at any
+    position in ``(p_i, p_i + 1 + slop]``. (A greedy earliest-next walk
+    is wrong for slop >= 1: picking the earliest candidate in one
+    window can dead-end the next window even though a later candidate
+    completes the chain.) Pure ndarray-in/bool-out so the driver
+    cursor tree (``_PhraseNode``) and the distributed phrase filter
+    (``router.phrase_match_docs``) evaluate the exact same semantics."""
+    reach = pos_lists[0]
+    for ps in pos_lists[1:]:
+        if reach.size == 0:
+            return False
+        lo = np.searchsorted(reach, ps - 1 - slop, "left")
+        hi = np.searchsorted(reach, ps - 1, "right")
+        reach = ps[hi > lo]
+    return reach.size > 0
+
+
 class _PhraseNode(_AndNode):
     """Conjunction + consecutive-position check within slop; score 0
     (``match_phrase(...).boost(0)``, DanawaSearchQueryBuilder.java:287-291)."""
@@ -110,20 +129,9 @@ class _PhraseNode(_AndNode):
             super().next_geq(d + 1)
 
     def _phrase_match(self) -> bool:
-        # forward DP over sorted position lists — EXISTS semantics:
-        # term i+1 may sit at any position in (p_i, p_i + 1 + slop].
-        # (A greedy earliest-next walk is wrong for slop >= 1: picking
-        # the earliest candidate in one window can dead-end the next
-        # window even though a later candidate completes the chain.)
-        pos_lists = [ch.c.positions_current() for ch in self.children]
-        reach = pos_lists[0]
-        for ps in pos_lists[1:]:
-            if reach.size == 0:
-                return False
-            lo = np.searchsorted(reach, ps - 1 - self.slop, "left")
-            hi = np.searchsorted(reach, ps - 1, "right")
-            reach = ps[hi > lo]
-        return reach.size > 0
+        return phrase_reach(
+            [ch.c.positions_current() for ch in self.children], self.slop
+        )
 
     def score(self) -> float:
         return 0.0

@@ -30,11 +30,17 @@ while scores stay rank-identical to the driver WAND path (same codec,
 same formula, same tie-break; property-tested in
 ``tests/test_query_router.py``).
 
-Phrase nodes (Q4 — multi-word synonym phrases) need cross-term
-position alignment and stay on the driver path; they are score-neutral
-auxiliaries in the reference (boost 0,
-``DanawaSearchQueryBuilder.java:287-291``) and never the high-df
-bag-of-words shape this router exists for.
+Phrase nodes (Q4) need cross-term position alignment. The reference's
+standard emitted query is ``AND(analyzed terms) + boost-0
+match_phrase`` (``DanawaSearchQueryBuilder.java:287-291``) — so a hot
+term almost always arrives WITH a phrase sibling, and that shape must
+route too: :func:`phrase_match_docs` evaluates each top-level phrase
+as a distributed score-neutral filter (decode positions executor-side,
+one doc_id-keyed shuffle bounded by the phrase terms' df, the same
+``phrase_reach`` DP the driver cursors run), inner-joined against the
+scored docs. Only a Phrase nested under Or (a multi-word synonym
+expansion) still falls back to the driver cursor path — its members
+are dictionary synonyms, not josa-class hot terms.
 """
 
 from __future__ import annotations
@@ -54,6 +60,7 @@ __all__ = [
     "term_dfs",
     "bm25_topk_blocks",
     "distributed_ast_topk",
+    "phrase_match_docs",
     "ast_routable",
 ]
 
@@ -219,14 +226,172 @@ def match_count_blocks(
     return int(matched.select("doc_id").distinct().count())
 
 
-def ast_routable(node) -> bool:
-    """True when the AST contains no Phrase node (phrases need
-    position alignment and stay on the driver cursor path)."""
+def _phrase_free(node) -> bool:
     if isinstance(node, Phrase):
         return False
     if isinstance(node, (And, Or)):
-        return all(ast_routable(c) for c in node.children)
+        return all(_phrase_free(c) for c in node.children)
     return True
+
+
+def ast_routable(node) -> bool:
+    """True when :func:`distributed_ast_topk` can evaluate the AST:
+    any phrase-free Term/And/Or tree, a bare Phrase, or an And whose
+    Phrase children all sit DIRECTLY under the top-level And — the
+    reference's standard emitted shape (AND of analyzed terms plus a
+    boost-0 match_phrase). A Phrase nested under Or (multi-word
+    synonym expansion) stays on the driver cursor path."""
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, And):
+        return all(
+            isinstance(c, Phrase) or _phrase_free(c) for c in node.children
+        )
+    return _phrase_free(node)
+
+
+_PHRASE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("positions", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def phrase_match_docs(
+    blocks: DataFrame,
+    terms: tuple[str, ...],
+    slop: int = 0,
+    dfs: dict[str, int] | None = None,
+    broadcast_df_max: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Q4 phrase filter → DataFrame[doc_id] of docs where
+    ``terms`` appear at consecutive positions (within ``slop``).
+
+    Plan: term-pruned scan of the phrase terms' blocks (positions
+    column included) → executor-side vectorized decode (segmented
+    position cumsum, no per-posting Python) → ONE doc_id-keyed hash
+    aggregate bounded by the phrase terms' df → per-doc
+    ``phrase_reach`` DP (the exact driver-cursor semantics) over only
+    the docs that contain every phrase term. Driver traffic: zero —
+    the result stays distributed for the caller's join.
+
+    When ``dfs`` is provided and the rarest phrase term's df fits the
+    broadcast budget, the candidate doc set is the conjunction's lower
+    bound: a docs-only decode of that one term broadcast-semi-joins
+    the position rows BEFORE the shuffle, cutting its volume from
+    Σ df(term) to ~|terms|·df(rarest). A phrase pairing a josa-class
+    hot term with any content word (the standard Korean query shape)
+    therefore shuffles the content word's df, not the josa's. All
+    phrase terms hot → falls back to the plain doc_id aggregate,
+    which is still fully distributed."""
+    uniq = sorted(set(terms))
+    slots = tuple(terms)
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..index.codec import decode_varints
+
+        for pdf in batches:
+            ids_out, terms_out, pos_out = [], [], []
+            for term, dd, tfs_b, pos_b in zip(
+                pdf["term"], pdf["doc_deltas"], pdf["tfs"], pdf["pos_deltas"]
+            ):
+                docs = np.cumsum(decode_varints(bytes(dd)).astype(np.int64))
+                tfs = decode_varints(bytes(tfs_b)).astype(np.int64)
+                flat = decode_varints(bytes(pos_b)).astype(np.int64)
+                # segmented cumsum: per-doc positions from the per-doc
+                # delta encoding, one vector pass for the whole block
+                cs = np.cumsum(flat)
+                ends = np.cumsum(tfs)
+                starts = ends - tfs
+                base = np.where(starts > 0, cs[starts - 1], 0)
+                pos = cs - np.repeat(base, tfs)
+                ids_out.append(docs)
+                terms_out.extend([term] * len(docs))
+                pos_out.extend(np.split(pos, ends[:-1]))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "term": pd.Series(terms_out, dtype="object"),
+                        "positions": pd.Series(pos_out, dtype="object"),
+                    }
+                )
+
+    decoded = (
+        blocks.filter(F.col("term").isin(uniq))
+        .select("term", "doc_deltas", "tfs", "pos_deltas")
+        .mapInPandas(decode, _PHRASE_DECODE_SCHEMA)
+    )
+    # pruning only when the caller's df dict covers EVERY phrase term;
+    # a term missing from the dict is unknown (skip pruning), a term
+    # with df 0/None is known-absent (the phrase can't match at all)
+    if dfs is not None and all(t in dfs for t in uniq):
+        if any(not dfs[t] for t in uniq):
+            return blocks.sparkSession.createDataFrame([], "doc_id bigint")
+        rarest, df_min = min(
+            ((t, dfs[t]) for t in uniq), key=lambda td: td[1]
+        )
+        if df_min <= broadcast_df_max and len(uniq) > 1:
+
+            def rare_decode(batches: Iterator) -> Iterator:
+                import numpy as np
+                import pandas as pd
+
+                from ..index.codec import decode_varints
+
+                for pdf in batches:
+                    out = [
+                        np.cumsum(
+                            decode_varints(bytes(dd)).astype(np.int64)
+                        )
+                        for dd in pdf["doc_deltas"]
+                    ]
+                    if out:
+                        yield pd.DataFrame({"doc_id": np.concatenate(out)})
+
+            rare_docs = (
+                blocks.filter(F.col("term") == rarest)
+                .select("doc_deltas")
+                .mapInPandas(rare_decode, "doc_id bigint")
+            )
+            decoded = decoded.join(F.broadcast(rare_docs), "doc_id")
+    # every (doc, term) pair lives in exactly one block → one entry per
+    # term; docs missing any phrase term are dropped before the DP.
+    # array<struct> (not MapType): struct→dict is the stable Arrow→
+    # pandas conversion across pyarrow versions
+    per_doc = (
+        decoded.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("term"), F.col("positions"))
+            ).alias("tps")
+        )
+        .filter(F.size("tps") == len(uniq))
+    )
+
+    def check(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .executor import phrase_reach
+
+        for pdf in batches:
+            keep = []
+            for doc_id, tps in zip(pdf["doc_id"], pdf["tps"]):
+                pm = {e["term"]: e["positions"] for e in tps}
+                pos_lists = [
+                    np.asarray(pm[t], dtype=np.int64) for t in slots
+                ]
+                if phrase_reach(pos_lists, slop):
+                    keep.append(int(doc_id))
+            yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
+
+    return per_doc.mapInPandas(check, "doc_id bigint")
 
 
 def _ast_expr(node, scores):
@@ -247,6 +412,22 @@ def _ast_expr(node, scores):
     return F.when(matched, total)
 
 
+def _split_phrases(ast):
+    """Routable AST → (scoring sub-AST | None, [top-level Phrases]).
+    Phrases are score-neutral (boost 0) filter clauses; the scoring
+    sub-AST keeps the remaining children in their original order so
+    float summation matches the driver tree bit-for-bit (the dropped
+    phrase children contributed exactly ``+ 0.0``)."""
+    if isinstance(ast, Phrase):
+        return None, [ast]
+    if isinstance(ast, And):
+        phrases = [c for c in ast.children if isinstance(c, Phrase)]
+        rest = tuple(c for c in ast.children if not isinstance(c, Phrase))
+        if phrases:
+            return (And(rest) if rest else None), phrases
+    return ast, []
+
+
 def distributed_ast_topk(
     ast,
     blocks: DataFrame,
@@ -257,23 +438,50 @@ def distributed_ast_topk(
     k1: float = K1,
     b: float = B,
 ) -> list[tuple[int, float]]:
-    """Distributed evaluation of a Term/And/Or AST: per-doc term→score
+    """Distributed evaluation of a routable AST: per-doc term→score
     map (one hash aggregate over the decoded partials) + a
-    driver-composed Column expression for the tree. Rank-identical to
-    ``execute_ast``'s driver cursors on phrase-free ASTs; raises
-    ``ValueError`` on phrase ASTs (caller falls back to the driver
-    path)."""
+    driver-composed Column expression for the tree; each top-level
+    Phrase clause becomes a score-neutral inner join against
+    :func:`phrase_match_docs` (the reference's boost-0 match_phrase
+    semantics). Rank-identical to ``execute_ast``'s driver cursors on
+    every routable shape; raises ``ValueError`` on Or-nested phrase
+    ASTs (caller falls back to the driver path)."""
     if not ast_routable(ast):
-        raise ValueError("phrase ASTs are not routable; use execute_ast")
-    parts = _partials(blocks, dfs, n_docs, avgdl, k1, b)
-    per_doc = parts.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("term"), F.col("partial")))
-        ).alias("scores")
-    )
-    scored = per_doc.select(
-        "doc_id", _ast_expr(ast, F.col("scores")).alias("score")
-    ).filter(F.col("score").isNotNull())
+        raise ValueError(
+            "Or-nested phrase ASTs are not routable; use execute_ast"
+        )
+    from .ast import ast_terms
+
+    scoring_ast, phrases = _split_phrases(ast)
+    scored = None
+    if scoring_ast is not None:
+        score_terms = ast_terms(scoring_ast)
+        parts = _partials(
+            blocks,
+            {t: dfs.get(t, 0) for t in score_terms},
+            n_docs,
+            avgdl,
+            k1,
+            b,
+        )
+        per_doc = parts.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("term"), F.col("partial")))
+            ).alias("scores")
+        )
+        scored = per_doc.select(
+            "doc_id", _ast_expr(scoring_ast, F.col("scores")).alias("score")
+        ).filter(F.col("score").isNotNull())
+    for p in phrases:
+        pm = phrase_match_docs(blocks, p.terms, p.slop, dfs=dfs)
+        if scored is None:
+            # all-phrase query: every match scores 0.0 (boost 0), the
+            # driver tree's exact behavior
+            scored = pm.withColumn("score", F.lit(0.0))
+        else:
+            scored = scored.join(pm, "doc_id")
+    if scored is None:
+        return []
     rows = (
         scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     )

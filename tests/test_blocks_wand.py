@@ -307,7 +307,8 @@ def test_batch_hot_term_routing(spark, materialized, blocks_df, monkeypatch):
     asts = [
         (0, to_json(And((Term("검색"), Term("엔진"))))),
         (1, to_json(And((Term(hot_term), Term("검색"))))),
-        # hot term inside a phrase: driver-cursor fallback shape
+        # hot term inside a top-level phrase: routes via the
+        # distributed phrase filter (r4: phrase_match_docs)
         (2, to_json(Phrase((hot_term, "검색")))),
     ]
     adf = spark.createDataFrame(asts, "query_id long, query_json string")

@@ -79,6 +79,12 @@ ASTS = [
     And((Or((Term("검색"), Term("서치"))), Term("엔진"))),
     Or((Term("spark"), And((Term("데이터"), Term("시스템"))))),
     And((Term("는"), Term("데이터"))),  # hot josa inside a conjunction
+    # top-level phrases route too (r4: phrase_match_docs join) — the
+    # reference's standard AND(terms)+boost-0 match_phrase shape
+    Phrase(("데이터", "처리")),
+    And((Term("시스템"), Phrase(("데이터", "처리")))),
+    And((Term("데이터"), Phrase(("는", "데이터")))),  # hot term in phrase
+    And((Phrase(("데이터", "처리"), slop=1), Term("데이터"))),
 ]
 
 
@@ -95,13 +101,63 @@ def test_distributed_ast_topk_matches_driver_cursors(spark, serving, ast):
         assert s1 == pytest.approx(s2, abs=1e-9)
 
 
-def test_phrase_ast_not_routable(serving):
+def test_or_nested_phrase_not_routable(serving):
+    """Only the Or-NESTED phrase shape (multi-word synonym expansion)
+    stays on the driver path; bare and AND-level phrases route."""
     blocks, term_stats, n_docs, avgdl = serving
-    ast = And((Phrase(("데이터", "처리")), Term("시스템")))
+    ast = And((Or((Term("검색"), Phrase(("데이터", "처리")))), Term("엔진")))
     assert not ast_routable(ast)
-    assert ast_routable(And((Or((Term("a"), Term("b"))), Term("c"))))
     with pytest.raises(ValueError):
         distributed_ast_topk(ast, blocks, {"데이터": 1}, n_docs, avgdl)
+    assert ast_routable(And((Or((Term("a"), Term("b"))), Term("c"))))
+    assert ast_routable(Phrase(("a", "b")))
+    assert ast_routable(And((Phrase(("a", "b")), Term("c"))))
+
+
+def test_hot_phrase_routes_without_driver_block_fetch(
+    spark, serving, monkeypatch
+):
+    """A phrase query containing the hot josa term must evaluate fully
+    distributed: the driver never pulls term blocks (phrase positions
+    decode executor-side), and the ranking equals the driver cursors'."""
+    blocks, term_stats, n_docs, avgdl = serving
+    ast = And((Term("데이터"), Phrase(("는", "데이터"))))
+    want = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k=10)
+
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("hot phrase query collected blocks driver-side")
+
+    monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+
+    dfs = term_dfs(term_stats, sorted(ast_terms(ast)))
+    got = distributed_ast_topk(ast, blocks, dfs, n_docs, avgdl, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_phrase_match_docs_pruning_is_transparent(spark, serving):
+    """The rarest-term broadcast semi-join (shuffle-volume cut) must
+    not change the matched doc set, and must actually plan as a
+    broadcast join when df stats are provided."""
+    from mecab_ko_lucene_analyzer_spark.query.router import phrase_match_docs
+
+    blocks, term_stats, n_docs, avgdl = serving
+    terms = ("데이터", "처리")
+    plain = {r["doc_id"] for r in phrase_match_docs(blocks, terms).collect()}
+    dfs = term_dfs(term_stats, list(terms))
+    pruned = phrase_match_docs(blocks, terms, dfs=dfs)
+    assert {r["doc_id"] for r in pruned.collect()} == plain
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # a known-absent phrase term short-circuits to an empty relation
+    empty = phrase_match_docs(
+        blocks, ("데이터", "없는말"), dfs={"데이터": 5, "없는말": 0}
+    )
+    assert empty.count() == 0
 
 
 def test_match_count_blocks(spark, serving):
