@@ -20,6 +20,12 @@ def main() -> None:
     group = ap.add_mutually_exclusive_group(required=True)
     group.add_argument("--query")
     group.add_argument(
+        "--ast-json",
+        help="structured query as the Q6 JSON rendering (engine."
+        "search_ast) — the phrase/boolean-tree surface, e.g. "
+        '\'{"phrase": ["검색", "엔진"], "slop": 0}\'',
+    )
+    group.add_argument(
         "--bulk",
         help="file with one query text per line — the whole batch is "
         "scored in ONE Spark job (engine.search_bulk)",
@@ -30,6 +36,9 @@ def main() -> None:
         "JSON lines)",
     )
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument(
+        "--offset", type=int, default=0, help="scroll paging offset (Q8)"
+    )
     ap.add_argument("--disjunctive", action="store_true")
     ap.add_argument("--explain", action="store_true")
     ap.add_argument(
@@ -71,11 +80,22 @@ def main() -> None:
                         ensure_ascii=False,
                     )
                 )
+    elif args.ast_json:
+        if args.explain:
+            from mecab_ko_lucene_analyzer_spark.query.ast import (
+                from_json,
+                to_json,
+            )
+
+            print(to_json(from_json(args.ast_json)))
+        hits = engine.search_ast(args.ast_json, k=args.k, offset=args.offset)
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
     else:
         if args.explain:
             print(engine.explain_query(args.query))
         hits = engine.search(
-            args.query, k=args.k, conjunctive=not args.disjunctive
+            args.query, k=args.k, offset=args.offset,
+            conjunctive=not args.disjunctive,
         )
         print(json.dumps(hits, ensure_ascii=False, indent=2))
     spark.stop()

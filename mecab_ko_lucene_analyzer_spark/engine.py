@@ -156,6 +156,48 @@ class SearchEngine:
     def explain_query(self, text: str) -> str:
         return to_json(self.build_query(text))
 
+    def _ast_hits(self, ast, fetch: int) -> list[tuple[int, float]]:
+        """Route + execute an AST: hot routable queries (bare/AND-level
+        phrases included) take the distributed scorer; everything else
+        runs the driver cursor tree. Only Or-NESTED phrases (multi-word
+        synonym expansion) are never routable (router.py)."""
+        from .query.ast import ast_terms
+        from .query.router import ast_routable, distributed_ast_topk
+
+        dfs = self._dfs(sorted(ast_terms(ast)))
+        hot = any(df > self.max_driver_df for df in dfs.values())
+        if hot and ast_routable(ast):
+            self.last_route = "distributed"
+            return distributed_ast_topk(
+                ast, self.blocks, dfs, self.n_docs, self.avgdl, fetch
+            )
+        self.last_route = "driver"
+        return execute_ast(
+            ast,
+            self.blocks,
+            self.term_stats,
+            self.n_docs,
+            self.avgdl,
+            fetch,
+            cache=self.block_cache,
+        )
+
+    def _resolve(self, hits: list[tuple[int, float]]) -> list[dict]:
+        """Attach URLs to ranked hits — direct parquet reader when the
+        index is locally readable (zero Spark jobs), pruned Spark
+        filter otherwise."""
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        if self._doc_map_direct is not None:
+            urls = self._doc_map_direct.fetch(ids)
+        else:
+            urls = {
+                r["doc_id"]: r["url"]
+                for r in self.doc_map.filter(F.col("doc_id").isin(ids)).collect()
+            }
+        return [{"doc_id": d, "score": s, "url": urls.get(d)} for d, s in hits]
+
     def search(
         self,
         text: str,
@@ -172,40 +214,14 @@ class SearchEngine:
         the engine fetches offset+k and slices — the standard deep-paging
         contract for top-k indexes.
         """
-        from .query.ast import ast_terms
-        from .query.router import (
-            ast_routable,
-            bm25_topk_blocks,
-            distributed_ast_topk,
-        )
+        from .query.router import bm25_topk_blocks
 
         tokens = self.analyze(text)
         if not tokens:
             return []
         fetch = offset + k
         if conjunctive or any(t.get("synonyms") for t in tokens):
-            ast = build_query_ast(tokens)
-            dfs = self._dfs(sorted(ast_terms(ast)))
-            hot = any(df > self.max_driver_df for df in dfs.values())
-            if hot and ast_routable(ast):
-                self.last_route = "distributed"
-                hits = distributed_ast_topk(
-                    ast, self.blocks, dfs, self.n_docs, self.avgdl, fetch
-                )
-            else:
-                # only Or-NESTED phrases (multi-word synonym expansion)
-                # stay on the driver cursors; bare/AND-level phrases
-                # route distributed via phrase_match_docs (router.py)
-                self.last_route = "driver"
-                hits = execute_ast(
-                    ast,
-                    self.blocks,
-                    self.term_stats,
-                    self.n_docs,
-                    self.avgdl,
-                    fetch,
-                    cache=self.block_cache,
-                )
+            hits = self._ast_hits(build_query_ast(tokens), fetch)
         else:
             terms = [t["term"] for t in tokens]
             dfs = self._dfs(terms)
@@ -225,20 +241,34 @@ class SearchEngine:
                     cache=self.block_cache,
                 )
                 hits = wand_topk(cursors, fetch)
-        hits = hits[offset : offset + k]
-        if not hits:
-            return []
-        ids = [d for d, _ in hits]
-        if self._doc_map_direct is not None:
-            urls = self._doc_map_direct.fetch(ids)
-        else:
-            urls = {
-                r["doc_id"]: r["url"]
-                for r in self.doc_map.filter(F.col("doc_id").isin(ids)).collect()
-            }
-        out = [{"doc_id": d, "score": s, "url": urls.get(d)} for d, s in hits]
+        out = self._resolve(hits[offset : offset + k])
         if highlight:
             terms = [t["term"] for t in tokens]
+            for hit in out:
+                hit["highlight_terms"] = terms
+        return out
+
+    def search_ast(
+        self,
+        query,
+        k: int = 10,
+        offset: int = 0,
+        highlight: bool = False,
+    ) -> list[dict]:
+        """Structured-query serving (Q7): ``query`` is an AST node
+        (``query.ast`` types) or its JSON rendering (the Q6 format the
+        reference's REST query action accepts). This is the serving
+        surface for explicit phrase queries (Q4,
+        ``DanawaSearchQueryBuilder.java:287-291`` match_phrase) and
+        hand-built boolean trees; routing, paging, and URL resolve are
+        identical to :meth:`search`."""
+        from .query.ast import ast_terms, from_json
+
+        ast = from_json(query) if isinstance(query, str) else query
+        hits = self._ast_hits(ast, offset + k)
+        out = self._resolve(hits[offset : offset + k])
+        if highlight:
+            terms = sorted(ast_terms(ast))
             for hit in out:
                 hit["highlight_terms"] = terms
         return out

@@ -61,6 +61,54 @@ def test_search_bulk_rank_identical_to_serving(engine):
             assert sorted(got.get(i, [])) == sorted(want), (text, conjunctive)
 
 
+def test_search_ast_phrase_and_paging(engine):
+    """Structured-query serving (Q7/Q4): a JSON phrase query through
+    search_ast must match the raw executor's ranking with URLs
+    attached, accept AST nodes directly, and page like search()."""
+    from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
+
+    ast = And((Term("검색"), Phrase(("검색", "엔진"))))
+    want = execute_ast(
+        ast, engine.blocks, engine.term_stats, engine.n_docs,
+        engine.avgdl, k=10, cache=engine.block_cache,
+    )
+    got = engine.search_ast(to_json(ast), k=10)
+    assert [h["doc_id"] for h in got] == [d for d, _ in want]
+    for h, (_, s) in zip(got, want):
+        assert h["score"] == pytest.approx(s, abs=1e-12)
+        assert h["url"].startswith("https://example-")
+    # AST-node input and paging slice consistency
+    assert engine.search_ast(ast, k=10) == got
+    page2 = engine.search_ast(ast, k=4, offset=4)
+    assert [h["doc_id"] for h in page2] == [h["doc_id"] for h in got[4:8]]
+    # highlight terms come from the tree
+    lit = engine.search_ast(ast, k=1, highlight=True)
+    if lit:
+        assert lit[0]["highlight_terms"] == ["검색", "엔진"]
+
+
+def test_search_ast_hot_routes_distributed(spark, engine, monkeypatch):
+    """A hot-term structured phrase query must evaluate distributed —
+    no driver block fetch — and return the driver route's results."""
+    opt = AnalyzerOption(synonyms=SynonymDictionary({"검색": ["서치"]}))
+    hot = SearchEngine(spark, BASE, opt, max_driver_df=0)
+    ast = And((Term("검색"), Phrase(("검색", "엔진"))))
+    want = engine.search_ast(ast, k=8)
+
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("hot search_ast collected blocks driver-side")
+
+    monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+    got = hot.search_ast(ast, k=8)
+    assert hot.last_route == "distributed"
+    assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+        assert g["url"] == w["url"]
+
+
 def test_direct_doc_map_matches_spark_resolve(engine):
     """The zero-Spark-job URL resolve must return exactly what the
     pruned Spark filter returns, and search() must use it on a local
@@ -108,6 +156,32 @@ def test_query_cli_bulk(engine, spark, tmp_path, capsys, monkeypatch):
     serving = engine.search("검색 엔진", k=5)
     got_q0 = [r["doc_id"] for r in lines if r["query_id"] == 0]
     assert got_q0 == [h["doc_id"] for h in serving]
+
+
+def test_query_cli_ast_json(engine, spark, capsys, monkeypatch):
+    """jobs/query.py --ast-json: structured phrase query through the
+    CLI equals engine.search_ast."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve()))
+    import query as query_job
+
+    ast = And((Term("검색"), Phrase(("검색", "엔진"))))
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["query.py", "--index", BASE, "--ast-json", to_json(ast), "-k", "5"],
+    )
+    monkeypatch.setattr(
+        "mecab_ko_lucene_analyzer_spark.plans.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    query_job.main()
+    hits = json.loads(capsys.readouterr().out)
+    want = engine.search_ast(ast, k=5)
+    assert [h["doc_id"] for h in hits] == [h["doc_id"] for h in want]
 
 
 def test_query_ast_json_roundtrip(engine):
