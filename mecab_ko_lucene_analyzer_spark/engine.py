@@ -333,6 +333,45 @@ class SearchEngine:
             out = out.unionByName(p)
         return out
 
+    def count_ast(self, query) -> int:
+        """Match count for a STRUCTURED query (Q8 ``trackTotalHits``
+        over the full tree — synonym Or-groups and boost-0 phrase
+        filters included, the reference's count semantics for its own
+        emitted query shape). ``query`` is an AST node or its Q6 JSON
+        rendering. Hot routable queries count distributed (one row to
+        the driver); everything else walks the driver cursor tree."""
+        from .query.ast import ast_terms, from_json
+        from .query.executor import _has_phrase, count_ast_cursors
+        from .query.router import ast_routable, count_ast_blocks
+
+        ast = from_json(query) if isinstance(query, str) else query
+        terms = sorted(ast_terms(ast))
+        if not terms:
+            return 0
+        dfs = self._dfs(terms)
+        hot = any(df > self.max_driver_df for df in dfs.values())
+        if hot and ast_routable(ast):
+            self.last_route = "distributed"
+            return count_ast_blocks(
+                ast, self.blocks, dfs, self.n_docs, self.avgdl
+            )
+        self.last_route = "driver"
+        from .query.wand import load_query_cursors
+
+        cursors = {
+            c.term: c
+            for c in load_query_cursors(
+                self.blocks,
+                self.term_stats,
+                self.n_docs,
+                self.avgdl,
+                terms,
+                with_positions=_has_phrase(ast),
+                cache=self.block_cache,
+            )
+        }
+        return count_ast_cursors(ast, cursors)
+
     def count(self, text: str, conjunctive: bool = True) -> int:
         """Match count (Q8 ``trackTotalHits`` equivalent), served from
         the block index — never the row-postings table:

@@ -311,6 +311,21 @@ def execute_ast_cursors(
     return [(-dd, s) for s, dd in ranked]
 
 
+def count_ast_cursors(ast, cursors: dict[str, TermCursor]) -> int:
+    """Match count over prebuilt cursors: walk the tree like
+    ``execute_ast_cursors`` but count matching docs instead of keeping
+    a score heap (Q8 ``trackTotalHits`` with full AST semantics —
+    synonym Or-groups and phrase position filters included)."""
+    root = _build_tree(ast, cursors)
+    n = 0
+    d = root.cur_doc
+    while d < _INF:
+        n += 1
+        root.next_geq(d + 1)
+        d = root.cur_doc
+    return n
+
+
 def execute_ast(
     ast,
     blocks: DataFrame,

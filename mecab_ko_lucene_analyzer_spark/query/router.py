@@ -60,6 +60,7 @@ __all__ = [
     "term_dfs",
     "bm25_topk_blocks",
     "distributed_ast_topk",
+    "count_ast_blocks",
     "phrase_match_docs",
     "ast_routable",
 ]
@@ -428,24 +429,22 @@ def _split_phrases(ast):
     return ast, []
 
 
-def distributed_ast_topk(
+def _scored_docs(
     ast,
     blocks: DataFrame,
     dfs: dict[str, int],
     n_docs: int,
     avgdl: float,
-    k: int = 10,
-    k1: float = K1,
-    b: float = B,
-) -> list[tuple[int, float]]:
-    """Distributed evaluation of a routable AST: per-doc term→score
-    map (one hash aggregate over the decoded partials) + a
-    driver-composed Column expression for the tree; each top-level
-    Phrase clause becomes a score-neutral inner join against
-    :func:`phrase_match_docs` (the reference's boost-0 match_phrase
-    semantics). Rank-identical to ``execute_ast``'s driver cursors on
-    every routable shape; raises ``ValueError`` on Or-nested phrase
-    ASTs (caller falls back to the driver path)."""
+    k1: float,
+    b: float,
+) -> DataFrame | None:
+    """Distributed (doc_id, score) relation for a routable AST —
+    per-doc term→score map (one hash aggregate over the decoded
+    partials) + a driver-composed Column expression for the tree;
+    each top-level Phrase clause becomes a score-neutral inner join
+    against :func:`phrase_match_docs` (the reference's boost-0
+    match_phrase semantics). ``None`` means the empty AST (no docs).
+    Shared by the top-k and count evaluators."""
     if not ast_routable(ast):
         raise ValueError(
             "Or-nested phrase ASTs are not routable; use execute_ast"
@@ -480,9 +479,44 @@ def distributed_ast_topk(
             scored = pm.withColumn("score", F.lit(0.0))
         else:
             scored = scored.join(pm, "doc_id")
+    return scored
+
+
+def distributed_ast_topk(
+    ast,
+    blocks: DataFrame,
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Distributed top-k over :func:`_scored_docs`. Rank-identical to
+    ``execute_ast``'s driver cursors on every routable shape; raises
+    ``ValueError`` on Or-nested phrase ASTs (caller falls back to the
+    driver path)."""
+    scored = _scored_docs(ast, blocks, dfs, n_docs, avgdl, k1, b)
     if scored is None:
         return []
     rows = (
         scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     )
     return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def count_ast_blocks(
+    ast,
+    blocks: DataFrame,
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> int:
+    """Distributed match count for a routable AST (Q8
+    ``trackTotalHits`` over the FULL query tree — synonym Or-groups
+    and boost-0 phrase filters included, unlike the bag-of-terms
+    :func:`match_count_blocks`). One row to the driver."""
+    scored = _scored_docs(ast, blocks, dfs, n_docs, avgdl, k1, b)
+    return 0 if scored is None else int(scored.count())

@@ -109,6 +109,49 @@ def test_search_ast_hot_routes_distributed(spark, engine, monkeypatch):
         assert g["url"] == w["url"]
 
 
+def test_count_ast_matches_executor(engine):
+    """Structured count (full AST semantics, Q8 trackTotalHits) must
+    equal the number of docs the executor matches, across plain
+    conjunctions, synonym Or-groups, phrase filters, and JSON input."""
+    from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
+
+    asts = [
+        And((Term("검색"), Term("엔진"))),
+        Or((Term("검색"), Term("엔진"))),
+        Phrase(("검색", "엔진")),
+        And((Term("검색"), Phrase(("검색", "엔진")))),
+        And((Or((Term("검색"), Term("서치"))), Term("엔진"))),
+    ]
+    for ast in asts:
+        want = len(
+            execute_ast(
+                ast, engine.blocks, engine.term_stats, engine.n_docs,
+                engine.avgdl, k=engine.n_docs, cache=engine.block_cache,
+            )
+        )
+        assert engine.count_ast(ast) == want, ast
+        assert engine.count_ast(to_json(ast)) == want, ast
+    assert engine.count_ast(And(())) == 0
+
+
+def test_count_ast_hot_routes_distributed(spark, engine, monkeypatch):
+    opt = AnalyzerOption()
+    hot = SearchEngine(spark, BASE, opt, max_driver_df=0)
+    ast = And((Term("검색"), Phrase(("검색", "엔진"))))
+    want = engine.count_ast(ast)
+    assert engine.last_route == "driver"
+
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("hot count_ast collected blocks driver-side")
+
+    monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+    got = hot.count_ast(ast)
+    assert hot.last_route == "distributed"
+    assert got == want
+
+
 def test_direct_doc_map_matches_spark_resolve(engine):
     """The zero-Spark-job URL resolve must return exactly what the
     pruned Spark filter returns, and search() must use it on a local
