@@ -389,6 +389,72 @@ def test_degenerate_docs_through_hashed_shingles(spark):
     assert jac == {(4, 5)}
 
 
+def test_arrow_shingle_fold_equals_catalyst(spark):
+    """The numpy shingle fold (_shingle_fold_flat, production path for
+    jaccard + minhash) must reproduce the Catalyst zip_with form
+    (shingle_hashes) hash-for-hash — including NULL text, short docs,
+    and repeated shingles — since the DuckDB oracles replicate the
+    Catalyst arithmetic."""
+    import random
+
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import (
+        _token_hash_arrays,
+        shingle_hashes,
+        token_hashes,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [(0, None), (1, ""), (2, "one"), (3, "a b")]
+    rows += [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(4, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: list(r["h"] or [])
+        for r in docs.select(
+            "doc_id", token_hashes("text").alias("th")
+        ).select("doc_id", shingle_hashes(F.col("th")).alias("h")).collect()
+    }
+
+    def emit(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from mecab_ko_lucene_analyzer_spark.functions.dedup import (
+            _shingle_fold_flat,
+        )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            out = _shingle_fold_flat(batch, 3)
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            got: dict[int, list[int]] = {int(i): [] for i in ids}
+            if out is not None:
+                doc_rep, s, _ = out
+                for di, sh in zip(doc_rep, s):
+                    got[int(ids[di])].append(int(sh))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sorted(got), type=pa.int64()),
+                    pa.array([got[k] for k in sorted(got)],
+                             type=pa.list_(pa.int64())),
+                ],
+                ["doc_id", "h"],
+            )
+
+    arrow = {
+        r["doc_id"]: list(r["h"])
+        for r in _token_hash_arrays(docs, "text", "md5")
+        .mapInArrow(emit, "doc_id bigint, h array<bigint>")
+        .collect()
+    }
+    assert arrow == want
+
+
 def test_simhash_degenerate_docs_pin_fold_semantics(spark):
     """The vectorized Arrow simhash must keep the original fold form's
     degenerate behavior exactly: empty token array → every majority
