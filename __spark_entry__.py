@@ -350,6 +350,30 @@ def _q_phrase_match(spark, sf_dir):
     return spark.createDataFrame(rows, "phrase string, doc_id long")
 
 
+def _q_phrase_match_distributed(spark, sf_dir):
+    """The DISTRIBUTED phrase evaluator under the driver gate: the same
+    contract phrases as ``phrase_match``, evaluated via
+    ``router.phrase_match_docs`` (executor-side position decode +
+    doc_id-keyed aggregate + shared ``phrase_reach`` DP, with the
+    rarest-term broadcast prune engaged through real df stats) instead
+    of the driver cursor tree. Same oracle as ``phrase_match`` — the
+    two paths must agree doc-for-doc."""
+    from mecab_ko_lucene_analyzer_spark.query.router import (
+        phrase_match_docs,
+        term_dfs,
+    )
+
+    blocks, term_stats, _n, _avgdl = _ws_block_index(spark, sf_dir)
+    out = None
+    for terms in PHRASE_QUERIES:
+        dfs = term_dfs(term_stats, list(terms))
+        pm = phrase_match_docs(blocks, tuple(terms), dfs=dfs).select(
+            F.lit(" ".join(terms)).alias("phrase"), "doc_id"
+        )
+        out = pm if out is None else out.unionByName(pm)
+    return out
+
+
 #: contract count queries: conjunctive + disjunctive over the same
 #: term pair, so the two Q8 semantics separate in the result
 COUNT_QUERIES: list[tuple[str, list[str]]] = [
@@ -719,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "phrase_match": _q_phrase_match,
+        "phrase_match_distributed": _q_phrase_match_distributed,
         "match_count": _q_match_count,
         "synonym_or_topk": _q_synonym_or_topk,
         "scroll_page": _q_scroll_page,
@@ -1339,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         # contract phrase — mirrors the serving engine's consecutive-
         # position check over varint-encoded pos_deltas
         "phrase_match": _phrase_match_sql(),
+        "phrase_match_distributed": _phrase_match_sql(),
         # Q8 count semantics from the block index
         "match_count": _match_count_sql(),
         "synonym_or_topk": _synonym_or_topk_sql(),
