@@ -157,10 +157,10 @@ class SearchEngine:
         return to_json(self.build_query(text))
 
     def _ast_hits(self, ast, fetch: int) -> list[tuple[int, float]]:
-        """Route + execute an AST: hot routable queries (bare/AND-level
-        phrases included) take the distributed scorer; everything else
-        runs the driver cursor tree. Only Or-NESTED phrases (multi-word
-        synonym expansion) are never routable (router.py)."""
+        """Route + execute an AST: hot queries take the distributed
+        scorer — EVERY Term/And/Or/Phrase shape routes (router.py;
+        nested phrases evaluate as distributed flag columns) — cold
+        queries run the driver cursor tree."""
         from .query.ast import ast_terms
         from .query.router import ast_routable, distributed_ast_topk
 

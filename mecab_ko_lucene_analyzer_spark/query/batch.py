@@ -263,10 +263,9 @@ def ast_topk_batch(
             if ast_routable(ast):
                 hits = distributed_ast_topk(ast, blocks, dfs, n_docs, avgdl, k)
             else:
-                # hot term inside an Or-NESTED phrase (multi-word
-                # synonym): the one residual driver-fetch shape
-                # (documented in router.py) — same fallback the
-                # serving path takes
+                # defensive: only an unknown node type is unroutable
+                # now (every Term/And/Or/Phrase shape routes) — keep
+                # the driver fallback so new AST nodes degrade safely
                 hits = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k)
             out_rows.extend(
                 (int(r["query_id"]), rank, int(d), float(s))

@@ -38,9 +38,13 @@ route too: :func:`phrase_match_docs` evaluates each top-level phrase
 as a distributed score-neutral filter (decode positions executor-side,
 one doc_id-keyed shuffle bounded by the phrase terms' df, the same
 ``phrase_reach`` DP the driver cursors run), inner-joined against the
-scored docs. Only a Phrase nested under Or (a multi-word synonym
-expansion) still falls back to the driver cursor path — its members
-are dictionary synonyms, not josa-class hot terms.
+scored docs. A Phrase nested ANYWHERE else (Or-nested multi-word
+synonym expansions, phrases inside nested conjunctions) routes through
+the general evaluator: each distinct Phrase becomes a boolean flag
+column (full-outer-joined doc sets from :func:`phrase_match_docs`) and
+the score expression renders it as ``when(flag, 0.0)`` — the boost-0
+semantics — so EVERY Term/And/Or/Phrase tree now evaluates fully
+distributed; no query shape fetches blocks to the driver.
 """
 
 from __future__ import annotations
@@ -50,7 +54,7 @@ from functools import reduce
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from ..index.build import B, K1
 from .ast import And, Or, Phrase, Term
@@ -235,13 +239,14 @@ def _phrase_free(node) -> bool:
     return True
 
 
-def ast_routable(node) -> bool:
-    """True when :func:`distributed_ast_topk` can evaluate the AST:
-    any phrase-free Term/And/Or tree, a bare Phrase, or an And whose
-    Phrase children all sit DIRECTLY under the top-level And — the
-    reference's standard emitted shape (AND of analyzed terms plus a
-    boost-0 match_phrase). A Phrase nested under Or (multi-word
-    synonym expansion) stays on the driver cursor path."""
+def _fast_shape(node) -> bool:
+    """True for the shapes the INNER-JOIN phrase plan handles: any
+    phrase-free Term/And/Or tree, a bare Phrase, or an And whose Phrase
+    children all sit DIRECTLY under the top-level And — the reference's
+    standard emitted shape (AND of analyzed terms plus a boost-0
+    match_phrase). Everything else takes the general flag-column plan
+    (:func:`_scored_docs_general`), which needs outer joins because a
+    nested Phrase may be optional rather than required."""
     if isinstance(node, Phrase):
         return True
     if isinstance(node, And):
@@ -249,6 +254,18 @@ def ast_routable(node) -> bool:
             isinstance(c, Phrase) or _phrase_free(c) for c in node.children
         )
     return _phrase_free(node)
+
+
+def ast_routable(node) -> bool:
+    """Every Term/And/Or/Phrase tree is routable: top-level-And phrases
+    take the inner-join plan, nested phrases the flag-column plan.
+    Kept as the routing predicate so callers stay shape-agnostic (and
+    so a future node type can opt out)."""
+    if isinstance(node, (Term, Phrase)):
+        return True
+    if isinstance(node, (And, Or)):
+        return all(ast_routable(c) for c in node.children)
+    return False
 
 
 _PHRASE_DECODE_SCHEMA = T.StructType(
@@ -395,15 +412,21 @@ def phrase_match_docs(
     return per_doc.mapInPandas(check, "doc_id bigint")
 
 
-def _ast_expr(node, scores):
+def _ast_expr(node, scores, phrase_flags=None):
     """AST → Column over the per-doc ``scores`` map (term → partial).
     Null means "does not match": Term is a map lookup; Or = greatest
     (max of matching children — null only when none match); And = sum,
-    null unless every child matches. Mirrors ``executor.py``'s cursor
-    tree and the scoring spec in ``ast.py``."""
+    null unless every child matches; Phrase = 0.0 when its flag column
+    (``phrase_flags``, from :func:`phrase_match_docs`) is true, null
+    otherwise — the boost-0 match_phrase semantics. Mirrors
+    ``executor.py``'s cursor tree and the scoring spec in ``ast.py``."""
     if isinstance(node, Term):
         return F.element_at(scores, node.term)
-    children = [_ast_expr(c, scores) for c in node.children]
+    if isinstance(node, Phrase):
+        # outer-joined flag: null ≡ false (doc not in the phrase set)
+        flag = phrase_flags[node]
+        return F.when(F.coalesce(flag, F.lit(False)), F.lit(0.0))
+    children = [_ast_expr(c, scores, phrase_flags) for c in node.children]
     if not children:
         return F.lit(None).cast("double")
     if isinstance(node, Or):
@@ -429,6 +452,85 @@ def _split_phrases(ast):
     return ast, []
 
 
+def _term_leaves(node) -> set[str]:
+    """Terms appearing as Term LEAVES (phrase members excluded — a
+    phrase's terms contribute match positions, not score partials)."""
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= _term_leaves(c)
+        return out
+    return set()
+
+
+def _collect_phrases(node, out: list) -> None:
+    """Distinct Phrase nodes in tree order (dedup by value: equal
+    phrases share one flag column and one evaluation)."""
+    if isinstance(node, Phrase):
+        if node not in out:
+            out.append(node)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _collect_phrases(c, out)
+
+
+def _scored_docs_general(
+    ast,
+    blocks: DataFrame,
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> DataFrame | None:
+    """General distributed (doc_id, score) relation: handles Phrase
+    nodes at ANY tree position (Or-nested multi-word synonyms, phrases
+    inside nested conjunctions). Each distinct Phrase's match set
+    (:func:`phrase_match_docs`) joins FULL OUTER as a boolean flag
+    column — outer, because a nested phrase may be an optional
+    alternative, and a doc matching only the phrase must still surface
+    (e.g. ``Or(Phrase(...), Term(t))``). The score expression renders
+    the tree over the scores map + flags; non-matching docs evaluate
+    to null and are filtered. Joins are on doc_id and each phrase set
+    is bounded by its rarest term's df, so the plan stays fully
+    distributed with no driver fetch."""
+    leaves = _term_leaves(ast)
+    phrases: list[Phrase] = []
+    _collect_phrases(ast, phrases)
+    rel = None
+    if leaves:
+        parts = _partials(
+            blocks,
+            {t: dfs.get(t, 0) for t in sorted(leaves)},
+            n_docs,
+            avgdl,
+            k1,
+            b,
+        )
+        rel = parts.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("term"), F.col("partial")))
+            ).alias("scores")
+        )
+    flags: dict[Phrase, Column] = {}
+    for i, p in enumerate(phrases):
+        col = f"_ph{i}"
+        pm = phrase_match_docs(blocks, p.terms, p.slop, dfs=dfs).withColumn(
+            col, F.lit(True)
+        )
+        rel = pm if rel is None else rel.join(pm, "doc_id", "full_outer")
+        flags[p] = F.col(col)
+    if rel is None:
+        return None
+    if "scores" not in rel.columns:
+        rel = rel.withColumn("scores", F.lit(None).cast("map<string,double>"))
+    return rel.select(
+        "doc_id", _ast_expr(ast, F.col("scores"), flags).alias("score")
+    ).filter(F.col("score").isNotNull())
+
+
 def _scored_docs(
     ast,
     blocks: DataFrame,
@@ -438,19 +540,20 @@ def _scored_docs(
     k1: float,
     b: float,
 ) -> DataFrame | None:
-    """Distributed (doc_id, score) relation for a routable AST —
-    per-doc term→score map (one hash aggregate over the decoded
-    partials) + a driver-composed Column expression for the tree;
-    each top-level Phrase clause becomes a score-neutral inner join
-    against :func:`phrase_match_docs` (the reference's boost-0
-    match_phrase semantics). ``None`` means the empty AST (no docs).
-    Shared by the top-k and count evaluators."""
+    """Distributed (doc_id, score) relation for ANY Term/And/Or/Phrase
+    AST — per-doc term→score map (one hash aggregate over the decoded
+    partials) + a driver-composed Column expression for the tree.
+    Top-level Phrase clauses (the reference's standard emitted shape)
+    become score-neutral INNER joins against
+    :func:`phrase_match_docs`; nested phrases route through
+    :func:`_scored_docs_general`'s flag columns. ``None`` means the
+    empty AST (no docs). Shared by the top-k and count evaluators."""
     if not ast_routable(ast):
-        raise ValueError(
-            "Or-nested phrase ASTs are not routable; use execute_ast"
-        )
+        raise ValueError(f"unroutable AST node in {ast!r}")
     from .ast import ast_terms
 
+    if not _fast_shape(ast):
+        return _scored_docs_general(ast, blocks, dfs, n_docs, avgdl, k1, b)
     scoring_ast, phrases = _split_phrases(ast)
     scored = None
     if scoring_ast is not None:
@@ -493,9 +596,8 @@ def distributed_ast_topk(
     b: float = B,
 ) -> list[tuple[int, float]]:
     """Distributed top-k over :func:`_scored_docs`. Rank-identical to
-    ``execute_ast``'s driver cursors on every routable shape; raises
-    ``ValueError`` on Or-nested phrase ASTs (caller falls back to the
-    driver path)."""
+    ``execute_ast``'s driver cursors on EVERY Term/And/Or/Phrase
+    shape (property-tested in ``tests/test_query_router.py``)."""
     scored = _scored_docs(ast, blocks, dfs, n_docs, avgdl, k1, b)
     if scored is None:
         return []

@@ -85,6 +85,14 @@ ASTS = [
     And((Term("시스템"), Phrase(("데이터", "처리")))),
     And((Term("데이터"), Phrase(("는", "데이터")))),  # hot term in phrase
     And((Phrase(("데이터", "처리"), slop=1), Term("데이터"))),
+    # nested phrases route via the general flag-column plan (r4):
+    # Or-nested multi-word synonym, phrase inside a nested And, and a
+    # doc that matches ONLY the phrase arm of an Or must all surface
+    And((Or((Term("검색"), Phrase(("데이터", "처리")))), Term("엔진"))),
+    Or((Phrase(("데이터", "처리")), Term("없는말"))),  # phrase-only matches
+    Or((Phrase(("데이터", "처리")), And((Term("검색"), Term("엔진"))))),
+    And((Or((Phrase(("는", "데이터")), Term("검색"))), Term("데이터"))),
+    Or((Phrase(("데이터", "처리")), Phrase(("검색", "엔진")))),
 ]
 
 
@@ -101,17 +109,40 @@ def test_distributed_ast_topk_matches_driver_cursors(spark, serving, ast):
         assert s1 == pytest.approx(s2, abs=1e-9)
 
 
-def test_or_nested_phrase_not_routable(serving):
-    """Only the Or-NESTED phrase shape (multi-word synonym expansion)
-    stays on the driver path; bare and AND-level phrases route."""
-    blocks, term_stats, n_docs, avgdl = serving
-    ast = And((Or((Term("검색"), Phrase(("데이터", "처리")))), Term("엔진")))
-    assert not ast_routable(ast)
-    with pytest.raises(ValueError):
-        distributed_ast_topk(ast, blocks, {"데이터": 1}, n_docs, avgdl)
+def test_every_ast_shape_is_routable():
+    """r4: EVERY Term/And/Or/Phrase tree routes (nested phrases take
+    the general flag-column plan); only unknown node types are
+    rejected."""
+    assert ast_routable(
+        And((Or((Term("검색"), Phrase(("데이터", "처리")))), Term("엔진")))
+    )
     assert ast_routable(And((Or((Term("a"), Term("b"))), Term("c"))))
     assert ast_routable(Phrase(("a", "b")))
     assert ast_routable(And((Phrase(("a", "b")), Term("c"))))
+    assert not ast_routable(And((Term("a"), object())))
+
+
+def test_or_nested_phrase_no_driver_block_fetch(spark, serving, monkeypatch):
+    """The general flag-column plan must stay fully distributed too:
+    an Or-nested phrase with a hot josa member never pulls blocks to
+    the driver, and ranks identically to the driver cursors."""
+    blocks, term_stats, n_docs, avgdl = serving
+    ast = And((Or((Phrase(("는", "데이터")), Term("검색"))), Term("데이터")))
+    want = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k=10)
+
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("nested-phrase query collected blocks driver-side")
+
+    monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+
+    dfs = term_dfs(term_stats, sorted(ast_terms(ast)))
+    got = distributed_ast_topk(ast, blocks, dfs, n_docs, avgdl, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
 
 
 def test_hot_phrase_routes_without_driver_block_fetch(
@@ -248,14 +279,30 @@ def test_hot_count_routes_distributed_same_results(engines, monkeypatch):
         assert got == want, text
 
 
-def test_hot_phrase_falls_back_to_driver(engines):
-    """Phrase ASTs (multi-word synonyms) are the documented non-routable
-    residue — they must still answer, via the driver cursors."""
+def test_hot_multiword_synonym_routes_distributed(engines, monkeypatch):
+    """A multi-word synonym (Or-nested Phrase — the Q2 expansion shape)
+    now routes too: the hot engine answers it fully distributed (no
+    driver block fetch) with exactly the driver route's hits."""
     cold, hot = engines
     opt = AnalyzerOption(
         synonyms=SynonymDictionary({"검색": ["데이터 처리"]})
     )
-    eng = SearchEngine(cold.spark, BASE, opt, max_driver_df=0)
-    hits = eng.search("검색", k=5, conjunctive=True)
-    assert eng.last_route == "driver"
-    assert isinstance(hits, list)
+    eng_cold = SearchEngine(cold.spark, BASE, opt)
+    eng_hot = SearchEngine(cold.spark, BASE, opt, max_driver_df=0)
+    want = eng_cold.search("검색", k=5, conjunctive=True)
+    assert eng_cold.last_route == "driver"
+
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("nested-phrase query collected blocks driver-side")
+
+    monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+    try:
+        hits = eng_hot.search("검색", k=5, conjunctive=True)
+    finally:
+        monkeypatch.undo()
+    assert eng_hot.last_route == "distributed"
+    assert [h["doc_id"] for h in hits] == [h["doc_id"] for h in want]
+    for g, w in zip(hits, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
