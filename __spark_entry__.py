@@ -517,6 +517,52 @@ def _q_synonym_or_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "rank int, doc_id long, score double")
 
 
+#: Q2+Q4 contract query: a MULTI-WORD synonym — ``build_query_ast``
+#: expands a token whose synonym is a phrase into
+#: ``And(Or(Phrase(words...), Term(token)), ...)`` (the reference's
+#: synonym match_phrase subquery, ``DanawaSearchQueryBuilder.java``
+#: synonym handling). Term choice makes every semantic class non-empty
+#: at sf0.01: docs matching the phrase ONLY (group contributes 0.0 —
+#: the boost-0 contract), the synonym only, and both (group = max).
+NESTED_PHRASE: tuple[str, ...] = ("data", "stream")
+NESTED_SYN = "dup"
+NESTED_REQ = "batch"
+NESTED_K = 20
+
+
+def _q_nested_phrase_topk(spark, sf_dir):
+    """The GENERAL distributed evaluator (``router._scored_docs_general``
+    flag-column plan) under the driver gate: an Or-NESTED Phrase — the
+    multi-word-synonym AST — scored fully distributed (phrase match
+    sets full-outer-joined as boolean flags, score expression renders
+    the tree with boost-0 ``when(flag, 0.0)`` branches; no driver
+    block fetch). Semantics gated: a doc matches iff the required term
+    AND (the phrase OR the synonym term) match; the Or-group
+    contributes ``max(0.0 if phrase, partial if synonym)``. Oracle:
+    token-adjacency phrase docs UNION ALL synonym partials → group
+    max, + the required term's partial."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import (
+        And,
+        Or,
+        Phrase,
+        Term,
+        ast_terms,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.router import (
+        distributed_ast_topk,
+        term_dfs,
+    )
+
+    blocks, term_stats, n, avgdl = _ws_block_index(spark, sf_dir)
+    ast = And(
+        (Or((Phrase(NESTED_PHRASE), Term(NESTED_SYN))), Term(NESTED_REQ))
+    )
+    dfs = term_dfs(term_stats, sorted(ast_terms(ast)))
+    hits = distributed_ast_topk(ast, blocks, dfs, n, avgdl, k=NESTED_K)
+    rows = [(i + 1, int(d), round(s, 6)) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
+
 #: Q8 scroll contract: page 2 of the flagship BM25 query (ranks 11-25)
 #: through the serving WAND path — the ``engine.search(offset=...)``
 #: deep-paging shape (``SearchUtil.java:136-150`` scroll equivalent).
@@ -746,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match_distributed": _q_phrase_match_distributed,
         "match_count": _q_match_count,
         "synonym_or_topk": _q_synonym_or_topk,
+        "nested_phrase_topk": _q_nested_phrase_topk,
         "scroll_page": _q_scroll_page,
         "highlight_spans": _q_highlight_spans,
         "streaming_postings_tf": _q_streaming_postings_tf,
@@ -1074,6 +1121,73 @@ def _synonym_or_topk_sql(k: int = SYNONYM_K) -> str:
     """
 
 
+def _nested_phrase_topk_sql(k: int = NESTED_K) -> str:
+    """Oracle for :func:`_q_nested_phrase_topk`: the Or-group's max is
+    taken over a UNION ALL of the synonym term's BM25 partials and a
+    literal 0.0 per phrase-matching doc (token-adjacency self-join) —
+    exactly the boost-0 ``when(flag, 0.0)`` branch the distributed
+    flag-column plan renders; the required term's partial adds on an
+    inner join (both clauses must match)."""
+    joins = " ".join(
+        f"JOIN pos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+        for i in range(1, len(NESTED_PHRASE))
+    )
+    conds = " AND ".join(
+        f"t{i}.tok = '{t}'" for i, t in enumerate(NESTED_PHRASE)
+    )
+    return f"""
+        WITH toks AS ({_TOKS_SQL}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+        corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+        tfs AS (
+            SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+            WHERE term IN ('{NESTED_SYN}', '{NESTED_REQ}') GROUP BY 1, 2
+        ),
+        dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+        part AS (
+            SELECT tfs.term, tfs.doc_id,
+                   ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   AS partial
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        ),
+        tarr AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+            FROM tarr
+        ),
+        ph AS (
+            SELECT DISTINCT t0.doc_id FROM pos t0 {joins} WHERE {conds}
+        ),
+        grp AS (
+            SELECT doc_id, max(v) AS s FROM (
+                SELECT doc_id, partial AS v FROM part
+                WHERE term = '{NESTED_SYN}'
+                UNION ALL
+                SELECT doc_id, 0.0 AS v FROM ph
+            ) GROUP BY 1
+        ),
+        req AS (
+            SELECT doc_id, max(partial) AS s FROM part
+            WHERE term = '{NESTED_REQ}' GROUP BY 1
+        ),
+        ranked AS (
+            SELECT grp.doc_id, grp.s + req.s AS score, row_number() OVER (
+                ORDER BY grp.s + req.s DESC, grp.doc_id ASC) AS rank
+            FROM grp JOIN req ON grp.doc_id = req.doc_id
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _scroll_page_sql(offset: int = SCROLL_OFFSET, k: int = SCROLL_PAGE_K) -> str:
     """Q8 oracle: the bm25_topk ranking continued past the head page —
     ``row_number`` over the full scored set, sliced to
@@ -1368,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         # Q8 count semantics from the block index
         "match_count": _match_count_sql(),
         "synonym_or_topk": _synonym_or_topk_sql(),
+        "nested_phrase_topk": _nested_phrase_topk_sql(),
         "scroll_page": _scroll_page_sql(),
         # Q9 char spans: cumulative token lengths over the UNFILTERED
         # split (each empty token from consecutive spaces consumes one
