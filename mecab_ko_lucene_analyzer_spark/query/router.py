@@ -476,6 +476,24 @@ def _collect_phrases(node, out: list) -> None:
             _collect_phrases(c, out)
 
 
+def _required_phrases(node, out: set, required: bool = True) -> None:
+    """Phrases that are conjunctively REQUIRED — reachable from the
+    root through And nodes only. A required phrase's match set bounds
+    the whole result, so it can join ``right_outer`` (keep exactly its
+    docs) instead of ``full_outer``. Anything under an Or is treated
+    as optional (conservative for a single-child Or — still correct,
+    the null filter handles it)."""
+    if isinstance(node, Phrase):
+        if required:
+            out.add(node)
+    elif isinstance(node, And):
+        for c in node.children:
+            _required_phrases(c, out, required)
+    elif isinstance(node, Or):
+        for c in node.children:
+            _required_phrases(c, out, False)
+
+
 def _scored_docs_general(
     ast,
     blocks: DataFrame,
@@ -488,14 +506,17 @@ def _scored_docs_general(
     """General distributed (doc_id, score) relation: handles Phrase
     nodes at ANY tree position (Or-nested multi-word synonyms, phrases
     inside nested conjunctions). Each distinct Phrase's match set
-    (:func:`phrase_match_docs`) joins FULL OUTER as a boolean flag
-    column — outer, because a nested phrase may be an optional
-    alternative, and a doc matching only the phrase must still surface
-    (e.g. ``Or(Phrase(...), Term(t))``). The score expression renders
-    the tree over the scores map + flags; non-matching docs evaluate
-    to null and are filtered. Joins are on doc_id and each phrase set
-    is bounded by its rarest term's df, so the plan stays fully
-    distributed with no driver fetch."""
+    (:func:`phrase_match_docs`) joins as a boolean flag column:
+    FULL OUTER when the phrase is an optional alternative (a doc
+    matching only the phrase must still surface, e.g.
+    ``Or(Phrase(...), Term(t))``), RIGHT OUTER when it is conjunctively
+    required (:func:`_required_phrases`) — keeping exactly the phrase's
+    docs bounds the relation by its df instead of the union of all
+    match sets. The score expression renders the tree over the scores
+    map + flags; non-matching docs evaluate to null and are filtered.
+    Joins are on doc_id and each phrase set is bounded by its rarest
+    term's df, so the plan stays fully distributed with no driver
+    fetch."""
     leaves = _term_leaves(ast)
     phrases: list[Phrase] = []
     _collect_phrases(ast, phrases)
@@ -514,13 +535,25 @@ def _scored_docs_general(
                 F.collect_list(F.struct(F.col("term"), F.col("partial")))
             ).alias("scores")
         )
+    required: set = set()
+    _required_phrases(ast, required)
+    # optional phrases first (full_outer accumulates the union), then
+    # required ones (right_outer cuts to exactly the phrase's docs) in
+    # DESCENDING rarest-member df so the final relation is bounded by
+    # the rarest required phrase — at web scale a required rare phrase
+    # caps every downstream row count
+    ordered = [p for p in phrases if p not in required] + sorted(
+        (p for p in phrases if p in required),
+        key=lambda p: -min(dfs.get(t, 0) for t in p.terms),
+    )
     flags: dict[Phrase, Column] = {}
-    for i, p in enumerate(phrases):
+    for i, p in enumerate(ordered):
         col = f"_ph{i}"
         pm = phrase_match_docs(blocks, p.terms, p.slop, dfs=dfs).withColumn(
             col, F.lit(True)
         )
-        rel = pm if rel is None else rel.join(pm, "doc_id", "full_outer")
+        how = "right_outer" if p in required else "full_outer"
+        rel = pm if rel is None else rel.join(pm, "doc_id", how)
         flags[p] = F.col(col)
     if rel is None:
         return None

@@ -93,6 +93,17 @@ ASTS = [
     Or((Phrase(("데이터", "처리")), And((Term("검색"), Term("엔진"))))),
     And((Or((Phrase(("는", "데이터")), Term("검색"))), Term("데이터"))),
     Or((Phrase(("데이터", "처리")), Phrase(("검색", "엔진")))),
+    # REQUIRED phrase inside the general plan (a nested-phrase sibling
+    # forces the general route; the required one right-outer-joins)
+    And((Phrase(("데이터", "처리")), Or((Phrase(("검색", "엔진")), Term("시스템"))))),
+    And((Phrase(("는", "데이터")), Or((Phrase(("데이터", "처리")), Term("없는말"))))),
+    And(
+        (
+            Phrase(("데이터", "처리")),
+            Phrase(("는", "데이터")),
+            Or((Term("검색"), Phrase(("검색", "엔진")))),
+        )
+    ),
 ]
 
 
@@ -107,6 +118,30 @@ def test_distributed_ast_topk_matches_driver_cursors(spark, serving, ast):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, s1), (_, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+@pytest.mark.parametrize("ast", ASTS, ids=[f"ast{i}" for i in range(len(ASTS))])
+def test_count_ast_blocks_matches_driver_cursors(spark, serving, ast):
+    """The COUNT path (Q8 trackTotalHits) shares _scored_docs with
+    top-k — gate it over every AST shape too, nested/required phrases
+    included (a regression that drops 0.0-scoring phrase-only matches
+    would silently change counts)."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+    from mecab_ko_lucene_analyzer_spark.query.executor import count_ast_cursors
+    from mecab_ko_lucene_analyzer_spark.query.router import count_ast_blocks
+    from mecab_ko_lucene_analyzer_spark.query.wand import load_query_cursors
+
+    blocks, term_stats, n_docs, avgdl = serving
+    terms = sorted(ast_terms(ast))
+    dfs = term_dfs(term_stats, terms)
+    got = count_ast_blocks(ast, blocks, dfs, n_docs, avgdl)
+    cursors = {
+        c.term: c
+        for c in load_query_cursors(
+            blocks, term_stats, n_docs, avgdl, terms, with_positions=True
+        )
+    }
+    assert got == count_ast_cursors(ast, cursors)
 
 
 def test_every_ast_shape_is_routable():
