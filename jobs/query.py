@@ -62,7 +62,10 @@ def main() -> None:
         with open(args.bulk, encoding="utf-8") as f:
             texts = [line.strip() for line in f if line.strip()]
         result = engine.search_bulk(
-            texts, k=args.k, conjunctive=not args.disjunctive
+            texts,
+            k=args.k,
+            conjunctive=not args.disjunctive,
+            offset=args.offset,
         )
         if args.out:
             result.write.mode("overwrite").parquet(args.out)

@@ -156,22 +156,30 @@ class SearchEngine:
     def explain_query(self, text: str) -> str:
         return to_json(self.build_query(text))
 
+    def _route_distributed(self, ast, dfs: dict[str, int]) -> bool:
+        """The one routing decision (shared by search and count): hot
+        queries — any term's df above ``max_driver_df`` — go
+        distributed; EVERY Term/And/Or/Phrase shape routes (router.py;
+        nested phrases evaluate as distributed flag columns). Sets
+        ``last_route`` as the tested diagnostic."""
+        from .query.router import ast_routable
+
+        hot = any(df > self.max_driver_df for df in dfs.values())
+        routed = hot and ast_routable(ast)
+        self.last_route = "distributed" if routed else "driver"
+        return routed
+
     def _ast_hits(self, ast, fetch: int) -> list[tuple[int, float]]:
         """Route + execute an AST: hot queries take the distributed
-        scorer — EVERY Term/And/Or/Phrase shape routes (router.py;
-        nested phrases evaluate as distributed flag columns) — cold
-        queries run the driver cursor tree."""
+        scorer, cold queries run the driver cursor tree."""
         from .query.ast import ast_terms
-        from .query.router import ast_routable, distributed_ast_topk
+        from .query.router import distributed_ast_topk
 
         dfs = self._dfs(sorted(ast_terms(ast)))
-        hot = any(df > self.max_driver_df for df in dfs.values())
-        if hot and ast_routable(ast):
-            self.last_route = "distributed"
+        if self._route_distributed(ast, dfs):
             return distributed_ast_topk(
                 ast, self.blocks, dfs, self.n_docs, self.avgdl, fetch
             )
-        self.last_route = "driver"
         return execute_ast(
             ast,
             self.blocks,
@@ -264,7 +272,7 @@ class SearchEngine:
         identical to :meth:`search`."""
         from .query.ast import ast_terms, from_json
 
-        ast = from_json(query) if isinstance(query, str) else query
+        ast = from_json(query) if isinstance(query, (str, dict)) else query
         hits = self._ast_hits(ast, offset + k)
         out = self._resolve(hits[offset : offset + k])
         if highlight:
@@ -278,6 +286,7 @@ class SearchEngine:
         texts: list[str],
         k: int = 10,
         conjunctive: bool = True,
+        offset: int = 0,
     ) -> DataFrame:
         """Bulk retrieval (the training-data shape: hard-negative
         mining, relevance distillation, eval sweeps): analyze every
@@ -287,7 +296,10 @@ class SearchEngine:
         for disjunctive bag-of-words. Rank-identical per query to the
         driver serving path by construction (both run the same cursor
         evaluation executor-side). Returns a DataFrame
-        (query_id = position in ``texts``, rank, doc_id, score)."""
+        (query_id = position in ``texts``, rank, doc_id, score).
+        ``offset`` pages every query in the batch (Q8 scroll: fetch
+        offset+k, keep ranks offset+1..offset+k — ranks stay absolute,
+        matching ``search(offset=...)``)."""
         from .query.batch import RESULT_SCHEMA, ast_topk_batch, wand_topk_batch
 
         # per-query routing mirrors search(): conjunctive or
@@ -310,7 +322,7 @@ class SearchEngine:
             )
             parts.append(
                 ast_topk_batch(
-                    self.blocks, qdf, self.n_docs, self.avgdl, k,
+                    self.blocks, qdf, self.n_docs, self.avgdl, offset + k,
                     term_stats=self.term_stats,
                     max_broadcast_df=self.max_driver_df,
                 )
@@ -321,7 +333,7 @@ class SearchEngine:
             )
             parts.append(
                 wand_topk_batch(
-                    self.blocks, qdf, self.n_docs, self.avgdl, k,
+                    self.blocks, qdf, self.n_docs, self.avgdl, offset + k,
                     term_stats=self.term_stats,
                     max_broadcast_df=self.max_driver_df,
                 )
@@ -331,6 +343,10 @@ class SearchEngine:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if offset:
+            import pyspark.sql.functions as F
+
+            out = out.filter(F.col("rank") > offset)
         return out
 
     def count_ast(self, query) -> int:
@@ -341,36 +357,26 @@ class SearchEngine:
         rendering. Hot routable queries count distributed (one row to
         the driver); everything else walks the driver cursor tree."""
         from .query.ast import ast_terms, from_json
-        from .query.executor import _has_phrase, count_ast_cursors
-        from .query.router import ast_routable, count_ast_blocks
+        from .query.executor import count_ast as exec_count_ast
+        from .query.router import count_ast_blocks
 
-        ast = from_json(query) if isinstance(query, str) else query
+        ast = from_json(query) if isinstance(query, (str, dict)) else query
         terms = sorted(ast_terms(ast))
         if not terms:
             return 0
         dfs = self._dfs(terms)
-        hot = any(df > self.max_driver_df for df in dfs.values())
-        if hot and ast_routable(ast):
-            self.last_route = "distributed"
+        if self._route_distributed(ast, dfs):
             return count_ast_blocks(
                 ast, self.blocks, dfs, self.n_docs, self.avgdl
             )
-        self.last_route = "driver"
-        from .query.wand import load_query_cursors
-
-        cursors = {
-            c.term: c
-            for c in load_query_cursors(
-                self.blocks,
-                self.term_stats,
-                self.n_docs,
-                self.avgdl,
-                terms,
-                with_positions=_has_phrase(ast),
-                cache=self.block_cache,
-            )
-        }
-        return count_ast_cursors(ast, cursors)
+        return exec_count_ast(
+            ast,
+            self.blocks,
+            self.term_stats,
+            self.n_docs,
+            self.avgdl,
+            cache=self.block_cache,
+        )
 
     def count(self, text: str, conjunctive: bool = True) -> int:
         """Match count (Q8 ``trackTotalHits`` equivalent), served from

@@ -326,6 +326,28 @@ def count_ast_cursors(ast, cursors: dict[str, TermCursor]) -> int:
     return n
 
 
+def _load_ast_cursors(
+    ast, blocks: DataFrame, term_stats: DataFrame, n_docs: int,
+    avgdl: float, cache=None
+) -> dict[str, TermCursor]:
+    """Cursor dict for an AST's terms — positions ride along only when
+    a Phrase node needs them. The one cursor-loading recipe shared by
+    the top-k and count evaluators (and, via them, the engine)."""
+    terms = sorted(ast_terms(ast))
+    return {
+        c.term: c
+        for c in load_query_cursors(
+            blocks,
+            term_stats,
+            n_docs,
+            avgdl,
+            terms,
+            with_positions=_has_phrase(ast),
+            cache=cache,
+        )
+    }
+
+
 def execute_ast(
     ast,
     blocks: DataFrame,
@@ -337,21 +359,22 @@ def execute_ast(
 ) -> list[tuple[int, float]]:
     """Evaluate an AST → top-k [(doc_id, score)], tie-break
     (score desc, doc_id asc)."""
-    terms = sorted(ast_terms(ast))
-    needs_positions = _has_phrase(ast)
-    cursors = {
-        c.term: c
-        for c in load_query_cursors(
-            blocks,
-            term_stats,
-            n_docs,
-            avgdl,
-            terms,
-            with_positions=needs_positions,
-            cache=cache,
-        )
-    }
+    cursors = _load_ast_cursors(ast, blocks, term_stats, n_docs, avgdl, cache)
     return execute_ast_cursors(ast, cursors, k)
+
+
+def count_ast(
+    ast,
+    blocks: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cache=None,
+) -> int:
+    """Match count sibling of :func:`execute_ast` — same cursor
+    loading, :func:`count_ast_cursors` walk."""
+    cursors = _load_ast_cursors(ast, blocks, term_stats, n_docs, avgdl, cache)
+    return count_ast_cursors(ast, cursors)
 
 
 def topk_or(blocks, term_stats, n_docs, avgdl, terms, k=10):

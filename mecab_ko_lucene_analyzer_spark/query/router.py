@@ -80,15 +80,20 @@ _PARTIAL_SCHEMA = T.StructType(
 
 def term_dfs(term_stats: DataFrame, terms: list[str]) -> dict[str, int]:
     """df per query term via a pushed-down IN filter on ``term_stats``
-    — the driver receives at most ``len(terms)`` rows (terms absent
-    from the index are simply missing from the dict)."""
+    — the driver receives at most ``len(terms)`` rows. Terms absent
+    from the index come back as df 0, NOT missing: the lookup covered
+    them, so absence is knowledge — ``phrase_match_docs`` treats a
+    missing key as "df unknown, skip pruning" but a 0 as the instant
+    empty short-circuit, and a typo'd phrase term must take the
+    short-circuit rather than decode its hot siblings' full postings."""
     uniq = sorted(set(terms))
     if not uniq:
         return {}
     rows = (
         term_stats.filter(F.col("term").isin(uniq)).select("term", "df").collect()
     )
-    return {r["term"]: r["df"] for r in rows}
+    found = {r["term"]: r["df"] for r in rows}
+    return {t: found.get(t, 0) for t in uniq}
 
 
 def _decode_stage(idf_by_term: dict[str, float], avgdl: float, k1: float, b: float):
@@ -180,16 +185,14 @@ def bm25_topk_blocks(
     return [(r["doc_id"], r["score"]) for r in rows]
 
 
-def match_count_blocks(
-    blocks: DataFrame, terms: list[str], conjunctive: bool = True
-) -> int:
-    """Distributed match count (Q8) over the block index: decode only
-    docIDs executor-side; conjunctive counts docs containing EVERY
-    term, disjunctive counts distinct matching docs. Driver receives
-    one row."""
-    uniq = sorted(set(terms))
-    if not uniq:
-        return 0
+def decoded_doc_ids(
+    blocks: DataFrame, terms: list[str], with_term: bool = False
+) -> DataFrame:
+    """Term-pruned block scan → decoded docID rows, executor-side —
+    the ONE docs-only varint/delta decode stage (shared by the Q8
+    count and the phrase rarest-term broadcast prune; the codec
+    contract lives here, not in per-caller closures). ``with_term``
+    rides the term string along for per-term set semantics."""
 
     def decode(batches: Iterator) -> Iterator:
         import numpy as np
@@ -202,26 +205,33 @@ def match_count_blocks(
             for term, dd in zip(pdf["term"], pdf["doc_deltas"]):
                 docs = np.cumsum(decode_varints(bytes(dd)).astype(np.int64))
                 docs_out.append(docs)
-                terms_out.extend([term] * len(docs))
+                if with_term:
+                    terms_out.extend([term] * len(docs))
             if docs_out:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(docs_out),
-                        "term": pd.Series(terms_out, dtype="object"),
-                    }
-                )
+                out = {"doc_id": np.concatenate(docs_out)}
+                if with_term:
+                    out["term"] = pd.Series(terms_out, dtype="object")
+                yield pd.DataFrame(out)
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("term", T.StringType(), False),
-        ]
-    )
-    matched = (
-        blocks.filter(F.col("term").isin(uniq))
+    schema = "doc_id bigint" + (", term string" if with_term else "")
+    return (
+        blocks.filter(F.col("term").isin(sorted(set(terms))))
         .select("term", "doc_deltas")
         .mapInPandas(decode, schema)
     )
+
+
+def match_count_blocks(
+    blocks: DataFrame, terms: list[str], conjunctive: bool = True
+) -> int:
+    """Distributed match count (Q8) over the block index: decode only
+    docIDs executor-side; conjunctive counts docs containing EVERY
+    term, disjunctive counts distinct matching docs. Driver receives
+    one row."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return 0
+    matched = decoded_doc_ids(blocks, uniq, with_term=True)
     if conjunctive:
         per_doc = matched.groupBy("doc_id").agg(
             F.countDistinct("term").alias("nt")
@@ -355,28 +365,7 @@ def phrase_match_docs(
             ((t, dfs[t]) for t in uniq), key=lambda td: td[1]
         )
         if df_min <= broadcast_df_max and len(uniq) > 1:
-
-            def rare_decode(batches: Iterator) -> Iterator:
-                import numpy as np
-                import pandas as pd
-
-                from ..index.codec import decode_varints
-
-                for pdf in batches:
-                    out = [
-                        np.cumsum(
-                            decode_varints(bytes(dd)).astype(np.int64)
-                        )
-                        for dd in pdf["doc_deltas"]
-                    ]
-                    if out:
-                        yield pd.DataFrame({"doc_id": np.concatenate(out)})
-
-            rare_docs = (
-                blocks.filter(F.col("term") == rarest)
-                .select("doc_deltas")
-                .mapInPandas(rare_decode, "doc_id bigint")
-            )
+            rare_docs = decoded_doc_ids(blocks, [rarest])
             decoded = decoded.join(F.broadcast(rare_docs), "doc_id")
     # every (doc, term) pair lives in exactly one block → one entry per
     # term; docs missing any phrase term are dropped before the DP.

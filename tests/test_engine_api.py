@@ -61,6 +61,27 @@ def test_search_bulk_rank_identical_to_serving(engine):
             assert sorted(got.get(i, [])) == sorted(want), (text, conjunctive)
 
 
+def test_search_bulk_offset_pages_every_query(engine):
+    """Bulk Q8 scroll: offset=o returns exactly ranks o+1..o+k of the
+    full fetch, ranks absolute — per query, both sub-batches."""
+    texts = ["검색 엔진", "한국어 문서", "삼성전자"]
+    full = {}
+    for r in engine.search_bulk(texts, k=10, conjunctive=False).collect():
+        full.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    paged = {}
+    for r in (
+        engine.search_bulk(texts, k=6, conjunctive=False, offset=4).collect()
+    ):
+        paged.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for qid, rows in full.items():
+        want = sorted(t for t in rows if 4 < t[0] <= 10)
+        assert sorted(paged.get(qid, [])) == want, qid
+
+
 def test_search_ast_phrase_and_paging(engine):
     """Structured-query serving (Q7/Q4): a JSON phrase query through
     search_ast must match the raw executor's ranking with URLs
@@ -79,6 +100,13 @@ def test_search_ast_phrase_and_paging(engine):
         assert h["url"].startswith("https://example-")
     # AST-node input and paging slice consistency
     assert engine.search_ast(ast, k=10) == got
+    # parsed-JSON dict input (the natural REST-layer payload) — the
+    # from_json contract is str | dict, both entry points honor it
+    import json
+
+    spec = json.loads(to_json(ast))
+    assert engine.search_ast(spec, k=10) == got
+    assert engine.count_ast(spec) == engine.count_ast(to_json(ast))
     page2 = engine.search_ast(ast, k=4, offset=4)
     assert [h["doc_id"] for h in page2] == [h["doc_id"] for h in got[4:8]]
     # highlight terms come from the tree

@@ -224,6 +224,16 @@ def test_phrase_match_docs_pruning_is_transparent(spark, serving):
         blocks, ("데이터", "없는말"), dfs={"데이터": 5, "없는말": 0}
     )
     assert empty.count() == 0
+    # term_dfs covers unindexed terms with df 0 (absence IS knowledge:
+    # the lookup saw them), so term_dfs-built dicts — what batch.py's
+    # hot loop passes — take the same instant short-circuit instead of
+    # decoding the hot sibling's full postings
+    typo_dfs = term_dfs(term_stats, ["데이터", "없는말"])
+    assert typo_dfs["없는말"] == 0
+    assert (
+        phrase_match_docs(blocks, ("데이터", "없는말"), dfs=typo_dfs).count()
+        == 0
+    )
 
 
 def test_match_count_blocks(spark, serving):
