@@ -77,6 +77,7 @@ def curate(
         dedup_clusters,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        simhash_candidates,
     )
     from mecab_ko_lucene_analyzer_spark.functions.text import stratified_sample
 
@@ -109,16 +110,22 @@ def curate(
         .drop("_canon")
     )
     # 2. near-dup clusters → keep canonical member per cluster
-    if dedup in ("minhash", "jaccard"):
+    if dedup in ("minhash", "jaccard", "simhash"):
         # production default is xxhash64 (one JVM hash per shingle; the
         # md5 family exists for oracle parity and costs ~2x per token)
-        pairs = (
-            minhash_lsh_pairs(docs, hash_impl=hash_impl)
-            if dedup == "minhash"
-            else ngram_jaccard_pairs(
+        if dedup == "minhash":
+            pairs = minhash_lsh_pairs(docs, hash_impl=hash_impl)
+        elif dedup == "jaccard":
+            pairs = ngram_jaccard_pairs(
                 docs, min_common=min_common, hash_impl=hash_impl
             )
-        )
+        else:
+            # VERIFIED simhash pairs: bucket candidates post-filtered
+            # to true hamming distance <= 3 (bit_count over the riding
+            # payload; no corpus re-join)
+            pairs = simhash_candidates(
+                docs, hash_impl=hash_impl, max_hamming=3
+            )
         members = dedup_clusters(pairs)
         drop = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
         docs = docs.join(drop, "doc_id", "left_anti")
@@ -132,7 +139,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet path or catalog table")
     ap.add_argument("--output", required=True, help="parquet path or catalog table")
-    ap.add_argument("--dedup", default="minhash", choices=["exact", "minhash", "jaccard"])
+    ap.add_argument(
+        "--dedup",
+        default="minhash",
+        choices=["exact", "minhash", "jaccard", "simhash"],
+    )
     ap.add_argument("--sample", default="", help='per-lang fractions, e.g. "ko=1.0,en=0.5"')
     ap.add_argument("--default-fraction", type=float, default=1.0)
     ap.add_argument("--min-common", type=int, default=5, help="jaccard threshold")

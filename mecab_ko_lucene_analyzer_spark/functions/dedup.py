@@ -480,13 +480,24 @@ def simhash(docs: DataFrame, text: str = "text", hash_impl: str = "md5") -> Data
 
 
 def simhash_candidates(
-    docs: DataFrame, text: str = "text", hash_impl: str = "md5"
+    docs: DataFrame,
+    text: str = "text",
+    hash_impl: str = "md5",
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal 15-bit SimHash block in any of 4 block
-    positions (pigeonhole: hamming distance ≤ 3 guarantees a match)."""
+    positions (pigeonhole: hamming distance ≤ 3 guarantees a match).
+
+    ``max_hamming`` turns candidates into VERIFIED pairs: the simhash
+    values ride the bucket expansion as payload and pairs are kept only
+    when ``bit_count(a XOR b) <= max_hamming`` — exact hamming
+    filtering with no re-join against the corpus (a dedup pipeline
+    wants verified pairs; the default ``None`` keeps the raw candidate
+    semantics the driver oracle gates)."""
     sh = simhash(docs, text, hash_impl)
     blocked = sh.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -500,8 +511,22 @@ def simhash_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.block", "bk.key")
-    return _bucket_pairs(blocked, ["block", "key"])
+    ).select("doc_id", "simhash", "bk.block", "bk.key")
+    if max_hamming is None:
+        return _bucket_pairs(blocked.drop("simhash"), ["block", "key"])
+    pairs = _bucket_pairs(blocked, ["block", "key"], payload="simhash")
+    return (
+        pairs.filter(
+            F.bit_count(
+                F.col("payload_a").bitwiseXOR(F.col("payload_b"))
+            )
+            <= max_hamming
+        )
+        .select("doc_a", "doc_b")
+        # a pair can match in up to 4 block positions; payload callers
+        # skip _bucket_pairs' distinct, so dedup here (scalar columns)
+        .distinct()
+    )
 
 
 def dedup_clusters(

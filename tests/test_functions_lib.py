@@ -67,6 +67,28 @@ def test_simhash_identical_and_distinct(docs):
     assert (0, 1) in cands
 
 
+def test_simhash_max_hamming_is_exact_verification(docs):
+    """max_hamming turns block-bucket candidates into exactly the
+    brute-force hamming-ball pairs (for d <= 3 the 4x15-bit pigeonhole
+    guarantees recall, so candidates ∩ hamming-filter = ground truth),
+    with no duplicate rows from multi-block collisions."""
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    for d in (0, 3):
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sh[a] ^ sh[b]).count("1") <= d
+        }
+        got = [
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_candidates(docs, max_hamming=d).collect()
+        ]
+        assert len(got) == len(set(got))  # distinct output
+        assert set(got) == want, d
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     import random
@@ -504,6 +526,11 @@ def test_curate_pipeline(spark, tmp_path):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     kept = {r.doc_id for r in curate(docs, dedup="jaccard", min_common=5).collect()}
     assert kept == {0, 3, 4}  # 1 exact-dropped, 2 cluster-dropped
+    # simhash mode: verified hamming<=3 pairs — doc 2 differs from doc 0
+    # by one appended token, so their simhashes sit inside the ball
+    kept_sh = {r.doc_id for r in curate(docs, dedup="simhash").collect()}
+    assert 0 in kept_sh and 1 not in kept_sh
+    assert kept_sh <= {0, 2, 3, 4}
     assert parse_fractions("ko=1.0, en=0.5") == {"ko": 1.0, "en": 0.5}
     sampled = curate(docs, dedup="exact", fractions={"ko": 1.0}, default_fraction=0.0)
     got = {r.doc_id for r in sampled.collect()}
