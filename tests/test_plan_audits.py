@@ -1,0 +1,143 @@
+"""Physical-plan regression guards for the contract queries.
+
+The scale story lives in the PLAN, not the sf0.01 timings: a refactor
+that silently introduces a row-at-a-time Python UDF, an unbroadcast
+cartesian product, or an extra shuffle passes every value-level test
+and only shows up as a 100x-scale meltdown. These audits pin the plan
+shape of every ``queries()`` entry so that regression is loud.
+
+Ceilings are the measured shuffle counts of the current plans (scout:
+zero ``BatchEvalPython``, zero ``CartesianProduct``, per-query shuffle
+budgets of 0-10). They are upper bounds, not exact pins — an optimizer
+improvement that REMOVES a shuffle keeps passing; anything that adds
+one fails and must either be justified (raise the ceiling in the same
+commit, with the why) or fixed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# measured current shuffle (Exchange) counts; a regression budget, not
+# a target. Narrow per-doc operators (fingerprint, lang_id, quality,
+# token_count, stratified_sample, analyze_ko_tokens) must stay at ZERO
+# shuffles — they are single-pass map work at any scale.
+SHUFFLE_CEILING = {
+    "analyze_ko_tokens": 0,
+    "ann_cosine_topk": 1,
+    "ann_ivf_topk": 1,
+    "ann_lsh_topk": 1,
+    "batch_bm25_topk": 0,
+    "bm25_topk": 7,
+    "corpus_stats": 2,
+    "dedup_clusters": 0,
+    "dedup_exact": 1,
+    "doc_stats": 2,
+    "emb_near_dup": 1,
+    "fingerprint": 0,
+    "highlight_spans": 0,
+    "lang_id": 0,
+    "match_count": 0,
+    "minhash_near_dup": 2,
+    "multimodal_features": 0,
+    "nested_phrase_topk": 0,
+    "ngram_jaccard_pairs": 2,
+    "phrase_match": 0,
+    "phrase_match_distributed": 10,
+    "postings_tf": 1,
+    "product_tokens": 0,
+    "quality_score": 0,
+    "scroll_page": 0,
+    "simhash_candidates": 2,
+    "stratified_sample": 0,
+    "streaming_dedup": 0,
+    "streaming_postings_tf": 0,
+    "synonym_or_topk": 0,
+    "term_stats": 2,
+    "token_count": 0,
+}
+
+_NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """name -> (formatted plan string, node-name list) for every
+    contract query. Built once: several callables eagerly build the
+    serving index / run a micro-stream for SF, so per-test calls would
+    multiply that cost."""
+    out = {}
+    for name, fn in entrymod.queries().items():
+        p = _plan(fn(spark, SF))
+        out[name] = (p, _NODE.findall(p))
+    return out
+
+
+def test_queries_cover_the_ceiling_table(plans):
+    assert sorted(plans) == sorted(SHUFFLE_CEILING)
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    """Python reaches the executors only through Arrow batches
+    (ArrowEvalPython / MapInPandas / MapInArrow) — a BatchEvalPython
+    node is a ~10-100x per-row serialization regression."""
+    offenders = {n for n, (_, nodes) in plans.items() if "BatchEvalPython" in nodes}
+    assert not offenders, offenders
+
+
+def test_no_cartesian_product(plans):
+    """Every cross-shaped join must broadcast its small side
+    (BroadcastNestedLoopJoin); a CartesianProduct node shuffles BOTH
+    sides everywhere and is never acceptable in a contract plan."""
+    offenders = {n for n, (_, nodes) in plans.items() if "CartesianProduct" in nodes}
+    assert not offenders, offenders
+
+
+def test_shuffle_budgets(plans):
+    over = {
+        name: (nodes.count("Exchange"), SHUFFLE_CEILING[name])
+        for name, (_, nodes) in plans.items()
+        if nodes.count("Exchange") > SHUFFLE_CEILING[name]
+    }
+    assert not over, f"shuffle budget exceeded (got, ceiling): {over}"
+
+
+def test_ann_broadcasts_the_query_side(plans):
+    """cosine/LSH/IVF top-k: the query set rides a broadcast; the one
+    permitted shuffle is the final per-query top-k aggregation. The
+    embeddings side must reach its join with zero exchanges."""
+    for name in ("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"):
+        _, nodes = plans[name]
+        assert nodes.count("BroadcastExchange") >= 1, name
+        assert nodes.count("Exchange") <= 1, name
+
+
+def test_postings_scan_prunes_to_used_columns(plans):
+    """postings_tf projects (doc_id, text): the parquet ReadSchema must
+    not drag lang/source/n_chars through the scan — at 100 TB those
+    columns are a material fraction of the bytes."""
+    p, _ = plans["postings_tf"]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, "no parquet ReadSchema in the postings_tf plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}, cols
+
+
+def test_exact_dedup_is_one_hash_shuffle(plans):
+    """dedup_exact: one Exchange (the md5 hash partitioning); nothing
+    broadcast — duplicate-group tables are unbounded at crawl scale."""
+    _, nodes = plans["dedup_exact"]
+    assert nodes.count("Exchange") == 1
+    assert nodes.count("BroadcastExchange") == 0
