@@ -130,6 +130,12 @@ def stem_dict() -> dict[str, str]:
     d["가고문헌"] = _compound_feature("가고문헌", ["가고", "문헌"])
     d["무궁화"] = _compound_feature("무궁화", ["무궁", "화"])
     d["피"] = "VV,*,F,피,*,*,*,*"
+    # MeCabKoTest.java:60-66 (학생용 핸드폰): 학생용 analyzes as a whole
+    # NNP; 핸드폰 is Compound 핸드+폰
+    d["학생용"] = "NNP,*,T,학생용,*,*,*,*"
+    d["핸드"] = _noun_feature("핸드")
+    d["폰"] = _noun_feature("폰")
+    d["핸드폰"] = _compound_feature("핸드폰", ["핸드", "폰"])
     # mecab-ko-dic analyzes 형태소 itself as a compound (형태+소) — the
     # live-tier expectations in test_mecab_live.py pin exactly this
     d["형태소"] = _compound_feature("형태소", ["형태", "소"])

@@ -75,6 +75,16 @@ def test_han_english():  # :160
     assert stream("한글win") == "한글:NNG:NNG:null:1:1:0:2,win:SL:SL:null:1:1:2:5,"
 
 
+def test_danawa_simple_sentence():
+    """MeCabKoTest.java:60-66 — the danawa-layer tokenizer test's
+    published stream (comment golden): whole-word NNP beside a
+    decomposed compound at compoundNounMinLength=3."""
+    assert stream("학생용 핸드폰", 3) == (
+        "학생용:NNP:NNP:null:1:1:0:3,핸드:NNG:NNG:null:1:1:4:6,"
+        "핸드폰:COMPOUND:null:null:0:2:4:7,폰:NNG:NNG:null:1:1:6:7,"
+    )
+
+
 def test_decompound():  # :171
     assert stream("형태소") == (
         "형태:NNG:NNG:null:1:1:0:2,형태소:COMPOUND:null:null:0:2:0:3,"
