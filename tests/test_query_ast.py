@@ -180,3 +180,65 @@ def test_topk_and_requires_all_terms(env):
     for d, _ in got:
         terms = {t["term"] for t in docs[d]}
         assert {"검색", "엔진", "문서"} <= terms
+
+
+# ---------- hypothesis: random trees vs ground truth ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mecab_ko_lucene_analyzer_spark.query.executor import count_ast_cursors
+from mecab_ko_lucene_analyzer_spark.query.wand import load_query_cursors
+
+# deliberately mixed dfs: corpus-frequent nouns, the hot josa 는/이
+# (the 10^12-doc skew shape), one absent term — so random trees hit
+# empty cursors, all-zero phrase scores, and single-child groups
+_VOCAB = ["검색", "엔진", "문서", "데이터", "처리", "시스템",
+          "삼성전자", "는", "이", "없는단어"]
+_term_st = st.sampled_from(_VOCAB)
+_leaf_st = st.one_of(
+    st.builds(Term, _term_st),
+    st.builds(
+        lambda ws, slop: Phrase(tuple(ws), slop=slop),
+        st.lists(_term_st, min_size=2, max_size=3),
+        st.integers(0, 2),
+    ),
+)
+_ast_st = st.recursive(
+    _leaf_st,
+    lambda ch: st.one_of(
+        st.builds(lambda cs: And(tuple(cs)), st.lists(ch, min_size=1, max_size=3)),
+        st.builds(lambda cs: Or(tuple(cs)), st.lists(ch, min_size=1, max_size=3)),
+    ),
+    max_leaves=6,
+)
+
+
+@given(ast=_ast_st)
+@settings(max_examples=25, deadline=None)
+def test_random_ast_matches_brute_force(env, ast):
+    """Random Term/And/Or/Phrase trees (repeated terms, slop 0-2,
+    single-child groups, absent terms, hot josa) against the exhaustive
+    pure-Python evaluator: the 16 hand-picked shapes in
+    test_query_router.py gate implementation-vs-implementation; this
+    gates implementation-vs-ground-truth over the open tree space."""
+    blocks, term_stats, corpus, docs = env
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    expected = _brute_force(docs, ast, n_docs, avgdl, k=10)
+    got = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], to_json(ast)
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+    # the count path (Q8 trackTotalHits) must agree with the ground
+    # truth's full match set, not just the top-k
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+
+    all_matches = _brute_force(docs, ast, n_docs, avgdl, k=len(docs))
+    cursors = {
+        c.term: c
+        for c in load_query_cursors(
+            blocks, term_stats, n_docs, avgdl,
+            sorted(ast_terms(ast)), with_positions=True,
+        )
+    }
+    assert count_ast_cursors(ast, cursors) == len(all_matches), to_json(ast)

@@ -351,3 +351,58 @@ def test_hot_multiword_synonym_routes_distributed(engines, monkeypatch):
     assert [h["doc_id"] for h in hits] == [h["doc_id"] for h in want]
     for g, w in zip(hits, want):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+# ---------- hypothesis: random trees, distributed vs driver ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["검색", "엔진", "데이터", "처리", "시스템", "는", "없는말"]
+_term_st = st.sampled_from(_VOCAB)
+_leaf_st = st.one_of(
+    st.builds(Term, _term_st),
+    st.builds(
+        lambda ws, slop: Phrase(tuple(ws), slop=slop),
+        st.lists(_term_st, min_size=2, max_size=3),
+        st.integers(0, 2),
+    ),
+)
+_ast_st = st.recursive(
+    _leaf_st,
+    lambda ch: st.one_of(
+        st.builds(lambda cs: And(tuple(cs)), st.lists(ch, min_size=1, max_size=3)),
+        st.builds(lambda cs: Or(tuple(cs)), st.lists(ch, min_size=1, max_size=3)),
+    ),
+    max_leaves=5,
+)
+
+
+@given(ast=_ast_st)
+@settings(max_examples=8, deadline=None)
+def test_random_ast_distributed_matches_driver(spark, serving, ast):
+    """Random trees through the distributed flag-column/general plan vs
+    the driver cursor tree — extends the 16 hand-picked ASTS to the
+    open tree space (fewer examples: each draw plans + runs Spark
+    jobs). Rank and score identity, plus count-path agreement."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+    from mecab_ko_lucene_analyzer_spark.query.executor import count_ast_cursors
+    from mecab_ko_lucene_analyzer_spark.query.router import count_ast_blocks
+
+    blocks, term_stats, n_docs, avgdl = serving
+    terms = sorted(ast_terms(ast))
+    dfs = term_dfs(term_stats, terms)
+    got = distributed_ast_topk(ast, blocks, dfs, n_docs, avgdl, k=10)
+    want = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+    cursors = {
+        c.term: c
+        for c in load_query_cursors(
+            blocks, term_stats, n_docs, avgdl, terms, with_positions=True
+        )
+    }
+    assert count_ast_blocks(ast, blocks, dfs, n_docs, avgdl) == count_ast_cursors(
+        ast, cursors
+    )
