@@ -50,6 +50,11 @@ def main() -> None:
         default=None,
         help="bound each micro-batch's file count (right-sizes catch-up batches at scale)",
     )
+    ap.add_argument(
+        "--latest-only",
+        action="store_true",
+        help="compact: keep only the latest arrival per url (ES upsert-by-_id semantics)",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
@@ -75,7 +80,11 @@ def main() -> None:
         print(json.dumps({"status": "ingested", "index": args.index}))
     else:
         out = compact_incremental(
-            spark, args.index, out_path=args.output, hot_min_df=args.hot_min_df
+            spark,
+            args.index,
+            out_path=args.output,
+            hot_min_df=args.hot_min_df,
+            latest_only=args.latest_only,
         )
         print(json.dumps({"status": "compacted", "output": out}))
     spark.stop()

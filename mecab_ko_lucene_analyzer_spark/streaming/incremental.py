@@ -260,6 +260,7 @@ def compact_incremental(
     out_path: str | None = None,
     hot_min_df: int = 1000,
     num_partitions: int | None = None,
+    latest_only: bool = False,
 ) -> str:
     """Fold all appended deltas into a FULL serving index — postings,
     doc_map, term/doc/corpus stats, and compressed block-max postings —
@@ -290,6 +291,18 @@ def compact_incremental(
     has no snapshot isolation) never happens. Passing an explicit
     ``out_path`` keeps the direct-overwrite behavior for offline /
     test targets.
+
+    ``latest_only`` gives the reference's upsert-by-``_id`` semantics
+    (ES indexes a re-crawled page over the old one; ``SearchUtil.java``
+    upsertData): among deltas sharing a url, only the highest doc_id —
+    the latest arrival, since batch doc bases increase monotonically —
+    survives into the compacted index. Superseded doc_ids drop from
+    postings, doc_map, AND the stats (df/avgdl must describe the
+    served corpus, not the crawl history). Costs one url-window pass
+    over doc_map plus a doc_id semi-join shuffle on postings — both in
+    this maintenance job, nothing on the ingest path. Default False
+    preserves append-only semantics (every crawl version served),
+    which is also what the from-scratch-equality pin assumes.
     """
     from ..index.blocks import build_blocks
     from ..index.build import _stats_from_postings
@@ -302,6 +315,20 @@ def compact_incremental(
     else:
         out = out_path
     postings = read_incremental_postings(spark, index_path)
+    doc_map = spark.read.parquet(f"{index_path}/doc_map_delta").drop("batch_id")
+    if latest_only:
+        from pyspark.sql import Window
+
+        # one window partition per url = one page's crawl history;
+        # bounded by recrawl frequency, no corpus-wide hot key
+        doc_map = (
+            doc_map.withColumn(
+                "_latest", F.max("doc_id").over(Window.partitionBy("url"))
+            )
+            .filter(F.col("doc_id") == F.col("_latest"))
+            .drop("_latest")
+        )
+        postings = postings.join(doc_map.select("doc_id"), "doc_id", "left_semi")
     term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
     doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
     term_stats.write.mode("overwrite").parquet(f"{out}/term_stats")
@@ -333,9 +360,7 @@ def compact_incremental(
         partials = getattr(blocks, "_partials_df", None)
         if partials is not None:
             partials.unpersist()
-    spark.read.parquet(f"{index_path}/doc_map_delta").drop("batch_id").write.mode(
-        "overwrite"
-    ).parquet(f"{out}/doc_map")
+    doc_map.write.mode("overwrite").parquet(f"{out}/doc_map")
     if version is not None:
         _flip_pointer(spark, index_path, version, out)
     return out

@@ -420,3 +420,78 @@ def test_incremental_replay_is_idempotent(spark, tmp_path):
     dm = spark.read.parquet(f"{B}/idx/doc_map_delta")
     assert dm.count() == 30
     assert dm.select("doc_id").distinct().count() == 30
+
+
+def test_compact_latest_only_upserts_by_url(spark, tmp_path):
+    """latest_only compaction = the reference's upsert-by-_id: a
+    re-crawled url serves ONLY its newest text; postings, doc_map, and
+    stats all describe the latest corpus. Cross-checked against a
+    from-scratch batch build over exactly the latest documents
+    (url-keyed, since compaction keeps streamed doc_ids with gaps)."""
+    import datetime
+
+    from mecab_ko_lucene_analyzer_spark.index import build_and_write
+    from mecab_ko_lucene_analyzer_spark.index.build import load_index
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import WEBPAGES_SCHEMA
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        compact_incremental,
+    )
+
+    B = str(tmp_path)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def drop(rows, mode):
+        spark.createDataFrame(
+            [(u, ts, b"", t, "ko") for u, t in rows], WEBPAGES_SCHEMA
+        ).write.mode(mode).parquet(f"{B}/in")
+
+    drop([("u://a", "검색 엔진"), ("u://b", "데이터 처리")], "overwrite")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+    # re-crawl of u://a (new text) + a new page, in a later batch
+    drop([("u://a", "검색 시스템 문서"), ("u://c", "웹 페이지")], "append")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+
+    out = compact_incremental(spark, f"{B}/idx", out_path=f"{B}/compact",
+                              latest_only=True)
+    doc_map = {r["url"]: r["doc_id"] for r in
+               spark.read.parquet(f"{out}/doc_map").collect()}
+    assert set(doc_map) == {"u://a", "u://b", "u://c"}
+    assert doc_map["u://a"] >= 2  # the batch-2 arrival, not doc_id 0
+
+    # batch build over exactly the latest corpus; compare url-keyed
+    latest = spark.createDataFrame(
+        [("u://a", ts, b"", "검색 시스템 문서", "ko"),
+         ("u://b", ts, b"", "데이터 처리", "ko"),
+         ("u://c", ts, b"", "웹 페이지", "ko")],
+        WEBPAGES_SCHEMA,
+    )
+    build_and_write(latest, f"{B}/batch", lang_filter=None,
+                    with_blocks=True, doc_order="url")
+
+    def keyed(postings_df, url_of):
+        return sorted(
+            (r["term"], url_of[r["doc_id"]], r["tf"],
+             bytes(r["positions"]), r["doc_len"])
+            for r in postings_df.collect()
+        )
+
+    got = keyed(spark.read.parquet(f"{out}/postings"),
+                {v: k for k, v in doc_map.items()})
+    batch = load_index(spark, f"{B}/batch")
+    batch_map = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(f"{B}/batch/doc_map").collect()
+    }
+    want = keyed(batch.postings.select(
+        "term", "doc_id", "tf", "positions", "doc_len"), batch_map)
+    assert got == want
+    # superseded terms are gone from the index AND the stats
+    terms = {r["term"] for r in
+             spark.read.parquet(f"{out}/term_stats").collect()}
+    assert "엔진" not in terms and "시스템" in terms
+    corpus = spark.read.parquet(f"{out}/corpus_stats").first()
+    assert corpus["n_docs"] == 3
