@@ -375,9 +375,11 @@ def _bucket_pairs(
     a post-filter cosine) so callers never re-join the corpus — the
     whole expansion stays ONE scan of the bucketed relation. Multi-key
     banding callers (no payload) get cross-bucket ``distinct``;
-    payload pairs are emitted as-is (one bucket per doc_id by
-    construction in every payload caller — distinct over payload
-    arrays would be a pointless wide compare)."""
+    payload pairs are emitted as-is — distinct over payload arrays
+    would be a pointless wide compare. A payload caller with multiple
+    buckets per doc_id (simhash's 4 block positions) must dedup
+    AFTER narrowing to scalar columns, as ``simhash_candidates`` does
+    post-hamming-filter."""
     # pair expansion = double-explode + b > a filter: two Generate
     # nodes that unroll inside whole-stage codegen — measured ~1.7x
     # faster than the nested transform+flatten struct build it
