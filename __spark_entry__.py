@@ -266,6 +266,16 @@ def _q_simhash_candidates(spark, sf_dir):
     return simhash_candidates(_docs(spark, sf_dir))
 
 
+def _q_simhash_verified(spark, sf_dir):
+    """VERIFIED SimHash near-dup pairs: bucket candidates post-filtered
+    to true hamming distance ≤ 3 (``bit_count(a XOR b)`` over the
+    riding payload — the exact pairs ``jobs/curate.py --dedup simhash``
+    clusters on; recall is pigeonhole-guaranteed for d ≤ 3)."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import simhash_candidates
+
+    return simhash_candidates(_docs(spark, sf_dir), max_hamming=3)
+
+
 BATCH_QUERIES: list[tuple[int, list[str]]] = [
     (0, ["spark", "query"]),
     (1, ["data", "index"]),
@@ -786,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_candidates": _q_simhash_candidates,
+        "simhash_verified": _q_simhash_verified,
         "emb_near_dup": _q_emb_near_dup,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "phrase_match": _q_phrase_match,
@@ -901,7 +912,7 @@ def _minhash_near_dup_sql(n_hashes: int = 32, bands: int = 8, seed: int = 42) ->
         """
 
 
-def _simhash_candidates_sql(bits: int = 60) -> str:
+def _simhash_candidates_sql(bits: int = 60, max_hamming: int | None = None) -> str:
     bit_terms = "\n                     + ".join(
         f"CASE WHEN 2 * coalesce(list_sum(list_transform(hs,"
         f" x -> CAST((x >> {b}) & 1 AS INT))), 0) >= len(hs)"
@@ -909,8 +920,17 @@ def _simhash_candidates_sql(bits: int = 60) -> str:
         for b in range(bits)
     )
     block_selects = "\n                UNION ALL ".join(
-        f"SELECT doc_id, {i} AS block, (simhash >> {15 * i}) & 32767 AS key FROM sh"
+        f"SELECT doc_id, simhash, {i} AS block,"
+        f" (simhash >> {15 * i}) & 32767 AS key FROM sh"
         for i in range(4)
+    )
+    # verified variant: the simhash rides the bucket expansion as
+    # payload (exactly functions.dedup.simhash_candidates(max_hamming=))
+    # and pairs keep only true hamming distance <= max_hamming
+    hamming = (
+        ""
+        if max_hamming is None
+        else f"\n              AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
     return f"""
             WITH h AS (
@@ -930,7 +950,7 @@ def _simhash_candidates_sql(bits: int = 60) -> str:
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM blocked a JOIN blocked b
-              ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+              ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id{hamming}
         """
 
 
@@ -1469,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dup": _minhash_near_dup_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
+        "simhash_verified": _simhash_candidates_sql(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_topk_sql(),
         "ann_ivf_topk": _ann_ivf_topk_sql(),
         "emb_near_dup": _emb_near_dup_sql(),
