@@ -55,6 +55,7 @@ SHUFFLE_CEILING = {
     "quality_score": 0,
     "scroll_page": 0,
     "simhash_candidates": 2,
+    "simhash_verified": 2,
     "stratified_sample": 0,
     "streaming_dedup": 0,
     "streaming_postings_tf": 0,
