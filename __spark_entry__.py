@@ -32,6 +32,11 @@ BM25_QUERY = ["spark", "query", "data"]
 from mecab_ko_lucene_analyzer_spark.functions.text import (  # noqa: E402
     EN_STOPWORDS,
 )
+from mecab_ko_lucene_analyzer_spark.functions.curation import (  # noqa: E402
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,6 +194,63 @@ def _q_lang_id(spark, sf_dir):
     from mecab_ko_lucene_analyzer_spark.functions.text import language_id
 
     return language_id(_docs(spark, sf_dir))
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: dup-token / dup-bigram fraction
+    + top-token share, all per-row array expressions (zero shuffles)."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-domain corpus inventory (C4-style allow/block-list input):
+    one hash agg keyed on source with map-side combine."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir))
+
+
+def _pii_injected(spark, sf_dir):
+    """The synthetic corpus carries no PII, so the contract query
+    injects deterministic PII (keyed on doc_id) before scrubbing — the
+    oracle injects the identical strings, so counts and redacted text
+    are exactly checkable."""
+    did = F.col("doc_id")
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" call 010-1234-5678")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 250).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub: count + redact emails / dashed phones / IPv4 over the
+    deterministically-injected corpus (pure regex map work)."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import pii_redact
+
+    return pii_redact(_pii_injected(spark, sf_dir))
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
@@ -788,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
+        "repetition_stats": _q_repetition_stats,
+        "domain_stats": _q_domain_stats,
+        "pii_redact": _q_pii_redact,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1429,6 +1494,85 @@ def oracle_sql() -> dict[str, str]:
                         WHEN len(list_filter(toks, x -> x IN ({stop_list}))) >= 2 THEN 'en'
                         ELSE 'unknown' END AS pred_lang
             FROM t
+        """,
+        # repetition_stats: the Spark side computes top_token_frac as a
+        # fold over the sorted token array (zero shuffles); the oracle
+        # states the same RESULT declaratively via unnest + group-by.
+        "repetition_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END AS grams
+                FROM t
+            ),
+            tc AS (
+                SELECT doc_id, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY doc_id, tok
+            ),
+            top AS (SELECT doc_id, max(cnt) AS top_cnt FROM tc GROUP BY doc_id)
+            SELECT g.doc_id, n AS n_tokens,
+                   CASE WHEN n > 0
+                        THEN round((n - len(list_distinct(toks))) / n, 6)
+                        ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN len(grams) > 0
+                        THEN round((len(grams) - len(list_distinct(grams)))
+                                   / len(grams), 6)
+                        ELSE 0.0 END AS dup_bigram_frac,
+                   CASE WHEN n > 0
+                        THEN round(coalesce(top_cnt, 0) / n, 6)
+                        ELSE 0.0 END AS top_token_frac
+            FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+        """,
+        "domain_stats": """
+            WITH d AS (
+                SELECT source AS domain, length(text) AS text_len,
+                       len(list_filter(string_split(text, ' '), x -> x <> ''))
+                           AS n_toks
+                FROM documents
+            )
+            SELECT domain, count(*) AS n_docs,
+                   CAST(sum(text_len) AS BIGINT) AS total_chars,
+                   round(avg(text_len), 4) AS avg_chars,
+                   round(avg(n_toks), 4) AS avg_tokens,
+                   CAST(sum(CASE WHEN text_len < 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_short
+            FROM d GROUP BY domain
+        """,
+        # pii_redact: injection mirrors _pii_injected exactly; patterns
+        # interpolate from functions.curation so the two sides cannot
+        # drift. DuckDB regexp_replace needs the explicit 'g' flag to
+        # match Spark's replace-all default.
+        "pii_redact": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact user' || doc_id || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' call 010-1234-5678' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN ' host 10.0.' || (doc_id % 250) || '.7'
+                               ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+                   len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{IPV4_RE}', '[IP]', 'g'),
+                       '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+            FROM inj
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_shingle_hash_ctes()}

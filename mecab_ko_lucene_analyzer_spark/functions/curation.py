@@ -1,0 +1,166 @@
+"""Corpus-curation operators for web-scale training-data pipelines:
+repetition scoring (Gopher-style), per-domain aggregates, and PII
+redaction.
+
+Like the siblings in :mod:`.text`, every operator here is a pure
+Catalyst expression pipeline (whole-stage codegen, zero Python in the
+row path) over a ``documents``-shaped table, and each has an exact
+ANSI-SQL oracle in ``__spark_entry__``. Scale notes per operator:
+
+* :func:`repetition_stats` is per-doc map work — ZERO shuffles by
+  design. Counting a document's own token repetition by exploding the
+  corpus into a (doc, token) shuffle would move 100 TB to compute a
+  per-row statistic; instead the top-token run rides a fold over the
+  row's sorted token array (O(n log n) per doc, all inside codegen).
+* :func:`domain_stats` is one hash aggregation with map-side partial
+  combine — the per-key state is five numbers, so the shuffle carries
+  ~one row per (partition, domain), not per document.
+* :func:`pii_redact` is per-doc regex map work — zero shuffles; the
+  patterns stay in the RE2-compatible subset (no backrefs, no
+  lookaround) so the DuckDB oracle matches byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import whitespace_tokens
+
+__all__ = [
+    "repetition_stats",
+    "domain_stats",
+    "pii_redact",
+    "EMAIL_RE",
+    "PHONE_RE",
+    "IPV4_RE",
+]
+
+
+def _safe_frac(num: Column, den: Column) -> Column:
+    """round(num/den, 6) with the den==0 → 0.0 convention (an empty doc
+    has no repetition, not NULL repetition)."""
+    return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+
+def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc repetition signals in the style of the Gopher quality
+    filters (Rae et al. 2021, §A1.1): fraction of duplicate tokens,
+    fraction of duplicate 2-grams, and the share of the single most
+    frequent token. Boilerplate-heavy or looping machine-generated
+    pages score high and get dropped by a threshold filter.
+
+    All three stats are pure per-row array expressions:
+
+    * ``dup_token_frac`` / ``dup_bigram_frac``: ``1 - distinct/total``
+      via ``array_distinct`` (0.0 for docs too short to form grams).
+    * ``top_token_frac``: longest equal-run over the SORTED token array
+      via one ``aggregate`` fold with a (prev, run, best) struct
+      accumulator — O(n) after the O(n log n) sort, no corpus-wide
+      (doc, token) explode+shuffle for what is per-document state.
+    """
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        _safe_frac(n - F.size(F.array_distinct(toks)), n).alias(
+            "dup_token_frac"
+        ),
+        _safe_frac(
+            F.size(grams) - F.size(F.array_distinct(grams)), F.size(grams)
+        ).alias("dup_bigram_frac"),
+        _safe_frac(top_run, n).alias("top_token_frac"),
+    )
+
+
+def domain_stats(
+    docs: DataFrame, domain: str = "source", text: str = "text"
+) -> DataFrame:
+    """Per-domain corpus aggregates — the inventory pass behind
+    C4-style domain allow/block-listing and per-source mixing weights.
+
+    One hash aggregation keyed on the domain column (for a CC-shaped
+    corpus, pass a host expression for ``domain``): count, total/mean
+    length, mean token count, and the count of sub-100-char docs (the
+    usual junk-page signal). Map-side partial aggregation means the
+    shuffle carries one row per (input partition, domain); domain
+    cardinality (~10^7 hosts at CC scale) is far below doc cardinality,
+    so this is the cheapest possible pass over the corpus.
+    """
+    d = docs.select(
+        F.col(domain).alias("domain"),
+        F.length(text).alias("text_len"),
+        F.size(whitespace_tokens(text)).alias("n_toks"),
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("text_len").alias("total_chars"),
+        F.round(F.avg("text_len"), 4).alias("avg_chars"),
+        F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        F.sum(F.when(F.col("text_len") < 100, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+    )
+
+
+# RE2-compatible subset (no backreferences, no lookaround) so Spark's
+# Java regex and the DuckDB oracle's RE2 agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{2,3}-\d{3,4}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Count and redact the three standard PII shapes (emails, dashed
+    phone numbers, IPv4 addresses) — the scrub pass a training-data
+    pipeline runs before anything leaves curation.
+
+    Counts are taken on the raw text, then replacements apply in a
+    fixed order (email → ipv4 → phone) so one category's placeholder
+    can never create or destroy a later category's match (the patterns
+    are mutually exclusive on these shapes: emails keep their ``@``,
+    IPs have no hyphens, phones have no dots). Pure ``regexp_count`` /
+    ``regexp_replace`` — per-doc map work, zero shuffles, pushdown- and
+    codegen-friendly.
+    """
+    c = F.col(text)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+            ),
+            PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )

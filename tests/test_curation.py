@@ -1,0 +1,135 @@
+"""Unit tests for the curation operators (repetition stats, domain
+stats, PII redaction) — edge cases the sf-table oracles can't reach:
+empty/single-token docs, all-duplicate docs, PII at string boundaries,
+placeholder non-interference between redaction passes."""
+
+from __future__ import annotations
+
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.functions.curation import (
+    domain_stats,
+    pii_redact,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def rep(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "a b a b c", "s0"),  # dup tokens + one dup bigram
+            (1, "x", "s0"),  # single token: no grams
+            (2, "", "s0"),  # empty: all stats 0.0
+            (3, "z z z z", "s1"),  # fully repeated
+            (4, "u v w", "s1"),  # all distinct
+        ],
+    )
+    return {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+
+def test_repetition_dup_fractions(rep):
+    # "a b a b c": 5 tokens, 3 distinct -> 0.4; grams [ab, ba, ab, bc]:
+    # 4 grams, 3 distinct -> 0.25; top token count 2/5
+    assert rep[0] == {
+        "doc_id": 0,
+        "n_tokens": 5,
+        "dup_token_frac": 0.4,
+        "dup_bigram_frac": 0.25,
+        "top_token_frac": 0.4,
+    }
+
+
+def test_repetition_degenerate_docs(rep):
+    # single token: one run of 1, no bigrams
+    assert rep[1]["dup_token_frac"] == 0.0
+    assert rep[1]["dup_bigram_frac"] == 0.0
+    assert rep[1]["top_token_frac"] == 1.0
+    # empty text: split('', ' ') -> [''] filtered to [] -> all zeros,
+    # never NULL and never a divide-by-zero
+    assert rep[2] == {
+        "doc_id": 2,
+        "n_tokens": 0,
+        "dup_token_frac": 0.0,
+        "dup_bigram_frac": 0.0,
+        "top_token_frac": 0.0,
+    }
+
+
+def test_repetition_extremes(rep):
+    assert rep[3]["dup_token_frac"] == 0.75
+    assert rep[3]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rep[3]["top_token_frac"] == 1.0
+    assert rep[4]["dup_token_frac"] == 0.0
+    assert rep[4]["top_token_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_domain_stats(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "a b", "long.example"),
+            (1, "c" * 200, "long.example"),
+            (2, "d e f", "short.example"),
+        ],
+    )
+    rows = {r["domain"]: r.asDict() for r in domain_stats(df).collect()}
+    assert rows["long.example"]["n_docs"] == 2
+    assert rows["long.example"]["total_chars"] == 203
+    assert rows["long.example"]["avg_chars"] == 101.5
+    assert rows["long.example"]["avg_tokens"] == 1.5
+    assert rows["long.example"]["n_short"] == 1  # "a b" only
+    assert rows["short.example"]["n_docs"] == 1
+    assert rows["short.example"]["n_short"] == 1
+
+
+def test_pii_counts_and_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "mail a.user+tag@sub.example.co and b@c.io today", "s"),
+            (1, "call 010-1234-5678 or 02-123-4567 now", "s"),
+            (2, "hosts 10.0.0.1 and 192.168.200.254", "s"),
+            (3, "clean text only", "s"),
+            (4, "x@y.com 1.2.3.4 010-1111-2222", "s"),  # all three
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_phones"], rows[0]["n_ips"]) == (2, 0, 0)
+    assert rows[0]["redacted"] == "mail [EMAIL] and [EMAIL] today"
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (0, 2, 0)
+    assert rows[1]["redacted"] == "call [PHONE] or [PHONE] now"
+    assert rows[2]["redacted"] == "hosts [IP] and [IP]"
+    assert rows[3]["redacted"] == "clean text only"
+    assert (rows[4]["n_emails"], rows[4]["n_phones"], rows[4]["n_ips"]) == (1, 1, 1)
+    assert rows[4]["redacted"] == "[EMAIL] [IP] [PHONE]"
+
+
+def test_pii_boundaries_and_non_interference(spark):
+    df = _docs(
+        spark,
+        [
+            # PII at the very start and end of the string (\b at edges)
+            (0, "a@b.co", "s"),
+            (1, "10.0.0.1", "s"),
+            # a phone-shaped run INSIDE a longer digit run must not
+            # match (\b guards), and an email containing digits+dots in
+            # the local part must not leak an IP match after redaction
+            (2, "9010-1234-56789 and 1.2.3.4x", "s"),
+            (3, "v1.2.3.4@example.org", "s"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert rows[0]["redacted"] == "[EMAIL]"
+    assert rows[1]["redacted"] == "[IP]"
+    assert (rows[2]["n_phones"], rows[2]["n_ips"]) == (0, 0)
+    assert rows[2]["redacted"] == "9010-1234-56789 and 1.2.3.4x"
+    # email pass runs first and consumes the whole address; the IP pass
+    # then sees only the placeholder
+    assert rows[3]["n_emails"] == 1
+    assert rows[3]["redacted"] == "[EMAIL]"

@@ -39,6 +39,7 @@ SHUFFLE_CEILING = {
     "dedup_clusters": 0,
     "dedup_exact": 1,
     "doc_stats": 2,
+    "domain_stats": 1,
     "emb_near_dup": 1,
     "fingerprint": 0,
     "highlight_spans": 0,
@@ -50,9 +51,11 @@ SHUFFLE_CEILING = {
     "ngram_jaccard_pairs": 2,
     "phrase_match": 0,
     "phrase_match_distributed": 10,
+    "pii_redact": 0,
     "postings_tf": 1,
     "product_tokens": 0,
     "quality_score": 0,
+    "repetition_stats": 0,
     "scroll_page": 0,
     "simhash_candidates": 2,
     "simhash_verified": 2,
