@@ -253,6 +253,14 @@ def _q_pii_redact(spark, sf_dir):
     return pii_redact(_pii_injected(spark, sf_dir))
 
 
+def _q_span_dedup(spark, sf_dir):
+    """C4-style cross-doc span dedup: 10-token spans, global first
+    occurrence survives, docs reassembled from surviving spans."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), window=10)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -853,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "domain_stats": _q_domain_stats,
         "pii_redact": _q_pii_redact,
+        "span_dedup": _q_span_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1573,6 +1582,46 @@ def oracle_sql() -> dict[str, str]:
                        '{IPV4_RE}', '[IP]', 'g'),
                        '{PHONE_RE}', '[PHONE]', 'g') AS redacted
             FROM inj
+        """,
+        # span_dedup: the Spark side keeps the global first occurrence
+        # via a combine-safe min(struct) aggregation; the oracle states
+        # the same winner with row_number over (doc_id, span_idx).
+        # Plain string on purpose: the DuckDB struct literal uses {}.
+        "span_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            s0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) > 0 THEN
+                           list_transform(
+                               generate_series(0, CAST(floor((len(toks) - 1) / 10) AS INT)),
+                               i -> {'idx': i,
+                                     'span': array_to_string(
+                                         list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')})
+                       ELSE [] END AS spans
+                FROM t
+            ),
+            sp AS (SELECT doc_id, unnest(spans) AS u FROM s0),
+            rk AS (
+                SELECT doc_id, u.idx AS idx, u.span AS span,
+                       row_number() OVER (PARTITION BY md5(u.span)
+                                          ORDER BY doc_id, u.idx) AS rn
+                FROM sp
+            ),
+            r AS (
+                SELECT doc_id,
+                       string_agg(span, ' ' ORDER BY idx) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_spans_kept
+                FROM rk WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT s0.doc_id, coalesce(clean_text, '') AS clean_text,
+                   CAST(coalesce(n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+                   CAST(len(spans) - coalesce(n_spans_kept, 0) AS BIGINT)
+                       AS n_spans_removed
+            FROM s0 LEFT JOIN r ON s0.doc_id = r.doc_id
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_shingle_hash_ctes()}

@@ -68,8 +68,18 @@ def curate(
     default_fraction: float = 1.0,
     min_common: int = 5,
     hash_impl: str = "xxhash64",
+    span_window: int | None = None,
+    max_dup_token_frac: float | None = None,
+    max_top_token_frac: float | None = None,
+    scrub: bool = False,
 ):
-    """documents DataFrame → curated DataFrame (same columns)."""
+    """documents DataFrame → curated DataFrame (same columns).
+
+    Optional post-dedup stages (all off by default): C4-style span
+    dedup (``span_window``: text rewritten from surviving spans, docs
+    emptied entirely are dropped), Gopher repetition thresholds
+    (``max_dup_token_frac`` / ``max_top_token_frac``), and PII
+    scrubbing (``scrub``)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -129,7 +139,35 @@ def curate(
         members = dedup_clusters(pairs)
         drop = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
         docs = docs.join(drop, "doc_id", "left_anti")
-    # 3. deterministic stratified mixing
+    # 3. C4-style span dedup: rewrite each doc from its surviving
+    #    spans; docs whose text was entirely boilerplate drop out.
+    if span_window:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import span_dedup
+
+        clean = span_dedup(docs, window=span_window).filter(
+            F.col("n_spans_kept") > 0
+        )
+        docs = docs.drop("text").join(
+            clean.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
+    # 4. Gopher repetition thresholds + PII scrub: zero-shuffle map
+    #    stages that pipeline into the write.
+    if max_dup_token_frac is not None or max_top_token_frac is not None:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            repetition_filter,
+        )
+
+        docs = repetition_filter(
+            docs,
+            max_dup_token_frac=max_dup_token_frac,
+            max_top_token_frac=max_top_token_frac,
+        )
+    if scrub:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import scrub_pii
+
+        docs = scrub_pii(docs)
+    # 5. deterministic stratified mixing
     if fractions:
         docs = stratified_sample(docs, fractions, default_fraction=default_fraction)
     return docs
@@ -153,6 +191,29 @@ def main() -> None:
         choices=["md5", "xxhash64"],
         help="token-hash backend for minhash (md5 = oracle-parity, xxhash64 = fast)",
     )
+    ap.add_argument(
+        "--span-window",
+        type=int,
+        default=0,
+        help="C4-style cross-doc span dedup with this token window (0 = off)",
+    )
+    ap.add_argument(
+        "--max-dup-token-frac",
+        type=float,
+        default=None,
+        help="drop docs whose duplicate-token fraction exceeds this",
+    )
+    ap.add_argument(
+        "--max-top-token-frac",
+        type=float,
+        default=None,
+        help="drop docs whose most-frequent-token share exceeds this",
+    )
+    ap.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="redact emails / dashed phones / IPv4 in the output text",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
@@ -175,6 +236,10 @@ def main() -> None:
         default_fraction=args.default_fraction,
         min_common=args.min_common,
         hash_impl=args.hash_impl,
+        span_window=args.span_window or None,
+        max_dup_token_frac=args.max_dup_token_frac,
+        max_top_token_frac=args.max_top_token_frac,
+        scrub=args.scrub_pii,
     ).observe(obs, F.count(F.lit(1)).alias("n_out"))
     write_table(kept, args.output)
     n_out = obs.get["n_out"]

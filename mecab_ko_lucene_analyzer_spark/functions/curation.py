@@ -29,8 +29,11 @@ from .text import whitespace_tokens
 
 __all__ = [
     "repetition_stats",
+    "repetition_filter",
     "domain_stats",
     "pii_redact",
+    "scrub_pii",
+    "span_dedup",
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
@@ -43,22 +46,10 @@ def _safe_frac(num: Column, den: Column) -> Column:
     return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
 
 
-def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
-    """Per-doc repetition signals in the style of the Gopher quality
-    filters (Rae et al. 2021, §A1.1): fraction of duplicate tokens,
-    fraction of duplicate 2-grams, and the share of the single most
-    frequent token. Boilerplate-heavy or looping machine-generated
-    pages score high and get dropped by a threshold filter.
-
-    All three stats are pure per-row array expressions:
-
-    * ``dup_token_frac`` / ``dup_bigram_frac``: ``1 - distinct/total``
-      via ``array_distinct`` (0.0 for docs too short to form grams).
-    * ``top_token_frac``: longest equal-run over the SORTED token array
-      via one ``aggregate`` fold with a (prev, run, best) struct
-      accumulator — O(n) after the O(n log n) sort, no corpus-wide
-      (doc, token) explode+shuffle for what is per-document state.
-    """
+def _repetition_cols(text: str) -> dict[str, Column]:
+    """The shared per-row repetition expressions — used by
+    :func:`repetition_stats` (reporting) and :func:`repetition_filter`
+    (inline predicate, no join-back of a stats relation)."""
     toks = whitespace_tokens(text)
     n = F.size(toks)
     grams = F.when(
@@ -87,17 +78,59 @@ def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
         ),
         lambda acc: acc.best,
     )
-    return docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        _safe_frac(n - F.size(F.array_distinct(toks)), n).alias(
-            "dup_token_frac"
-        ),
-        _safe_frac(
+    return {
+        "n_tokens": n,
+        "dup_token_frac": _safe_frac(n - F.size(F.array_distinct(toks)), n),
+        "dup_bigram_frac": _safe_frac(
             F.size(grams) - F.size(F.array_distinct(grams)), F.size(grams)
-        ).alias("dup_bigram_frac"),
-        _safe_frac(top_run, n).alias("top_token_frac"),
+        ),
+        "top_token_frac": _safe_frac(top_run, n),
+    }
+
+
+def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc repetition signals in the style of the Gopher quality
+    filters (Rae et al. 2021, §A1.1): fraction of duplicate tokens,
+    fraction of duplicate 2-grams, and the share of the single most
+    frequent token. Boilerplate-heavy or looping machine-generated
+    pages score high and get dropped by a threshold filter.
+
+    All three stats are pure per-row array expressions:
+
+    * ``dup_token_frac`` / ``dup_bigram_frac``: ``1 - distinct/total``
+      via ``array_distinct`` (0.0 for docs too short to form grams).
+    * ``top_token_frac``: longest equal-run over the SORTED token array
+      via one ``aggregate`` fold with a (prev, run, best) struct
+      accumulator — O(n) after the O(n log n) sort, no corpus-wide
+      (doc, token) explode+shuffle for what is per-document state.
+    """
+    cols = _repetition_cols(text)
+    return docs.select(
+        "doc_id", *(expr.alias(name) for name, expr in cols.items())
     )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    text: str = "text",
+    max_dup_token_frac: float | None = None,
+    max_dup_bigram_frac: float | None = None,
+    max_top_token_frac: float | None = None,
+) -> DataFrame:
+    """Drop repetition-heavy docs (the Gopher filter proper): keeps all
+    input columns, evaluating the repetition expressions INLINE as a
+    predicate — no stats relation to join back, so the filter stays a
+    zero-shuffle map stage that pipelines into whatever follows."""
+    cols = _repetition_cols(text)
+    pred = F.lit(True)
+    for limit, name in (
+        (max_dup_token_frac, "dup_token_frac"),
+        (max_dup_bigram_frac, "dup_bigram_frac"),
+        (max_top_token_frac, "top_token_frac"),
+    ):
+        if limit is not None:
+            pred = pred & (cols[name] <= limit)
+    return docs.filter(pred)
 
 
 def domain_stats(
@@ -156,11 +189,97 @@ def pii_redact(docs: DataFrame, text: str = "text") -> DataFrame:
         F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
         F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
+        _redact(c).alias("redacted"),
+    )
+
+
+def _redact(c: Column) -> Column:
+    return F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+            F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+
+
+def scrub_pii(docs: DataFrame, text: str = "text") -> DataFrame:
+    """In-place PII scrub: all input columns preserved, ``text``
+    replaced by its redacted form (the pipeline-stage sibling of
+    :func:`pii_redact`'s reporting shape)."""
+    return docs.withColumn(text, _redact(F.col(text)))
+
+
+def span_dedup(
+    docs: DataFrame, text: str = "text", window: int = 10
+) -> DataFrame:
+    """C4-style cross-document span deduplication (Raffel et al. 2020,
+    §2.2 "three-sentence span" rule, token-window form): chunk every
+    doc into consecutive ``window``-token spans, hash each span, keep
+    only the globally FIRST occurrence of every span (min (doc_id,
+    span_idx)), and reassemble each doc from its surviving spans.
+    Boilerplate paragraphs repeated across a crawl vanish from all but
+    one page; a fully-duplicated page loses its entire text.
+
+    Shape: posexplode → one hash aggregation keyed on the span hash
+    (``min(struct(doc_id, span_idx))`` — map-side combine makes hot
+    boilerplate spans skew-safe: each input partition contributes ONE
+    candidate row per span hash, unlike a window/row_number which sorts
+    the whole hot partition on one task) → hash join spans⋈winners on
+    the same key (both sides arrive hash-partitioned on it, so the
+    exchange is reused) → per-doc reassembly via sorted struct collect.
+    Output: (doc_id, clean_text, n_spans_kept, n_spans_removed); empty
+    docs keep a row with empty clean_text.
+    """
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    spans_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((n - 1) / window).cast("int")
             ),
-            PHONE_RE,
-            "[PHONE]",
-        ).alias("redacted"),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * window + 1, window)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", spans_arr.alias("spans"))
+    keyed = base.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).withColumn("h", F.md5("span"))
+    winners = keyed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("w")
+    )
+    kept = (
+        keyed.join(winners, "h")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("span_idx") == F.col("w.span_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_idx", "span"))
+            ).alias("ss")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform("ss", lambda s: s.span)
+            ).alias("clean_text"),
+            F.size("ss").cast("long").alias("n_spans_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("spans").cast("long").alias("_total"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            (F.col("_total") - F.coalesce("n_spans_kept", F.lit(0))).alias(
+                "n_spans_removed"
+            ),
+        )
     )

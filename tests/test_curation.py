@@ -10,7 +10,10 @@ import pytest
 from mecab_ko_lucene_analyzer_spark.functions.curation import (
     domain_stats,
     pii_redact,
+    repetition_filter,
     repetition_stats,
+    scrub_pii,
+    span_dedup,
 )
 
 
@@ -133,3 +136,109 @@ def test_pii_boundaries_and_non_interference(spark):
     # then sees only the placeholder
     assert rows[3]["n_emails"] == 1
     assert rows[3]["redacted"] == "[EMAIL]"
+
+
+def test_repetition_filter_keeps_columns(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "a a a a a a b", "s"),  # dup_token_frac 5/7 ~ 0.714
+            (1, "q w e r t y u", "s"),  # all distinct
+        ],
+    )
+    kept = repetition_filter(df, max_dup_token_frac=0.5).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert set(kept[0].asDict()) == {"doc_id", "text", "source"}
+    # no threshold -> pass-through
+    assert repetition_filter(df).count() == 2
+
+
+def test_scrub_pii_inplace(spark):
+    df = _docs(spark, [(0, "mail a@b.co now", "s")])
+    row = scrub_pii(df).collect()[0]
+    assert row["text"] == "mail [EMAIL] now"
+    assert set(row.asDict()) == {"doc_id", "text", "source"}
+
+
+def test_span_dedup(spark):
+    # window=2 spans: doc0 [ab, cd, e]; doc1 [ab, xy] (ab duplicates
+    # doc0's); doc2 [ab, cd, e] (fully duplicated); doc3 empty
+    df = _docs(
+        spark,
+        [
+            (0, "a b c d e", "s"),
+            (1, "a b x y", "s"),
+            (2, "a b c d e", "s"),
+            (3, "", "s"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in span_dedup(df, window=2).collect()}
+    assert rows[0] == {
+        "doc_id": 0,
+        "clean_text": "a b c d e",
+        "n_spans_kept": 3,
+        "n_spans_removed": 0,
+    }
+    assert rows[1] == {
+        "doc_id": 1,
+        "clean_text": "x y",
+        "n_spans_kept": 1,
+        "n_spans_removed": 1,
+    }
+    # full duplicate loses everything but keeps its row
+    assert rows[2]["clean_text"] == ""
+    assert rows[2]["n_spans_removed"] == 3
+    assert rows[3] == {
+        "doc_id": 3,
+        "clean_text": "",
+        "n_spans_kept": 0,
+        "n_spans_removed": 0,
+    }
+
+
+def test_curate_post_dedup_stages(spark):
+    """The curate job's optional stages compose: span dedup rewrites
+    text and drops fully-boilerplate docs, the repetition threshold
+    drops loopy docs, and the scrub redacts what remains."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str((Path("jobs")).resolve().parent / "jobs"))
+    from curate import curate
+
+    rows = [
+        # unique 12-token doc with an email to scrub
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "mail a@b.co", "en"),
+        # shares doc 0's first 10-token span, plus its own unique tail
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "unique tail here", "en"),
+        # pure repetition: survives span dedup (unique span), dies at
+        # the repetition threshold
+        (2, "loop loop loop loop loop loop loop loop loop once", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate(
+            docs,
+            dedup="exact",
+            span_window=10,
+            max_dup_token_frac=0.5,
+            scrub=True,
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0].endswith("mail [EMAIL]")
+    # doc 1 lost its duplicated leading span, kept its unique tail
+    assert out[1] == "unique tail here"
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    # the same span repeated INSIDE one doc: first occurrence survives,
+    # later ones drop, and reassembly preserves span order
+    df = _docs(spark, [(0, "p q r s p q", "s")])
+    row = span_dedup(df, window=2).collect()[0]
+    assert row["clean_text"] == "p q r s"
+    assert row["n_spans_kept"] == 2
+    assert row["n_spans_removed"] == 1

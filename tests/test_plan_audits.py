@@ -59,6 +59,7 @@ SHUFFLE_CEILING = {
     "scroll_page": 0,
     "simhash_candidates": 2,
     "simhash_verified": 2,
+    "span_dedup": 2,
     "stratified_sample": 0,
     "streaming_dedup": 0,
     "streaming_postings_tf": 0,
