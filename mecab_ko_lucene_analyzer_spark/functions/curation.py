@@ -31,6 +31,7 @@ __all__ = [
     "repetition_stats",
     "repetition_filter",
     "domain_stats",
+    "host_of",
     "pii_redact",
     "scrub_pii",
     "span_dedup",
@@ -134,21 +135,23 @@ def repetition_filter(
 
 
 def domain_stats(
-    docs: DataFrame, domain: str = "source", text: str = "text"
+    docs: DataFrame, domain: Column | str = "source", text: str = "text"
 ) -> DataFrame:
     """Per-domain corpus aggregates — the inventory pass behind
     C4-style domain allow/block-listing and per-source mixing weights.
 
     One hash aggregation keyed on the domain column (for a CC-shaped
-    corpus, pass a host expression for ``domain``): count, total/mean
+    ``(url, ...)`` corpus, pass a host expression for ``domain``, e.g.
+    ``host_of("url")``): count, total/mean
     length, mean token count, and the count of sub-100-char docs (the
     usual junk-page signal). Map-side partial aggregation means the
     shuffle carries one row per (input partition, domain); domain
     cardinality (~10^7 hosts at CC scale) is far below doc cardinality,
     so this is the cheapest possible pass over the corpus.
     """
+    dom = F.col(domain) if isinstance(domain, str) else domain
     d = docs.select(
-        F.col(domain).alias("domain"),
+        dom.alias("domain"),
         F.length(text).alias("text_len"),
         F.size(whitespace_tokens(text)).alias("n_toks"),
     )
@@ -161,6 +164,15 @@ def domain_stats(
             "n_short"
         ),
     )
+
+
+def host_of(url: Column | str = "url") -> Column:
+    """Lowercased host from a URL column (``parse_url`` stays JVM-side;
+    lowering because hosts are case-insensitive and C4-style domain
+    lists key on the canonical form). The natural ``domain`` argument
+    for :func:`domain_stats` over a CC-shaped ``(url, ...)`` corpus."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.parse_url(c, F.lit("HOST")))
 
 
 # RE2-compatible subset (no backreferences, no lookaround) so Spark's

@@ -91,6 +91,21 @@ def test_domain_stats(spark):
     assert rows["short.example"]["n_short"] == 1
 
 
+def test_domain_stats_over_cc_shaped_corpus(spark):
+    """domain_stats accepts a host EXPRESSION over the (url, warc_ts,
+    html, text, lang) corpus shape — the CC-scale usage."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import host_of
+    from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+    pages = synthesize_webpages(spark, 40, partitions=2)
+    rows = domain_stats(pages, domain=host_of("url")).collect()
+    # synthetic urls are one host per page -> 40 singleton domains
+    assert len(rows) == 40
+    assert all(r["n_docs"] == 1 for r in rows)
+    assert all(r["domain"].startswith("example-") for r in rows)
+    assert all(r["domain"].endswith(".kr") for r in rows)
+
+
 def test_pii_counts_and_redaction(spark):
     df = _docs(
         spark,
