@@ -243,6 +243,8 @@ def span_dedup(
     Output: (doc_id, clean_text, n_spans_kept, n_spans_removed); empty
     docs keep a row with empty clean_text.
     """
+    if window < 1:
+        raise ValueError(f"span window must be >= 1, got {window}")
     toks = whitespace_tokens(text)
     n = F.size(toks)
     spans_arr = F.when(

@@ -249,6 +249,45 @@ def test_curate_post_dedup_stages(spark):
     assert out[1] == "unique tail here"
 
 
+def test_span_dedup_global_invariants(spark):
+    """Randomized invariants over a small token alphabet (guarantees
+    span collisions): (a) every distinct span string survives EXACTLY
+    once across the whole output corpus; (b) each doc's surviving spans
+    are a subsequence of its original span list; (c) kept+removed
+    equals the doc's span count."""
+    import random
+
+    rng = random.Random(414)
+    W = 3
+    rows = [
+        (i, " ".join(rng.choice("abc") for _ in range(rng.randrange(0, 12))), "s")
+        for i in range(40)
+    ]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df, window=W).collect()}
+
+    def spans_of(text):
+        toks = [t for t in text.split(" ") if t]
+        return [" ".join(toks[i : i + W]) for i in range(0, len(toks), W)]
+
+    seen = set()
+    for doc_id, text, _src in rows:
+        orig = spans_of(text)
+        kept = spans_of(out[doc_id]["clean_text"])
+        assert out[doc_id]["n_spans_kept"] + out[doc_id]["n_spans_removed"] == len(orig)
+        # (b) subsequence of the original span sequence
+        it = iter(orig)
+        assert all(any(s == o for o in it) for s in kept), (doc_id, orig, kept)
+        # (a) global uniqueness — doc_ids ascend, so first-occurrence
+        # ordering matches iteration order here
+        for s in kept:
+            assert s not in seen, f"span {s!r} survived twice"
+            seen.add(s)
+    # every distinct span in the corpus must appear in the output once
+    all_spans = {s for _i, t, _s in rows for s in spans_of(t)}
+    assert seen == all_spans
+
+
 def test_span_dedup_within_doc_repeat(spark):
     # the same span repeated INSIDE one doc: first occurrence survives,
     # later ones drop, and reassembly preserves span order
