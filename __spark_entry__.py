@@ -261,6 +261,21 @@ def _q_span_dedup(spark, sf_dir):
     return span_dedup(_docs(spark, sf_dir), window=10)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination report: training docs (doc_id >= 20)
+    sharing >= 1 distinct 4-gram shingle hash with the 'eval set'
+    (doc_id < 20); the eval shingle relation is broadcast, so the
+    corpus side never shuffles for the join."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import contamination
+
+    docs = _docs(spark, sf_dir)
+    return contamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=4,
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -862,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "pii_redact": _q_pii_redact,
         "span_dedup": _q_span_dedup,
+        "decontaminate": _q_decontaminate,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -901,6 +917,42 @@ def _md5h64_sql(expr: str) -> str:
     from mecab_ko_lucene_analyzer_spark.functions.hashing import md5_h64_sql
 
     return md5_h64_sql(expr)
+
+
+def _decontaminate_sql(n: int = 4, eval_max: int = 20, min_common: int = 1) -> str:
+    """Decontamination oracle: generalized compositional ``n``-gram
+    shingle-hash fold (same K/P31 arithmetic as ``_shingle_hash_ctes``,
+    nested ``n-1`` times), eval side = doc_id < ``eval_max``."""
+    from mecab_ko_lucene_analyzer_spark.functions.dedup import SHINGLE_K
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import P31
+
+    expr = "hh[i]"
+    for j in range(1, n):
+        expr = f"(({expr}) * {SHINGLE_K}::BIGINT + hh[i+{j}]) % {P31}"
+    return f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       list_transform(toks, tk -> {_md5h64_sql("tk")} % {P31}) AS hh
+                FROM t
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(hh) - {n - 2}),
+                           i -> {expr})) AS shingle
+                FROM th WHERE len(hh) >= {n}
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {eval_max})
+            SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+            FROM sh s JOIN ev USING (shingle)
+            WHERE s.doc_id >= {eval_max}
+            GROUP BY s.doc_id
+            HAVING count(*) >= {min_common}
+    """
 
 
 def _shingle_hash_ctes() -> str:
@@ -1680,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
         """,
+        "decontaminate": _decontaminate_sql(n=4),
         "minhash_near_dup": _minhash_near_dup_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
         "simhash_verified": _simhash_candidates_sql(max_hamming=3),

@@ -35,6 +35,8 @@ __all__ = [
     "pii_redact",
     "scrub_pii",
     "span_dedup",
+    "contamination",
+    "decontaminate",
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
@@ -297,3 +299,64 @@ def span_dedup(
             ),
         )
     )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text: str = "text",
+    n: int = 8,
+    min_common: int = 1,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Eval-set contamination report: one row ``(doc_id, n_matched)``
+    per training doc sharing ≥ ``min_common`` distinct word ``n``-gram
+    shingles with ANY eval document — the benchmark-decontamination
+    pass every pre-training pipeline runs (the GPT-3 paper's 13-gram
+    rule is this operator with n=13).
+
+    Shingles are the compositional 31-bit hash folds from
+    :func:`..dedup.shingle_hashes` (one token hash per token, zero
+    shingle-string construction). The eval side — benchmarks are tiny
+    next to a crawl — reduces to a DISTINCT shingle-hash relation that
+    is explicitly ``broadcast()``: the corpus-side probe is then a
+    map-side hash semi-join with NO shuffle of the 100 TB side; the
+    only exchange is the per-doc match-count aggregation, which carries
+    just matched (doc_id, count) partials.
+    """
+    from .dedup import shingle_hashes, token_hashes
+
+    def doc_shingles(df: DataFrame) -> DataFrame:
+        th = df.select("doc_id", token_hashes(text, hash_impl).alias("th"))
+        return th.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingle_hashes(F.col("th"), n))
+            ).alias("shingle"),
+        )
+
+    eval_sh = doc_shingles(eval_docs).select("shingle").distinct()
+    return (
+        doc_shingles(docs)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= min_common)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text: str = "text",
+    n: int = 8,
+    min_common: int = 1,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Drop contaminated docs: ``docs`` anti-joined against
+    :func:`contamination` (all input columns preserved)."""
+    hits = contamination(
+        docs, eval_docs, text=text, n=n, min_common=min_common,
+        hash_impl=hash_impl,
+    )
+    return docs.join(hits, "doc_id", "left_anti")

@@ -288,6 +288,48 @@ def test_span_dedup_global_invariants(spark):
     assert seen == all_spans
 
 
+def test_contamination_and_decontaminate(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        contamination,
+        decontaminate,
+    )
+
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon", "e")])
+    tr = _docs(
+        spark,
+        [
+            # shares the eval doc's 3-grams "alpha beta gamma",
+            # "beta gamma delta" -> 2 matches
+            (0, "x alpha beta gamma delta y", "t"),
+            # shares exactly one 3-gram
+            (1, "alpha beta gamma unrelated words here", "t"),
+            # clean
+            (2, "totally different content every token", "t"),
+            # too short to form a 3-gram
+            (3, "alpha beta", "t"),
+        ],
+    )
+    hits = {
+        r["doc_id"]: r["n_matched"]
+        for r in contamination(tr, ev, n=3).collect()
+    }
+    assert hits == {0: 2, 1: 1}
+    # min_common raises the bar
+    hits2 = {
+        r["doc_id"]: r["n_matched"]
+        for r in contamination(tr, ev, n=3, min_common=2).collect()
+    }
+    assert hits2 == {0: 2}
+    kept = {r["doc_id"] for r in decontaminate(tr, ev, n=3).collect()}
+    assert kept == {2, 3}
+    # duplicated shingle inside a training doc counts once (distinct)
+    tr_dup = _docs(
+        spark, [(0, "alpha beta gamma z alpha beta gamma", "t")]
+    )
+    hits3 = contamination(tr_dup, ev, n=3).collect()
+    assert [(r["doc_id"], r["n_matched"]) for r in hits3] == [(0, 1)]
+
+
 def test_span_dedup_within_doc_repeat(spark):
     # the same span repeated INSIDE one doc: first occurrence survives,
     # later ones drop, and reassembly preserves span order

@@ -36,6 +36,7 @@ SHUFFLE_CEILING = {
     "batch_bm25_topk": 0,
     "bm25_topk": 7,
     "corpus_stats": 2,
+    "decontaminate": 2,
     "dedup_clusters": 0,
     "dedup_exact": 1,
     "doc_stats": 2,
@@ -127,6 +128,15 @@ def test_ann_broadcasts_the_query_side(plans):
         _, nodes = plans[name]
         assert nodes.count("BroadcastExchange") >= 1, name
         assert nodes.count("Exchange") <= 1, name
+
+
+def test_decontaminate_broadcasts_the_eval_side(plans):
+    """decontaminate: the eval shingle relation is broadcast (benchmark
+    suites are tiny next to a crawl); the corpus side reaches the join
+    with no exchange. The 2 permitted shuffles are the eval-side
+    distinct and the per-doc match-count aggregation."""
+    _, nodes = plans["decontaminate"]
+    assert nodes.count("BroadcastExchange") >= 1
 
 
 def test_postings_scan_prunes_to_used_columns(plans):
