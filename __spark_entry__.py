@@ -276,6 +276,15 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_pack_manifest(spark, sf_dir):
+    """GPT-style sequence-packing manifest: global token offsets in
+    doc_id order + the seq-64 ids each doc spans (two-pass cumsum —
+    partition-count-invariant, no single-partition window)."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import pack_manifest
+
+    return pack_manifest(_docs(spark, sf_dir), seq_len=64)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -878,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "span_dedup": _q_span_dedup,
         "decontaminate": _q_decontaminate,
+        "pack_manifest": _q_pack_manifest,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1733,6 +1743,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
         """,
         "decontaminate": _decontaminate_sql(n=4),
+        "pack_manifest": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(coalesce(
+                           list_filter(string_split(text, ' '), x -> x <> ''),
+                           [])) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS token_start
+                FROM t
+            )
+            SELECT doc_id, n_tokens, token_start,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(floor(token_start / 64) AS BIGINT) END
+                       AS seq_first,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(floor((token_start + n_tokens - 1) / 64)
+                                  AS BIGINT) END AS seq_last
+            FROM c
+        """,
         "minhash_near_dup": _minhash_near_dup_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
         "simhash_verified": _simhash_candidates_sql(max_hamming=3),

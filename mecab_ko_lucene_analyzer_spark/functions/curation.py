@@ -37,6 +37,7 @@ __all__ = [
     "span_dedup",
     "contamination",
     "decontaminate",
+    "pack_manifest",
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
@@ -360,3 +361,102 @@ def decontaminate(
         hash_impl=hash_impl,
     )
     return docs.join(hits, "doc_id", "left_anti")
+
+
+def pack_manifest(
+    docs: DataFrame,
+    text: str = "text",
+    seq_len: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence-packing manifest for training-data prep: concatenate
+    the corpus token stream in ``doc_id`` order and chop it into
+    fixed-``seq_len`` training sequences (the GPT-style packing rule —
+    documents straddle sequence boundaries). Emits one row per doc:
+    ``(doc_id, n_tokens, token_start, seq_first, seq_last)`` where
+    ``token_start`` is the doc's global offset in the stream and
+    ``seq_first``/``seq_last`` the sequence ids it lands in (NULL for
+    empty docs) — exactly what a training loader needs to materialize
+    any sequence id without re-scanning the corpus.
+
+    The global running sum is the same two-pass scheme as
+    ``index.docids.assign_doc_ids`` (whose docstring explains why a
+    global ``row_number``/window is NOT scalable — it collapses to one
+    partition): range-partition by doc_id (one sorted shuffle), count
+    per-partition token sums (driver cumsum over one row per
+    partition), then a per-partition vectorized running sum in
+    ``mapInPandas`` — partition-count-invariant by construction, no
+    second exchange. The relation is persisted so the sum pass and the
+    tagging pass see one materialization (RangePartitioner samples
+    per job otherwise).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    toks = whitespace_tokens(text)
+    n = F.size(F.coalesce(toks, F.array().cast("array<string>")))
+    d = docs.select("doc_id", n.cast("long").alias("n_tokens"))
+    parts = (
+        d.repartitionByRange(num_partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parts.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("token_start", T.LongType(), False),
+        ]
+    )
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            nt = pdf["n_tokens"].to_numpy()
+            starts = base + run + np.concatenate(([0], np.cumsum(nt[:-1])))
+            run += int(nt.sum())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["n_tokens"],
+                    "token_start": pd.Series(starts, index=pdf.index, dtype="int64"),
+                }
+            )
+
+    out = parts.mapInPandas(tag, schema)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "token_start",
+        F.when(
+            F.col("n_tokens") > 0, F.floor(F.col("token_start") / seq_len)
+        ).alias("seq_first"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("token_start") + F.col("n_tokens") - 1) / seq_len),
+        ).alias("seq_last"),
+    )

@@ -330,6 +330,46 @@ def test_contamination_and_decontaminate(spark):
     assert [(r["doc_id"], r["n_matched"]) for r in hits3] == [(0, 1)]
 
 
+def test_pack_manifest(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.curation import pack_manifest
+
+    rows = [
+        (0, "a b c", "s"),          # 3 tokens, start 0
+        (1, "", "s"),               # empty: NULL seq ids, start 3
+        (2, " ".join(["t"] * 6), "s"),  # straddles the seq-4 boundary
+        (3, "x", "s"),
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in pack_manifest(df, seq_len=4, num_partitions=2).collect()
+    }
+    assert out[0] == {
+        "doc_id": 0, "n_tokens": 3, "token_start": 0,
+        "seq_first": 0, "seq_last": 0,
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_tokens": 0, "token_start": 3,
+        "seq_first": None, "seq_last": None,
+    }
+    # doc 2 occupies tokens 3..8 -> sequences 0..2 (straddles two
+    # boundaries of the 4-token grid)
+    assert out[2] == {
+        "doc_id": 2, "n_tokens": 6, "token_start": 3,
+        "seq_first": 0, "seq_last": 2,
+    }
+    assert out[3]["token_start"] == 9
+    # offsets are a pure function of doc_id order — partition-count
+    # invariant by construction
+    alt = {
+        r["doc_id"]: r["token_start"]
+        for r in pack_manifest(df, seq_len=4, num_partitions=7).collect()
+    }
+    assert alt == {k: v["token_start"] for k, v in out.items()}
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_manifest(df, seq_len=0)
+
+
 def test_span_dedup_within_doc_repeat(spark):
     # the same span repeated INSIDE one doc: first occurrence survives,
     # later ones drop, and reassembly preserves span order
