@@ -70,6 +70,7 @@ def curate(
     hash_impl: str = "xxhash64",
     span_window: int | None = None,
     max_dup_token_frac: float | None = None,
+    max_dup_bigram_frac: float | None = None,
     max_top_token_frac: float | None = None,
     scrub: bool = False,
 ):
@@ -147,13 +148,22 @@ def curate(
         clean = span_dedup(docs, window=span_window).filter(
             F.col("n_spans_kept") > 0
         )
-        docs = docs.drop("text").join(
-            clean.select("doc_id", F.col("clean_text").alias("text")),
-            "doc_id",
+        cols = docs.columns  # keep the input column order ("same columns")
+        docs = (
+            docs.drop("text")
+            .join(
+                clean.select("doc_id", F.col("clean_text").alias("text")),
+                "doc_id",
+            )
+            .select(*cols)
         )
     # 4. Gopher repetition thresholds + PII scrub: zero-shuffle map
     #    stages that pipeline into the write.
-    if max_dup_token_frac is not None or max_top_token_frac is not None:
+    if (
+        max_dup_token_frac is not None
+        or max_dup_bigram_frac is not None
+        or max_top_token_frac is not None
+    ):
         from mecab_ko_lucene_analyzer_spark.functions.curation import (
             repetition_filter,
         )
@@ -161,6 +171,7 @@ def curate(
         docs = repetition_filter(
             docs,
             max_dup_token_frac=max_dup_token_frac,
+            max_dup_bigram_frac=max_dup_bigram_frac,
             max_top_token_frac=max_top_token_frac,
         )
     if scrub:
@@ -204,6 +215,12 @@ def main() -> None:
         help="drop docs whose duplicate-token fraction exceeds this",
     )
     ap.add_argument(
+        "--max-dup-bigram-frac",
+        type=float,
+        default=None,
+        help="drop docs whose duplicate-bigram fraction exceeds this",
+    )
+    ap.add_argument(
         "--max-top-token-frac",
         type=float,
         default=None,
@@ -238,6 +255,7 @@ def main() -> None:
         hash_impl=args.hash_impl,
         span_window=args.span_window or None,
         max_dup_token_frac=args.max_dup_token_frac,
+        max_dup_bigram_frac=args.max_dup_bigram_frac,
         max_top_token_frac=args.max_top_token_frac,
         scrub=args.scrub_pii,
     ).observe(obs, F.count(F.lit(1)).alias("n_out"))

@@ -233,16 +233,15 @@ def test_curate_post_dedup_stages(spark):
         (2, "loop loop loop loop loop loop loop loop loop once", "en"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    out = {
-        r["doc_id"]: r["text"]
-        for r in curate(
-            docs,
-            dedup="exact",
-            span_window=10,
-            max_dup_token_frac=0.5,
-            scrub=True,
-        ).collect()
-    }
+    curated = curate(
+        docs,
+        dedup="exact",
+        span_window=10,
+        max_dup_token_frac=0.5,
+        scrub=True,
+    )
+    assert curated.columns == docs.columns  # "same columns", same order
+    out = {r["doc_id"]: r["text"] for r in curated.collect()}
     assert set(out) == {0, 1}
     assert out[0].endswith("mail [EMAIL]")
     # doc 1 lost its duplicated leading span, kept its unique tail
