@@ -285,6 +285,14 @@ def _q_pack_manifest(spark, sf_dir):
     return pack_manifest(_docs(spark, sf_dir), seq_len=64)
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy LM filter: per-doc mean token log-prob under
+    the corpus unigram distribution (min_count=5 vocab, broadcast)."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir), min_count=5)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -888,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "decontaminate": _q_decontaminate,
         "pack_manifest": _q_pack_manifest,
+        "unigram_logprob": _q_unigram_logprob,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1743,6 +1752,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
         """,
         "decontaminate": _decontaminate_sql(n=4),
+        # unigram_logprob: both sides divide the SAME bigint count by
+        # the same double total (IEEE division is correctly rounded, so
+        # the ln() inputs are bit-identical); round-6 absorbs libm-ulp
+        # and summation-order noise, as the ANN oracles already do.
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ),
+            counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM counts),
+            vocab AS (
+                SELECT term, ln(c / (SELECT s FROM tot)) AS lp
+                FROM counts WHERE c >= 5
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(coalesce(lp, -ln((SELECT s FROM tot)))), 6)
+                       AS avg_logprob
+            FROM toks LEFT JOIN vocab USING (term)
+            GROUP BY doc_id
+        """,
         "pack_manifest": """
             WITH t AS (
                 SELECT doc_id,

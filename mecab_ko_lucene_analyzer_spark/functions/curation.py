@@ -22,6 +22,8 @@ ANSI-SQL oracle in ``__spark_entry__``. Scale notes per operator:
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -38,6 +40,7 @@ __all__ = [
     "contamination",
     "decontaminate",
     "pack_manifest",
+    "unigram_logprob",
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
@@ -459,4 +462,49 @@ def pack_manifest(
             F.col("n_tokens") > 0,
             F.floor((F.col("token_start") + F.col("n_tokens") - 1) / seq_len),
         ).alias("seq_last"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet/Gopher "LM filter"
+    stage, with an honest in-engine unigram LM standing in for KenLM —
+    no external model ships in this container): per-doc mean token
+    log-probability under the corpus's own unigram distribution.
+    Boilerplate scores high (common tokens), gibberish scores low;
+    a threshold band on ``avg_logprob`` is the filter.
+
+    Tokens rarer than ``min_count`` fall out of the vocabulary and
+    score at the OOV floor ``ln(1/total)`` — exactly how a finite-vocab
+    LM treats them, and what keeps the broadcast side bounded: the
+    pruned vocab (~10^6-10^7 terms at crawl scale) broadcasts, so the
+    exploded corpus side reaches its join map-side with NO shuffle.
+    The only exchanges are the vocab count aggregation and the per-doc
+    mean (both map-side-combined). Docs with zero tokens emit no row
+    (an LM score over nothing is undefined; filter them on length
+    first).
+    """
+    toks_tbl = docs.select(
+        "doc_id", F.explode(whitespace_tokens(text)).alias("term")
+    )
+    counts = toks_tbl.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("s")).collect()[0]["s"] or 0
+    if total == 0:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, avg_logprob double"
+        )
+    vocab = counts.filter(F.col("c") >= min_count).select(
+        "term", F.log(F.col("c") / F.lit(float(total))).alias("lp")
+    )
+    oov = F.lit(-math.log(total))
+    return (
+        toks_tbl.join(F.broadcast(vocab), "term", "left")
+        .select("doc_id", F.coalesce("lp", oov).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
     )

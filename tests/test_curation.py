@@ -369,6 +369,44 @@ def test_pack_manifest(spark):
         pack_manifest(df, seq_len=0)
 
 
+def test_unigram_logprob(spark):
+    import math
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import unigram_logprob
+
+    # corpus: "a" x6, "b" x3, "z" x1 -> total 10; with min_count=3 the
+    # vocab is {a: ln(0.6), b: ln(0.3)} and z scores the OOV floor
+    rows = [
+        (0, "a a a b", "s"),
+        (1, "a a a b b z", "s"),
+        (2, "", "s"),  # no tokens -> no row
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in unigram_logprob(df, min_count=3).collect()
+    }
+    assert set(out) == {0, 1}
+    la, lb, oov = math.log(0.6), math.log(0.3), -math.log(10)
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["avg_logprob"] == pytest.approx(
+        (3 * la + lb) / 4, abs=1e-6
+    )
+    assert out[1]["avg_logprob"] == pytest.approx(
+        (3 * la + 2 * lb + oov) / 6, abs=1e-6
+    )
+    # the common-token doc scores higher (less surprising) than the
+    # one carrying an OOV — the filter's discriminating direction
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+def test_unigram_logprob_empty_corpus(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.curation import unigram_logprob
+
+    df = _docs(spark, [(0, "", "s")])
+    assert unigram_logprob(df).count() == 0
+
+
 def test_span_dedup_within_doc_repeat(spark):
     # the same span repeated INSIDE one doc: first occurrence survives,
     # later ones drop, and reassembly preserves span order

@@ -68,6 +68,7 @@ SHUFFLE_CEILING = {
     "synonym_or_topk": 0,
     "term_stats": 2,
     "token_count": 0,
+    "unigram_logprob": 2,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
