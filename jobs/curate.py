@@ -73,14 +73,17 @@ def curate(
     max_dup_bigram_frac: float | None = None,
     max_top_token_frac: float | None = None,
     scrub: bool = False,
+    eval_docs=None,
+    decontam_n: int = 8,
 ):
     """documents DataFrame → curated DataFrame (same columns).
 
     Optional post-dedup stages (all off by default): C4-style span
     dedup (``span_window``: text rewritten from surviving spans, docs
     emptied entirely are dropped), Gopher repetition thresholds
-    (``max_dup_token_frac`` / ``max_top_token_frac``), and PII
-    scrubbing (``scrub``)."""
+    (``max_dup_token_frac`` / ``max_top_token_frac``), PII scrubbing
+    (``scrub``), and benchmark decontamination (``eval_docs``: drop
+    docs sharing ``decontam_n``-gram shingles with the eval set)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -178,6 +181,12 @@ def curate(
         from mecab_ko_lucene_analyzer_spark.functions.curation import scrub_pii
 
         docs = scrub_pii(docs)
+    # 4b. benchmark decontamination: drop docs sharing n-gram shingles
+    #     with the eval corpus (broadcast eval side, no corpus shuffle)
+    if eval_docs is not None:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import decontaminate
+
+        docs = decontaminate(docs, eval_docs, n=decontam_n)
     # 5. deterministic stratified mixing
     if fractions:
         docs = stratified_sample(docs, fractions, default_fraction=default_fraction)
@@ -231,6 +240,17 @@ def main() -> None:
         action="store_true",
         help="redact emails / dashed phones / IPv4 in the output text",
     )
+    ap.add_argument(
+        "--decontam-input",
+        default="",
+        help="eval-set table: drop docs sharing n-gram shingles with it",
+    )
+    ap.add_argument(
+        "--decontam-n",
+        type=int,
+        default=8,
+        help="shingle width for decontamination (GPT-3 used 13)",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
@@ -258,6 +278,12 @@ def main() -> None:
         max_dup_bigram_frac=args.max_dup_bigram_frac,
         max_top_token_frac=args.max_top_token_frac,
         scrub=args.scrub_pii,
+        eval_docs=(
+            read_table(spark, args.decontam_input)
+            if args.decontam_input
+            else None
+        ),
+        decontam_n=args.decontam_n,
     ).observe(obs, F.count(F.lit(1)).alias("n_out"))
     write_table(kept, args.output)
     n_out = obs.get["n_out"]

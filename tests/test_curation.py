@@ -246,6 +246,19 @@ def test_curate_post_dedup_stages(spark):
     assert out[0].endswith("mail [EMAIL]")
     # doc 1 lost its duplicated leading span, kept its unique tail
     assert out[1] == "unique tail here"
+    # decontamination stage: an eval doc sharing doc 1's tail 3-gram
+    # knocks doc 1 out of the curated set
+    ev = spark.createDataFrame(
+        [(999, "the unique tail here phrase", "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in curate(
+            docs, dedup="exact", eval_docs=ev, decontam_n=3
+        ).collect()
+    }
+    assert 1 not in kept and 0 in kept
 
 
 def test_span_dedup_global_invariants(spark):
