@@ -293,6 +293,32 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir), min_count=5)
 
 
+def _q_normalize_nfc(spark, sf_dir):
+    """Unicode NFC canonicalization over a corpus injected with
+    decomposed sequences (e+U+0301, A+U+030A) keyed on doc_id; emits
+    the normalized-text md5 + a changed flag, exactly checkable
+    against DuckDB's nfc_normalize."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import normalize_text
+
+    injected = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" cafe\u0301 A\u030a"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    raw = injected.withColumn("_raw", F.col("text"))
+    out = normalize_text(raw)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("norm_md5"),
+        (F.col("text") != F.col("_raw")).alias("changed"),
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -897,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pack_manifest": _q_pack_manifest,
         "unigram_logprob": _q_unigram_logprob,
+        "normalize_nfc": _q_normalize_nfc,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1774,6 +1801,20 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_logprob
             FROM toks LEFT JOIN vocab USING (term)
             GROUP BY doc_id
+        """,
+        # normalize_nfc: chr() builds the combining marks so no raw
+        # combining characters sit in this source file.
+        "normalize_nfc": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 5 = 0
+                                    THEN ' cafe' || chr(769) || ' A' || chr(778)
+                                    ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+                   nfc_normalize(text) <> text AS changed
+            FROM inj
         """,
         "pack_manifest": """
             WITH t AS (

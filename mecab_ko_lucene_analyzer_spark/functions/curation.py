@@ -24,6 +24,11 @@ from __future__ import annotations
 
 import math
 
+# module-level on purpose: pandas_udf resolves postponed ("stringified")
+# type hints against module globals, so a function-local `import pandas`
+# breaks Series-annotation inference under `from __future__ import
+# annotations`
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -41,6 +46,7 @@ __all__ = [
     "decontaminate",
     "pack_manifest",
     "unigram_logprob",
+    "normalize_text",
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
@@ -508,3 +514,30 @@ def unigram_logprob(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def normalize_text(
+    docs: DataFrame, text: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization of the text column (default NFC) — the
+    pre-hash canonicalization a web corpus needs: crawled pages mix
+    composed and decomposed encodings (é vs e+U+0301), so without this
+    pass visually-identical pages fingerprint differently and every
+    hash-keyed dedup silently under-merges. Run it at ingestion, before
+    :func:`..dedup.exact_duplicates` / fingerprinting.
+
+    Catalyst has no normalizer expression, so this is the one curation
+    operator on the Arrow path: a ``pandas_udf`` batch-normalizing via
+    ``Series.str.normalize`` (vectorized C-level loop per Arrow batch,
+    never per-row Python). Zero shuffles; NULL text passes through as
+    NULL. The DuckDB oracle is ``nfc_normalize`` (utf8proc) — parity
+    with Python's ``unicodedata`` verified for composed/decomposed and
+    ligature inputs in the tests.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return docs.withColumn(text, _norm(F.col(text)))

@@ -420,6 +420,24 @@ def test_unigram_logprob_empty_corpus(spark):
     assert unigram_logprob(df).count() == 0
 
 
+def test_normalize_text(spark):
+    import unicodedata
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import normalize_text
+
+    nfd = "café Å straße"  # decomposed marks + sharp-s
+    rows = [(0, nfd, "s"), (1, "plain ascii", "s"), (2, None, "s")]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r["text"] for r in normalize_text(df).collect()}
+    assert out[0] == unicodedata.normalize("NFC", nfd)
+    assert "́" not in out[0] and "café" in out[0]
+    assert out[1] == "plain ascii"  # identity on ASCII
+    assert out[2] is None  # NULL passes through
+    # other columns untouched, schema/order preserved
+    cols = normalize_text(df).columns
+    assert cols == ["doc_id", "text", "source"]
+
+
 def test_span_dedup_within_doc_repeat(spark):
     # the same span repeated INSIDE one doc: first occurrence survives,
     # later ones drop, and reassembly preserves span order

@@ -49,6 +49,7 @@ SHUFFLE_CEILING = {
     "minhash_near_dup": 2,
     "multimodal_features": 0,
     "nested_phrase_topk": 0,
+    "normalize_nfc": 0,
     "pack_manifest": 2,
     "ngram_jaccard_pairs": 2,
     "phrase_match": 0,
