@@ -75,6 +75,7 @@ def curate(
     scrub: bool = False,
     eval_docs=None,
     decontam_n: int = 8,
+    normalize: bool = False,
 ):
     """documents DataFrame → curated DataFrame (same columns).
 
@@ -95,6 +96,15 @@ def curate(
     )
     from mecab_ko_lucene_analyzer_spark.functions.text import stratified_sample
 
+    # 0. Unicode NFC canonicalization FIRST, so every downstream
+    #    hash-keyed stage (exact dedup, shingles, fingerprints) sees
+    #    composed/decomposed re-crawls as the identical bytes they are.
+    if normalize:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            normalize_text,
+        )
+
+        docs = normalize_text(docs)
     # 1. exact: keep each identical-text group's min-doc_id member.
     #    min(doc_id) OVER (PARTITION BY md5(text)) + filter — ONE hash
     #    shuffle, no second relation, nothing broadcast (a duplicate-
@@ -241,6 +251,11 @@ def main() -> None:
         help="redact emails / dashed phones / IPv4 in the output text",
     )
     ap.add_argument(
+        "--normalize",
+        action="store_true",
+        help="NFC-normalize text before any hash-keyed stage",
+    )
+    ap.add_argument(
         "--decontam-input",
         default="",
         help="eval-set table: drop docs sharing n-gram shingles with it",
@@ -284,6 +299,7 @@ def main() -> None:
             else None
         ),
         decontam_n=args.decontam_n,
+        normalize=args.normalize,
     ).observe(obs, F.count(F.lit(1)).alias("n_out"))
     write_table(kept, args.output)
     n_out = obs.get["n_out"]

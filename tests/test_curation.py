@@ -261,6 +261,31 @@ def test_curate_post_dedup_stages(spark):
     assert 1 not in kept and 0 in kept
 
 
+def test_curate_normalize_makes_recrawls_exact_dupes(spark):
+    """With --normalize, an NFD re-crawl of an NFC page becomes a
+    byte-identical duplicate and the exact stage collapses the pair;
+    without it both survive (the motivating under-merge)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str((Path("jobs")).resolve().parent / "jobs"))
+    from curate import curate
+
+    rows = [
+        (0, "café menu", "en"),          # composed
+        (1, "café menu", "en"),         # decomposed re-crawl
+        (2, "unrelated page text", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plain = {r["doc_id"] for r in curate(docs, dedup="exact").collect()}
+    assert plain == {0, 1, 2}
+    normed = {
+        r["doc_id"]
+        for r in curate(docs, dedup="exact", normalize=True).collect()
+    }
+    assert normed == {0, 2}
+
+
 def test_span_dedup_global_invariants(spark):
     """Randomized invariants over a small token alphabet (guarantees
     span collisions): (a) every distinct span string survives EXACTLY
