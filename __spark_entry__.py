@@ -1671,15 +1671,25 @@ def oracle_sql() -> dict[str, str]:
                                ELSE '' END AS text
                 FROM documents
             )
+            ,
+            st AS (
+                SELECT doc_id, text,
+                       regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g')
+                           AS after_email
+                FROM inj
+            ),
+            st2 AS (
+                SELECT *, regexp_replace(after_email, '{IPV4_RE}', '[IP]', 'g')
+                              AS after_ip
+                FROM st
+            )
             SELECT doc_id,
                    len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
-                   len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
-                   len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '{EMAIL_RE}', '[EMAIL]', 'g'),
-                       '{IPV4_RE}', '[IP]', 'g'),
-                       '{PHONE_RE}', '[PHONE]', 'g') AS redacted
-            FROM inj
+                   len(regexp_extract_all(after_ip, '{PHONE_RE}')) AS n_phones,
+                   len(regexp_extract_all(after_email, '{IPV4_RE}')) AS n_ips,
+                   regexp_replace(after_ip, '{PHONE_RE}', '[PHONE]', 'g')
+                       AS redacted
+            FROM st2
         """,
         # span_dedup: the Spark side keeps the global first occurrence
         # via a combine-safe min(struct) aggregation; the oracle states

@@ -158,8 +158,11 @@ def curate(
     if span_window:
         from mecab_ko_lucene_analyzer_spark.functions.curation import span_dedup
 
+        # keep docs emptied only because they never HAD spans (empty /
+        # whitespace-only text) — "emptied entirely" means emptied BY
+        # the dedup, i.e. everything it had was removed
         clean = span_dedup(docs, window=span_window).filter(
-            F.col("n_spans_kept") > 0
+            (F.col("n_spans_kept") > 0) | (F.col("n_spans_removed") == 0)
         )
         cols = docs.columns  # keep the input column order ("same columns")
         docs = (
@@ -187,16 +190,32 @@ def curate(
             max_dup_bigram_frac=max_dup_bigram_frac,
             max_top_token_frac=max_top_token_frac,
         )
+    # 4b. benchmark decontamination: drop docs sharing n-gram shingles
+    #     with the eval corpus (broadcast eval side, no corpus shuffle).
+    #     BEFORE the PII scrub on purpose: scrubbing rewrites training
+    #     text while the eval set stays raw, so a post-scrub match
+    #     would miss any overlap crossing a redacted token. The eval
+    #     side also gets the same NFC normalization as the corpus —
+    #     composed/decomposed mismatches would otherwise defeat the
+    #     hash-keyed shingle match.
+    if eval_docs is not None:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import decontaminate
+
+        if normalize:
+            from mecab_ko_lucene_analyzer_spark.functions.curation import (
+                normalize_text,
+            )
+
+            eval_docs = normalize_text(eval_docs)
+        docs = decontaminate(
+            docs, eval_docs, n=decontam_n, hash_impl=hash_impl
+        )
+    # 4c. PII scrub last among the text transforms (nothing hash-keyed
+    #     runs after it).
     if scrub:
         from mecab_ko_lucene_analyzer_spark.functions.curation import scrub_pii
 
         docs = scrub_pii(docs)
-    # 4b. benchmark decontamination: drop docs sharing n-gram shingles
-    #     with the eval corpus (broadcast eval side, no corpus shuffle)
-    if eval_docs is not None:
-        from mecab_ko_lucene_analyzer_spark.functions.curation import decontaminate
-
-        docs = decontaminate(docs, eval_docs, n=decontam_n)
     # 5. deterministic stratified mixing
     if fractions:
         docs = stratified_sample(docs, fractions, default_fraction=default_fraction)

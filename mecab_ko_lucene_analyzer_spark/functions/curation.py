@@ -199,21 +199,24 @@ def pii_redact(docs: DataFrame, text: str = "text") -> DataFrame:
     phone numbers, IPv4 addresses) — the scrub pass a training-data
     pipeline runs before anything leaves curation.
 
-    Counts are taken on the raw text, then replacements apply in a
-    fixed order (email → ipv4 → phone) so one category's placeholder
-    can never create or destroy a later category's match (the patterns
-    are mutually exclusive on these shapes: emails keep their ``@``,
-    IPs have no hyphens, phones have no dots). Pure ``regexp_count`` /
-    ``regexp_replace`` — per-doc map work, zero shuffles, pushdown- and
-    codegen-friendly.
+    Replacements apply in a fixed order (email → ipv4 → phone), and
+    each category is COUNTED on the text state its replacement actually
+    sees — so every count equals the number of placeholders emitted,
+    even when the shapes overlap (an IP glued to a phone-shaped digit
+    run, an email whose local part looks like an IP): whatever an
+    earlier pass consumed is neither counted nor claimed by a later
+    one. Pure ``regexp_count`` / ``regexp_replace`` — per-doc map
+    work, zero shuffles, codegen-friendly.
     """
     c = F.col(text)
+    after_email = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "[IP]")
     return docs.select(
         "doc_id",
         F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
-        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
-        _redact(c).alias("redacted"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_replace(after_ip, PHONE_RE, "[PHONE]").alias("redacted"),
     )
 
 
@@ -388,46 +391,31 @@ def pack_manifest(
     empty docs) — exactly what a training loader needs to materialize
     any sequence id without re-scanning the corpus.
 
-    The global running sum is the same two-pass scheme as
-    ``index.docids.assign_doc_ids`` (whose docstring explains why a
-    global ``row_number``/window is NOT scalable — it collapses to one
-    partition): range-partition by doc_id (one sorted shuffle), count
-    per-partition token sums (driver cumsum over one row per
+    The global running sum SHARES ``index.docids.
+    range_partition_offsets`` with the docID assigner (one home for
+    the subtle persist/range-boundary invariant; its docstring
+    explains why a global ``row_number``/window is NOT scalable — it
+    collapses to one partition): range-partition by doc_id (one sorted
+    shuffle), per-partition token sums → driver cumsum (one row per
     partition), then a per-partition vectorized running sum in
     ``mapInPandas`` — partition-count-invariant by construction, no
-    second exchange. The relation is persisted so the sum pass and the
-    tagging pass see one materialization (RangePartitioner samples
-    per job otherwise).
+    second exchange.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     from collections.abc import Iterator
 
     import numpy as np
-    import pandas as pd
     import pyspark.sql.types as T
-    from pyspark import StorageLevel
 
-    spark = docs.sparkSession
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+    from ..index.docids import range_partition_offsets
+
     toks = whitespace_tokens(text)
     n = F.size(F.coalesce(toks, F.array().cast("array<string>")))
     d = docs.select("doc_id", n.cast("long").alias("n_tokens"))
-    parts = (
-        d.repartitionByRange(num_partitions, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    parts, offsets = range_partition_offsets(
+        d, "doc_id", weight="n_tokens", num_partitions=num_partitions
     )
-    sums = {
-        r["_pid"]: r["s"]
-        for r in parts.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
 
     schema = T.StructType(
         [
@@ -491,11 +479,21 @@ def unigram_logprob(
     (an LM score over nothing is undefined; filter them on length
     first).
     """
-    toks_tbl = docs.select(
-        "doc_id", F.explode(whitespace_tokens(text)).alias("term")
-    )
+    toks = whitespace_tokens(text)
+    toks_tbl = docs.select("doc_id", F.explode(toks).alias("term"))
     counts = toks_tbl.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = counts.agg(F.sum("c").alias("s")).collect()[0]["s"] or 0
+    # total token count WITHOUT the term shuffle: a per-doc size sum is
+    # one map pass + a scalar agg (running it through `counts` would
+    # execute the corpus-wide explode+groupBy twice — once eagerly
+    # here, once uncached inside the returned plan's broadcast subtree)
+    total = (
+        docs.select(
+            F.sum(
+                F.size(F.coalesce(toks, F.array().cast("array<string>")))
+            ).alias("s")
+        ).collect()[0]["s"]
+        or 0
+    )
     if total == 0:
         spark = docs.sparkSession
         return spark.createDataFrame(

@@ -26,7 +26,49 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
-__all__ = ["assign_doc_ids"]
+__all__ = ["assign_doc_ids", "range_partition_offsets"]
+
+
+def range_partition_offsets(
+    df: DataFrame,
+    key: str,
+    weight: str | None = None,
+    num_partitions: int | None = None,
+    persist: bool = True,
+) -> tuple[DataFrame, dict[int, int]]:
+    """Shared first half of the two-pass global prefix scheme: range-
+    partition + sort ``df`` by ``key`` (adding a ``_pid`` column) and
+    return it with ``offsets[pid]`` = the total of ``weight`` (row
+    count when None) over all earlier partitions. ``assign_doc_ids``
+    consumes it for global ranks; ``functions.curation.pack_manifest``
+    for the global token-offset cumsum — one home for the subtle
+    invariant instead of two copies.
+
+    ``persist`` pins the range-shuffled relation (memory-and-disk) so
+    the offsets pass and the caller's consume pass share ONE shuffle —
+    and, critically, see the *same* range boundaries (RangePartitioner
+    samples per-job otherwise). The collect is one row per partition,
+    never per row of ``df``."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(num_partitions, key).sortWithinPartitions(key)
+    parts = parts.withColumn("_pid", F.spark_partition_id())
+    if persist:
+        from pyspark import StorageLevel
+
+        parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
+    agg = F.count("*") if weight is None else F.sum(weight)
+    sums = {
+        r["_pid"]: r["w"]
+        for r in parts.groupBy("_pid").agg(agg.alias("w")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    return parts, offsets
 
 
 def assign_doc_ids(
@@ -36,32 +78,10 @@ def assign_doc_ids(
     persist: bool = True,
 ) -> DataFrame:
     """Return ``pages`` with a dense deterministic ``doc_id`` column,
-    partitioned by contiguous docID range (ascending ``key`` order).
-
-    ``persist`` pins the range-shuffled relation (memory-and-disk) so
-    the count pass and the tagging pass share ONE shuffle — and,
-    critically, see the *same* range boundaries (RangePartitioner
-    samples per-job otherwise)."""
-    spark = pages.sparkSession
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    parts = pages.repartitionByRange(num_partitions, key).sortWithinPartitions(key)
-    parts = parts.withColumn("_pid", F.spark_partition_id())
-    if persist:
-        from pyspark import StorageLevel
-
-        parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
-    # pass 1: per-partition counts → base offsets (small collect: one row
-    # per partition, never per doc)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    partitioned by contiguous docID range (ascending ``key`` order)."""
+    parts, offsets = range_partition_offsets(
+        pages, key, num_partitions=num_partitions, persist=persist
+    )
 
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType(), False)]

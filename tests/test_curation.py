@@ -153,6 +153,19 @@ def test_pii_boundaries_and_non_interference(spark):
     assert rows[3]["redacted"] == "[EMAIL]"
 
 
+def test_pii_counts_equal_replacements_on_overlap(spark):
+    """Each count is taken on the text state its replacement sees, so
+    counts always equal placeholders emitted — even when an earlier
+    pass consumes part of a later pass's would-be match."""
+    df = _docs(spark, [(0, "server 10.0.0.12-345-6789 up", "s")])
+    row = pii_redact(df).collect()[0]
+    # the IP pass consumes 10.0.0.12; the leftover '-345-6789' is not a
+    # phone, and n_phones agrees (raw-text counting would claim 1
+    # phone while redacting none)
+    assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (0, 0, 1)
+    assert row["redacted"] == "server [IP]-345-6789 up"
+
+
 def test_repetition_filter_keeps_columns(spark):
     df = _docs(
         spark,
@@ -284,6 +297,58 @@ def test_curate_normalize_makes_recrawls_exact_dupes(spark):
         for r in curate(docs, dedup="exact", normalize=True).collect()
     }
     assert normed == {0, 2}
+
+
+def test_curate_span_stage_keeps_originally_empty_docs(spark):
+    """Docs with no tokens at all pass through the span stage (nothing
+    was removed from them); only docs emptied BY the dedup drop."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str((Path("jobs")).resolve().parent / "jobs"))
+    from curate import curate
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+        (2, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r["doc_id"] for r in curate(docs, dedup="exact", span_window=10).collect()}
+    # doc 1 dies at exact dedup; doc 2 (zero tokens, zero spans
+    # removed) must SURVIVE the span stage
+    assert kept == {0, 2}
+
+
+def test_curate_decontaminates_before_scrub(spark):
+    """Scrubbing rewrites training text; decontamination must run on
+    the pre-scrub text or eval overlaps containing PII-shaped strings
+    escape the filter."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str((Path("jobs")).resolve().parent / "jobs"))
+    from curate import curate
+
+    overlap = "write john@example.com before the deadline"
+    docs = spark.createDataFrame(
+        [(0, "please " + overlap + " thanks", "en"),
+         (1, "totally unrelated content here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    ev = spark.createDataFrame(
+        [(99, "for help " + overlap, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate(
+            docs, dedup="exact", eval_docs=ev, decontam_n=3, scrub=True
+        ).collect()
+    }
+    # doc 0 shares 3-grams crossing the email token -> dropped even
+    # though scrub would have rewritten that token; survivor is scrubbed
+    assert set(out) == {1}
 
 
 def test_span_dedup_global_invariants(spark):
