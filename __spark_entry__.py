@@ -37,6 +37,25 @@ from mecab_ko_lucene_analyzer_spark.functions.curation import (  # noqa: E402
     IPV4_RE,
     PHONE_RE,
 )
+from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
+    HTML_COMMENT_RE as _HTML_COMMENT_RE,
+    HTML_ENTITIES as _HTML_ENTITIES,
+    HTML_SCRIPT_RE as _HTML_SCRIPT_RE,
+    HTML_STYLE_RE as _HTML_STYLE_RE,
+    HTML_TAG_RE as _HTML_TAG_RE,
+    HTML_WS_RE as _HTML_WS_RE,
+)
+
+
+def _entity_chain_sql(expr: str) -> str:
+    """Nested DuckDB replace() calls generated FROM the shared
+    HTML_ENTITIES tuple — order and spelling cannot drift from the
+    Spark side."""
+    for ent, ch in _HTML_ENTITIES:
+        expr = "replace({}, '{}', '{}')".format(
+            expr, ent.replace("'", "''"), ch.replace("'", "''")
+        )
+    return expr
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +335,46 @@ def _q_normalize_nfc(spark, sf_dir):
         "doc_id",
         F.md5("text").alias("norm_md5"),
         (F.col("text") != F.col("_raw")).alias("changed"),
+    )
+
+
+# extract_text: the synthetic documents carry no HTML, so the contract
+# query wraps each doc's text in deterministic boilerplate exercising
+# every extraction rule (script + style blocks with embedded "<",
+# comments, the six named entities incl. the "&amp;lt;" double-encoding
+# case). Fragments are shared with the oracle below and contain no
+# single quotes, so they interpolate into the SQL literal verbatim.
+_HTML_INJ = (
+    "<html><head><title>d",  # + doc_id
+    '</title><style type="text/css">p { color: red; }</style>'
+    '<script>var x = 1 < 2 && "a&b";</script></head><body><!-- id ',  # + doc_id
+    " --><h1>Doc &quot;",  # + doc_id
+    "&quot;</h1><p>",  # + text
+    "</p><p>AT&amp;T &lt;b&gt;&nbsp;rest &amp;lt; &#39;s</p></body></html>",
+)
+
+
+def _q_extract_text(spark, sf_dir):
+    """HTML → text extraction (ingestion stage 0 for the north rule's
+    html:binary input column; per-row invariant: byte-identical
+    extracted text). Pure Catalyst regex/replace chain, zero shuffles;
+    the oracle replays the shared RE2-compatible patterns."""
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import extract_html_text
+
+    did = F.col("doc_id").cast("string")
+    h = _HTML_INJ
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit(h[0]), did, F.lit(h[1]), did, F.lit(h[2]), did,
+                F.lit(h[3]), F.col("text"), F.lit(h[4]),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return extract_html_text(pages).select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
     )
 
 
@@ -924,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": _q_pack_manifest,
         "unigram_logprob": _q_unigram_logprob,
         "normalize_nfc": _q_normalize_nfc,
+        "extract_text": _q_extract_text,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1825,6 +1885,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
                    nfc_normalize(text) <> text AS changed
             FROM inj
+        """,
+        # extract_text: fragments + patterns interpolate from the same
+        # constants the Spark side uses (sources.webpages), so the two
+        # sides cannot drift; DuckDB regexp_replace needs the explicit
+        # 'g' flag to match Spark's replace-all default.
+        "extract_text": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '{_HTML_INJ[0]}' || doc_id || '{_HTML_INJ[1]}'
+                       || doc_id || '{_HTML_INJ[2]}' || doc_id
+                       || '{_HTML_INJ[3]}' || text || '{_HTML_INJ[4]}' AS html
+                FROM documents
+            ),
+            x AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                               '{_HTML_SCRIPT_RE}', ' ', 'g'),
+                           '{_HTML_STYLE_RE}', ' ', 'g'),
+                           '{_HTML_COMMENT_RE}', ' ', 'g'),
+                           '{_HTML_TAG_RE}', ' ', 'g') AS t
+                FROM pages
+            ),
+            e AS (
+                SELECT doc_id, {_entity_chain_sql("t")} AS t
+                FROM x
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(t, '{_HTML_WS_RE}', ' ', 'g')) AS text,
+                   length(trim(regexp_replace(t, '{_HTML_WS_RE}', ' ', 'g')))
+                       AS n_chars
+            FROM e
         """,
         "pack_manifest": """
             WITH t AS (

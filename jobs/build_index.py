@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--compound-noun-min-length", type=int, default=3)
     ap.add_argument("--no-blocks", action="store_true")
     ap.add_argument(
+        "--extract-html",
+        action="store_true",
+        help="derive the text column from the html:binary column before "
+        "indexing (deterministic Catalyst extraction — for crawls that "
+        "ship raw pages without pre-extracted text)",
+    )
+    ap.add_argument(
         "--publish",
         metavar="NAMESPACE",
         help="after the build, publish the index tables to this Iceberg "
@@ -52,6 +59,10 @@ def main() -> None:
         pages = read_table(spark, args.input)
     else:
         ap.error("--input or --synthesize required")
+    if args.extract_html:
+        from mecab_ko_lucene_analyzer_spark.sources import extract_html_text
+
+        pages = extract_html_text(pages)
     build_and_write(
         pages,
         args.output,

@@ -1,7 +1,14 @@
 from .catalog import publish_index, read_table, write_table
-from .webpages import synthesize_webpages, webpages_from_documents
+from .webpages import (
+    extract_html_text,
+    html_text_column,
+    synthesize_webpages,
+    webpages_from_documents,
+)
 
 __all__ = [
+    "extract_html_text",
+    "html_text_column",
     "synthesize_webpages",
     "webpages_from_documents",
     "read_table",

@@ -32,7 +32,20 @@ import pyspark.sql.types as T
 
 from ..analysis.mini_dict import JOSA, corpus_nouns
 
-__all__ = ["synthesize_webpages", "webpages_from_documents", "generate_text", "WEBPAGES_SCHEMA"]
+__all__ = [
+    "synthesize_webpages",
+    "webpages_from_documents",
+    "generate_text",
+    "WEBPAGES_SCHEMA",
+    "extract_html_text",
+    "html_text_column",
+    "HTML_SCRIPT_RE",
+    "HTML_STYLE_RE",
+    "HTML_COMMENT_RE",
+    "HTML_TAG_RE",
+    "HTML_WS_RE",
+    "HTML_ENTITIES",
+]
 
 WEBPAGES_SCHEMA = T.StructType(
     [
@@ -105,6 +118,71 @@ def synthesize_webpages(spark: SparkSession, n: int, partitions: int | None = No
 
     rng_df = spark.range(0, n, numPartitions=partitions or max(1, n // 5000))
     return rng_df.mapInPandas(gen, WEBPAGES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# HTML → text extraction (ingestion stage 0 over the html:binary column)
+# --------------------------------------------------------------------------
+# The north rule's per-row invariant is "byte-identical extracted text
+# per url": extraction must be a pure function of the page bytes — same
+# output on every executor, every retry, every partitioning. Hence a
+# Catalyst-only chain (decode → strip script/style/comment blocks →
+# strip tags → decode the standard named entities → collapse
+# whitespace), zero Python in the row path. The patterns stay in the
+# RE2-compatible subset (no backrefs, no lookaround) so the DuckDB
+# oracle in ``__spark_entry__`` replays them byte-for-byte — the same
+# contract pii_redact's patterns follow.
+
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script[^>]*>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style[^>]*>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"<[^>]*>"
+# explicit class on purpose: Java's \s and RE2's \s disagree on \x0b,
+# so the shared pattern spells out the characters both engines agree on
+HTML_WS_RE = "[ \\t\\r\\n\\f\\x0b]+"
+
+# ordered: &amp; decodes LAST so "&amp;lt;" yields the literal text
+# "&lt;" (double-encoding stays encoded once, per the HTML5 algorithm).
+# Numeric references beyond &#39; are NOT decoded — documented bound of
+# the entity set (covers the five XML entities + nbsp, which dominate
+# real crawl text); anything else passes through verbatim, still
+# deterministically.
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_text_column(html: str = "html", charset: str = "UTF-8"):
+    """The extraction expression: ``html`` binary column → text Column.
+
+    Removal order: script blocks, style blocks, comments (so markup
+    commented out inside either block form is gone either way), then
+    every remaining tag → one space (a block boundary must separate
+    words, never glue them); entities decode AFTER tag-stripping so a
+    decoded ``&lt;`` can never be re-parsed as markup; finally all
+    whitespace runs collapse to single spaces and the ends trim.
+    """
+    s = F.decode(F.col(html) if isinstance(html, str) else html, charset)
+    for pat in (HTML_SCRIPT_RE, HTML_STYLE_RE, HTML_COMMENT_RE, HTML_TAG_RE):
+        s = F.regexp_replace(s, pat, " ")
+    for ent, ch in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, HTML_WS_RE, " "))
+
+
+def extract_html_text(
+    pages: DataFrame, html: str = "html", out: str = "text", charset: str = "UTF-8"
+) -> DataFrame:
+    """Extract page text from the ``html:binary`` column (per-row map
+    work, zero shuffles; the filter/prune-friendly first stage of an
+    html-only crawl ingest — ``jobs/build_index.py --extract-html``)."""
+    return pages.withColumn(out, html_text_column(html, charset))
 
 
 def webpages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,3 +171,43 @@ def test_shuffled_input_keeps_postings_docmap_consistent(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["term"])
     for doc_id, terms in by_doc.items():
         assert terms == truth[dm[doc_id]], f"doc {doc_id} ({dm[doc_id]})"
+
+
+def test_build_index_cli_extract_html(spark, pages, tmp_path, monkeypatch):
+    """jobs/build_index.py --extract-html: a crawl shipping raw pages
+    with a stale text column indexes identically to the clean corpus —
+    extraction regenerates text from html:binary before the build."""
+    import sys
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, str(Path("jobs").resolve()))
+    import build_index as build_index_job
+
+    stale = pages.withColumn("text", F.lit(""))
+    src = str(tmp_path / "html_only")
+    stale.write.parquet(src)
+    out = str(tmp_path / "idx")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["build_index.py", "--input", src, "--output", out, "--lang", "ko"],
+    )
+    monkeypatch.setattr(
+        "mecab_ko_lucene_analyzer_spark.plans.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    # without the flag the stale text indexes nothing
+    monkeypatch.setattr(
+        sys, "argv", sys.argv + ["--extract-html"], raising=False
+    )
+    build_index_job.main()
+
+    from mecab_ko_lucene_analyzer_spark.index import build_and_write
+
+    ref = str(tmp_path / "idx_ref")
+    build_and_write(pages, ref, lang_filter="ko", with_blocks=True)
+    got = spark.read.parquet(f"{out}/term_stats").orderBy("term").collect()
+    want = spark.read.parquet(f"{ref}/term_stats").orderBy("term").collect()
+    assert got == want and len(got) > 0

@@ -227,3 +227,65 @@ def test_publish_index_refuses_postingless_dir(spark, tmp_path, monkeypatch):
     spark.range(3).toDF("doc_id").write.parquet(f"{tmp_path}/partials")
     out = cat_mod.publish_index(spark, str(tmp_path), "iceberg.search")
     assert "iceberg.search.partials" in out and written == out
+
+
+# -- HTML → text extraction (ingestion stage 0, north-rule html column) ------
+
+
+def test_extract_html_text_rules(spark):
+    """Script/style/comment blocks vanish (embedded '<' included),
+    tags become word boundaries, the six named entities decode with
+    &amp; last, whitespace collapses."""
+    from mecab_ko_lucene_analyzer_spark.sources import extract_html_text
+
+    cases = [
+        (0, b'<html><head><style type="text/css">p { color: red; }</style>'
+            b'<script>var x = 1 < 2 && "a&b";</script></head>'
+            b"<body><!-- note --><p>hello  world</p></body></html>"),
+        (1, b"<p>AT&amp;T &lt;b&gt;&nbsp;end &amp;lt; &#39;s &apos;t</p>"),
+        (2, b"<SCRIPT>ignored</SCRIPT>visible<STYLE>x{}</STYLE>"),
+        (3, b'<script src="x.js"></script>kept<!-- <script>y</script> -->tail'),
+        (4, b"a<br>b\n\t c"),
+        (5, b"no markup"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, html binary")
+    got = {r.doc_id: r.text for r in extract_html_text(df).collect()}
+    assert got[0] == "hello world"
+    assert got[1] == "AT&T <b> end &lt; 's 't"  # &amp;lt; stays literal
+    assert got[2] == "visible"  # case-insensitive block removal
+    assert got[3] == "kept tail"  # commented-out script still removed
+    assert got[4] == "a b c"  # tag = word boundary, ws collapsed
+    assert got[5] == "no markup"
+
+
+def test_extract_html_text_byte_identical_invariant(spark):
+    """The north rule's per-row invariant: extraction over the
+    synthesized corpus reproduces the text column byte-identically for
+    every url."""
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.sources import (
+        extract_html_text,
+        synthesize_webpages,
+    )
+
+    pages = synthesize_webpages(spark, 300)
+    bad = (
+        extract_html_text(pages, out="extracted")
+        .filter(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extract_html_text_null_and_nonutf8(spark):
+    """NULL html stays NULL text; the charset arg reaches decode."""
+    from mecab_ko_lucene_analyzer_spark.sources import extract_html_text
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "<p>유니코드</p>".encode("utf-16-le"))],
+        "doc_id int, html binary",
+    )
+    got = {r.doc_id: r.text for r in extract_html_text(df, charset="UTF-16LE").collect()}
+    assert got[0] is None
+    assert got[1] == "유니코드"
