@@ -36,6 +36,10 @@ from mecab_ko_lucene_analyzer_spark.functions.curation import (  # noqa: E402
     EMAIL_RE,
     IPV4_RE,
     PHONE_RE,
+    URL_TRACKING_RE,
+    _URL_HOSTPORT_RE,
+    _URL_PATH_RE,
+    _URL_SCHEME_RE,
 )
 from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     HTML_COMMENT_RE as _HTML_COMMENT_RE,
@@ -375,6 +379,47 @@ def _q_extract_text(spark, sf_dir):
     )
     return extract_html_text(pages).select(
         "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (dedup-by-url key prep): the synthetic
+    documents carry no url column, so deterministic messy urls keyed
+    on doc_id are injected covering every rule — uppercase scheme/host,
+    default vs non-default ports, tracking params, unsorted params,
+    fragments, bare-slash paths, and non-url junk (passthrough)."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import canonical_url
+
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("HTTP://"))
+    port = (
+        F.when(did % 3 == 0, F.lit(":80"))
+        .when(did % 3 == 1, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(did % 4 == 0, F.lit("/"))
+        .when(did % 4 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("/P"), ds))
+    )
+    query = (
+        F.when(did % 5 == 0, F.concat(F.lit("?utm_source=x&b="), ds, F.lit("&a=1")))
+        .when(did % 5 == 1, F.lit("?z=1&y=2"))
+        .when(did % 5 == 2, F.lit("?utm_campaign&fbclid=f"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 7 == 0, F.lit("#Frag")).otherwise(F.lit(""))
+    url = F.when(did % 17 == 0, F.concat(F.lit("doc "), ds, F.lit(" no url"))).otherwise(
+        F.concat(
+            scheme, F.lit("Example-"), (did % 40).cast("string"), F.lit(".COM"),
+            port, path, query, frag,
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", url.alias("url"))
+        .withColumn("canon_url", canonical_url("url"))
     )
 
 
@@ -984,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "normalize_nfc": _q_normalize_nfc,
         "extract_text": _q_extract_text,
+        "canonical_urls": _q_canonical_urls,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1917,6 +1963,68 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(t, '{_HTML_WS_RE}', ' ', 'g')))
                        AS n_chars
             FROM e
+        """,
+        # canonical_urls: injection mirrors _q_canonical_urls; the
+        # canonicalization chain interpolates the SAME regex constants
+        # the Spark expression uses (functions.curation), so the two
+        # sides cannot drift.
+        "canonical_urls": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 17 = 0
+                         THEN 'doc ' || doc_id || ' no url'
+                    ELSE
+                      (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                            ELSE 'HTTP://' END)
+                      || 'Example-' || (doc_id % 40) || '.COM'
+                      || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+                               WHEN doc_id % 3 = 1 THEN ':443'
+                               ELSE '' END)
+                      || (CASE WHEN doc_id % 4 = 0 THEN '/'
+                               WHEN doc_id % 4 = 1 THEN ''
+                               ELSE '/P' || doc_id END)
+                      || (CASE WHEN doc_id % 5 = 0
+                               THEN '?utm_source=x&b=' || doc_id || '&a=1'
+                               WHEN doc_id % 5 = 1 THEN '?z=1&y=2'
+                               WHEN doc_id % 5 = 2
+                               THEN '?utm_campaign&fbclid=f'
+                               ELSE '' END)
+                      || (CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END)
+                    END AS url
+                FROM documents
+            ),
+            s AS (SELECT doc_id, url, trim(url) AS u FROM inj),
+            p AS (
+                SELECT doc_id, url, u,
+                    lower(regexp_extract(u, '{_URL_SCHEME_RE}', 1)) AS scheme,
+                    lower(regexp_extract(u, '{_URL_HOSTPORT_RE}', 1))
+                        AS hostport,
+                    regexp_extract(u, '{_URL_PATH_RE}', 1) AS path0,
+                    regexp_extract(u, '\\?([^#]*)', 1) AS query
+                FROM s
+            ),
+            q AS (
+                SELECT *,
+                    CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                         WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                         ELSE hostport END AS host,
+                    CASE WHEN path0 = '/' THEN '' ELSE path0 END AS path,
+                    list_sort(list_filter(string_split(query, '&'),
+                        x -> x <> ''
+                             AND NOT regexp_matches(x, '{URL_TRACKING_RE}')))
+                        AS params
+                FROM p
+            )
+            SELECT doc_id, url,
+                CASE WHEN scheme = '' THEN u
+                     ELSE scheme || '://' || host || path ||
+                          CASE WHEN len(params) > 0
+                               THEN '?' || array_to_string(params, '&')
+                               ELSE '' END
+                END AS canon_url
+            FROM q
         """,
         "pack_manifest": """
             WITH t AS (

@@ -55,6 +55,13 @@ def main() -> None:
         action="store_true",
         help="compact: keep only the latest arrival per url (ES upsert-by-_id semantics)",
     )
+    ap.add_argument(
+        "--canonicalize-urls",
+        action="store_true",
+        help="ingest: canonicalize the url column before indexing so "
+        "re-crawls under tracking-param/port/fragment variants share "
+        "one upsert key",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
@@ -75,6 +82,7 @@ def main() -> None:
             lang_filter=args.lang or None,
             trigger_once=not args.continuous,
             max_files_per_trigger=args.max_files_per_trigger,
+            canonicalize=args.canonicalize_urls,
         )
         q.awaitTermination()
         print(json.dumps({"status": "ingested", "index": args.index}))

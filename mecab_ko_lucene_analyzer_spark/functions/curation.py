@@ -39,6 +39,9 @@ __all__ = [
     "repetition_filter",
     "domain_stats",
     "host_of",
+    "canonical_url",
+    "canonicalize_urls",
+    "URL_TRACKING_RE",
     "pii_redact",
     "scrub_pii",
     "span_dedup",
@@ -185,6 +188,62 @@ def host_of(url: Column | str = "url") -> Column:
     for :func:`domain_stats` over a CC-shaped ``(url, ...)`` corpus."""
     c = F.col(url) if isinstance(url, str) else url
     return F.lower(F.parse_url(c, F.lit("HOST")))
+
+
+# --- URL canonicalization (dedup-by-url support) ---------------------------
+
+# query params that track campaigns, not content — dropped before the
+# url is used as a dedup/upsert key (matches a bare name or name=value)
+URL_TRACKING_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=|$)"
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/][^?#]*)?"
+
+
+def canonical_url(url: Column | str = "url") -> Column:
+    """Canonical form of a URL for url-keyed dedup / upsert compaction:
+    scheme + host lowercased, default port (:80 http / :443 https) and
+    fragment dropped, tracking query params (:data:`URL_TRACKING_RE`)
+    removed and the survivors sorted, a bare "/" path dropped. Path
+    case and non-tracking param VALUES are untouched — they are
+    content-significant. Strings without a ``scheme://host`` shape pass
+    through trimmed (never NULLed — a bad url must not merge with
+    other bad urls under one NULL key).
+
+    Pure Catalyst (regex extract/replace + array ops inside codegen,
+    zero shuffles); patterns stay in the RE2-compatible subset so the
+    DuckDB oracle replays them byte-for-byte.
+    """
+    s = F.trim(F.col(url) if isinstance(url, str) else url)
+    scheme = F.lower(F.regexp_extract(s, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(s, _URL_HOSTPORT_RE, 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(s, _URL_PATH_RE, 1)
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    query = F.regexp_extract(s, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE),
+        )
+    )
+    qstr = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", s
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qstr))
+
+
+def canonicalize_urls(docs: DataFrame, url: str = "url", out: str = "canon_url") -> DataFrame:
+    """Add the canonical-url column (per-row map work — the key prep
+    stage before url-keyed exact dedup or ``compact_incremental
+    (latest_only=True)`` upsert)."""
+    return docs.withColumn(out, canonical_url(url))
 
 
 # RE2-compatible subset (no backreferences, no lookaround) so Spark's

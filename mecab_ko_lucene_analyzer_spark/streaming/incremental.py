@@ -106,6 +106,7 @@ def incremental_index_stream(
     trigger_once: bool = True,
     tokens_fn=None,
     max_files_per_trigger: int | None = None,
+    canonicalize: bool = False,
 ):
     """Start the incremental indexing stream. ``trigger_once`` processes
     the backlog and stops (the batch-catchup pattern); set False for a
@@ -127,6 +128,14 @@ def incremental_index_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(input_dir)
+    if canonicalize:
+        # canonical url BEFORE anything keys on it: within-batch docID
+        # ranks, the doc_map, and compact --latest-only upsert keys all
+        # group by url — two crawls of one page under tracking-param /
+        # default-port / fragment variants must converge on one key
+        from ..functions.curation import canonical_url
+
+        pages = pages.withColumn("url", canonical_url("url"))
     if lang_filter is not None:
         pages = pages.filter(F.col("lang") == lang_filter)
     state_path = f"{index_path}/_stream_state/doc_base.json"

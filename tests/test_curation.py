@@ -536,3 +536,61 @@ def test_span_dedup_within_doc_repeat(spark):
     assert row["clean_text"] == "p q r s"
     assert row["n_spans_kept"] == 2
     assert row["n_spans_removed"] == 1
+
+
+def test_canonical_url_rules(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        canonicalize_urls,
+    )
+
+    cases = [
+        (0, "HTTP://Example.COM:80/Path/To?utm_source=x&b=2&a=1#frag"),
+        (1, "https://example.com:443/"),
+        (2, "https://example.com/"),
+        (3, "https://example.com"),
+        (4, "  https://a.b/c?z=1&y=2&utm_campaign&fbclid=xyz "),
+        (5, "ftp://Files.Example.com:21/x"),  # non-http port kept
+        (6, "not a url"),  # passthrough, never NULLed
+        (7, "https://example.com:8080/p?a=1"),  # non-default port kept
+        (8, "https://example.com/p?"),
+        (9, "https://example.com:443/x"),  # default port, real path
+        (10, None),
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, url string")
+    got = {r.doc_id: r.canon_url for r in canonicalize_urls(df).collect()}
+    assert got[0] == "http://example.com/Path/To?a=1&b=2"  # path case kept
+    assert got[1] == "https://example.com"
+    assert got[2] == "https://example.com"
+    assert got[3] == "https://example.com"  # the three forms merge
+    assert got[4] == "https://a.b/c?y=2&z=1"  # trimmed, tracking dropped
+    assert got[5] == "ftp://files.example.com:21/x"
+    assert got[6] == "not a url"
+    assert got[7] == "https://example.com:8080/p?a=1"
+    assert got[8] == "https://example.com/p"
+    assert got[9] == "https://example.com/x"
+    assert got[10] is None
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — a key-prep function
+    must be a projection or repeated pipeline stages would re-key."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        canonical_url,
+        canonicalize_urls,
+    )
+
+    urls = [
+        (i, u)
+        for i, u in enumerate(
+            [
+                "HTTP://A.COM:80/p?utm_source=1&b=2&a=1#f",
+                "https://b.org:443/",
+                "junk",
+                "https://c.net/p?z=9&y=8",
+            ]
+        )
+    ]
+    df = canonicalize_urls(spark.createDataFrame(urls, "doc_id int, url string"))
+    twice = df.withColumn("again", canonical_url("canon_url"))
+    for r in twice.collect():
+        assert r.again == r.canon_url, r

@@ -35,6 +35,7 @@ SHUFFLE_CEILING = {
     "ann_lsh_topk": 1,
     "batch_bm25_topk": 0,
     "bm25_topk": 7,
+    "canonical_urls": 0,
     "corpus_stats": 2,
     "decontaminate": 2,
     "dedup_clusters": 0,

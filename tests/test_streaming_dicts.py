@@ -495,3 +495,45 @@ def test_compact_latest_only_upserts_by_url(spark, tmp_path):
     assert "엔진" not in terms and "시스템" in terms
     corpus = spark.read.parquet(f"{out}/corpus_stats").first()
     assert corpus["n_docs"] == 3
+
+
+def test_ingest_canonicalize_urls_unifies_recrawl_keys(spark, tmp_path):
+    """canonicalize=True: a re-crawl arriving under a tracking-param /
+    default-port / case variant of an already-indexed url lands on the
+    SAME canonical key, so latest-only compaction upserts it instead of
+    indexing a phantom second page."""
+    import datetime
+
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import WEBPAGES_SCHEMA
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        compact_incremental,
+    )
+
+    B = str(tmp_path)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def drop(rows, mode):
+        spark.createDataFrame(
+            [(u, ts, b"", t, "ko") for u, t in rows], WEBPAGES_SCHEMA
+        ).write.mode(mode).parquet(f"{B}/in")
+
+    drop([("HTTPS://Site.COM:443/p?utm_source=feed&b=1", "검색 엔진")],
+         "overwrite")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None,
+        canonicalize=True,
+    ).awaitTermination(120)
+    drop([("https://site.com/p?b=1#frag", "검색 시스템")], "append")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None,
+        canonicalize=True,
+    ).awaitTermination(120)
+
+    out = compact_incremental(
+        spark, f"{B}/idx", out_path=f"{B}/compact", latest_only=True
+    )
+    doc_map = spark.read.parquet(f"{out}/doc_map").collect()
+    assert [r["url"] for r in doc_map] == ["https://site.com/p?b=1"]
+    terms = {r["term"] for r in
+             spark.read.parquet(f"{out}/term_stats").collect()}
+    assert terms and "엔진" not in terms and "시스템" in terms
