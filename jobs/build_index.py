@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--compound-noun-min-length", type=int, default=3)
     ap.add_argument("--no-blocks", action="store_true")
     ap.add_argument(
+        "--warc",
+        action="store_true",
+        help="treat --input as WARC archives (glob ok): records are "
+        "parsed, text extracted, and language labeled before indexing",
+    )
+    ap.add_argument(
         "--extract-html",
         action="store_true",
         help="derive the text column from the html:binary column before "
@@ -54,6 +60,10 @@ def main() -> None:
     spark = get_spark(app_name="build-index")
     if args.synthesize:
         pages = synthesize_webpages(spark, args.synthesize)
+    elif args.input and args.warc:
+        from mecab_ko_lucene_analyzer_spark.sources import warc_to_webpages
+
+        pages = warc_to_webpages(spark, args.input)
     elif args.input:
         # parquet path or Iceberg catalog identifier (cat.db.webpages)
         pages = read_table(spark, args.input)

@@ -16,6 +16,7 @@ __all__ = [
     "token_counts",
     "quality_features",
     "language_id",
+    "predicted_lang",
     "fingerprint",
     "stratified_sample",
     "EN_STOPWORDS",
@@ -76,26 +77,30 @@ def quality_features(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def predicted_lang(text: Column | str = "text") -> Column:
+    """The language label expression behind :func:`language_id`
+    (shared so the WARC ingestion path cannot drift from the
+    oracle-gated operator): hangul character ratio → ko; ≥2 English
+    stopword tokens → en; else unknown."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = whitespace_tokens(F.lower(c))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS)))
+    hangul_ratio = F.length(F.regexp_replace(c, "[^가-힣]", "")) / F.length(c)
+    return (
+        F.when(hangul_ratio > 0.3, "ko")
+        .when(n_stop >= 2, "en")
+        .otherwise("unknown")
+    )
+
+
 def language_id(docs: DataFrame, text: str = "text", lang: str = "lang") -> DataFrame:
     """Heuristic language-ID: hangul character ratio → ko; English
     stopword hits → en; else unknown. Returns the label column alongside
     for agreement analysis."""
-    toks = whitespace_tokens(F.lower(F.col(text)))
-    d = docs.select(
+    return docs.select(
         "doc_id",
         F.col(lang).alias("lang"),
-        F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS))).alias("n_stop"),
-        (
-            F.length(F.regexp_replace(text, "[^가-힣]", "")) / F.length(text)
-        ).alias("hangul_ratio"),
-    )
-    return d.select(
-        "doc_id",
-        "lang",
-        F.when(F.col("hangul_ratio") > 0.3, "ko")
-        .when(F.col("n_stop") >= 2, "en")
-        .otherwise("unknown")
-        .alias("pred_lang"),
+        predicted_lang(F.col(text)).alias("pred_lang"),
     )
 
 

@@ -1,0 +1,213 @@
+"""WARC reader — Common-Crawl's container format (ISO 28500 / WARC 1.0).
+
+The north-rule corpus is "Common-Crawl-style web pages"; CC itself
+ships them as ~64k gzipped WARC archives per crawl. This source turns
+``*.warc[.gz]`` archives into the engine's webpages input shape:
+
+* **File-level parallelism** — one task streams ONE archive
+  record-by-record (the parse state is a single record's headers +
+  body, never the file), exactly the sharding unit CC distributes at.
+  A crawl's worth of archives saturates any executor count; a single
+  archive is the irreducible sequential unit because gzip members
+  chain.
+* **Arrow-batched emission** — records leave the parser in bounded
+  chunks through ``mapInPandas`` (no per-row Python UDF, no
+  whole-file materialization).
+* **Pure-Python record parser** — version line, CRLF headers,
+  ``Content-Length`` block, two-CRLF trailer — written against the
+  public WARC 1.0 spec; HTTP response blocks are split at the header
+  boundary with chunked transfer-encoding honored, so ``html`` is the
+  page bytes exactly as served.
+
+``warc_to_webpages`` composes the full ingestion story: WARC records →
+:func:`~.webpages.extract_html_text` → heuristic language label →
+``(url, warc_ts, html, text, lang)``, ready for ``build_and_write`` or
+the streaming ingest.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_warc", "warc_to_webpages", "iter_warc_records"]
+
+_RECORDS_PER_BATCH = 1024
+
+
+def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(headers, block)`` per record from a binary stream of a
+    WARC 1.0 file. Header names are lower-cased; the block is the raw
+    Content-Length payload (for ``response`` records: status line +
+    HTTP headers + body). Bounded memory: one record at a time."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if not line.strip():  # inter-record CRLF padding
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line, got {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or not h.strip():
+                break
+            name, _, value = h.decode("latin-1").partition(":")
+            headers[name.strip().lower()] = value.strip()
+        length = int(headers.get("content-length", "0"))
+        block = stream.read(length)
+        if len(block) < length:
+            raise ValueError("truncated WARC record block")
+        yield headers, block
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer-encoding (hex-size line, chunk,
+    CRLF, ... until the 0 chunk). Malformed framing degrades to the raw
+    bytes — a crawl reader must not throw away a page over one bad
+    chunk header."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return body  # not actually chunked framing
+        size_token = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            break
+        start = nl + 2
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip chunk CRLF
+    return b"".join(out)
+
+
+def _http_payload(block: bytes) -> bytes:
+    """Page bytes from an HTTP response block: drop the status line +
+    headers, de-chunk if the response was chunked."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return block
+    head = block[:sep].decode("latin-1", errors="replace").lower()
+    body = block[sep + 4 :]
+    if "transfer-encoding:" in head and "chunked" in head.split(
+        "transfer-encoding:", 1
+    )[1].split("\r\n", 1)[0]:
+        return _dechunk(body)
+    return body
+
+
+def _open_stream(path: str):
+    """Open ``path`` for sequential binary reading on an executor.
+    Local paths / ``file://`` use the builtin; other schemes go through
+    ``pyarrow.fs`` (s3/hdfs/gcs as built). ``.gz`` wraps in GzipFile —
+    multi-member archives (CC's per-record gzip) read transparently."""
+    if path.startswith("file:"):
+        raw = open(path[len("file://") :] if path.startswith("file://") else path[5:], "rb")
+    elif "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        raw = io.BufferedReader(filesystem.open_input_stream(p))
+    else:
+        raw = open(path, "rb")
+    if path.endswith(".gz"):
+        return gzip.GzipFile(fileobj=raw)
+    return raw
+
+
+def _expand_paths(spark: SparkSession, paths: str | list[str]) -> list[str]:
+    """Driver-side glob through the Hadoop FileSystem API (any scheme —
+    the same contract the incremental doc-base state uses)."""
+    if isinstance(paths, (list, tuple)):
+        return list(paths)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(paths)
+    fs = jpath.getFileSystem(hconf)
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    out = []
+    for st in statuses:
+        if st.isDirectory():
+            for sub in fs.listStatus(st.getPath()):
+                if sub.isFile():
+                    out.append(sub.getPath().toString())
+        else:
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: str | list[str],
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """``(url, warc_ts, html)`` from WARC archives — one task per
+    archive, records streamed in bounded Arrow batches."""
+    expanded = _expand_paths(spark, paths)
+    if not expanded:
+        raise FileNotFoundError(f"no WARC files match {paths!r}")
+    wanted = {t.lower() for t in record_types}
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                stream = _open_stream(path)
+                try:
+                    urls, tss, payloads = [], [], []
+                    for headers, block in iter_warc_records(stream):
+                        if headers.get("warc-type", "").lower() not in wanted:
+                            continue
+                        urls.append(headers.get("warc-target-uri"))
+                        tss.append(headers.get("warc-date"))
+                        payloads.append(_http_payload(block))
+                        if len(urls) >= _RECORDS_PER_BATCH:
+                            yield _to_frame(urls, tss, payloads)
+                            urls, tss, payloads = [], [], []
+                    if urls:
+                        yield _to_frame(urls, tss, payloads)
+                finally:
+                    stream.close()
+
+    def _to_frame(urls, tss, payloads):
+        ts = pd.to_datetime(pd.Series(tss), utc=True, errors="coerce")
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": ts.dt.tz_localize(None),
+                "html": payloads,
+            }
+        )
+
+    paths_df = spark.createDataFrame(
+        [(p,) for p in expanded], "path string"
+    ).repartition(len(expanded))
+    return paths_df.mapInPandas(
+        parse, "url string, warc_ts timestamp, html binary"
+    )
+
+
+def warc_to_webpages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Full ingestion composition: WARC archives → extracted text +
+    heuristic language label in the engine's ``(url, warc_ts, html,
+    text, lang)`` input shape (Catalyst extraction + labeling on top of
+    the streamed records — the Python boundary stays one parser pass)."""
+    from ..functions.text import predicted_lang
+    from .webpages import html_text_column
+
+    return (
+        read_warc(spark, paths)
+        .withColumn("text", html_text_column("html"))
+        .withColumn("lang", predicted_lang(F.col("text")))
+    )

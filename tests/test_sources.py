@@ -289,3 +289,102 @@ def test_extract_html_text_null_and_nonutf8(spark):
     got = {r.doc_id: r.text for r in extract_html_text(df, charset="UTF-16LE").collect()}
     assert got[0] is None
     assert got[1] == "유니코드"
+
+
+# -- WARC reader (Common-Crawl container format) ------------------------------
+
+
+def _warc_record(wtype: str, uri: str | None, block: bytes) -> bytes:
+    head = [b"WARC/1.0", f"WARC-Type: {wtype}".encode()]
+    if uri:
+        head.append(f"WARC-Target-URI: {uri}".encode())
+    head.append(b"WARC-Date: 2026-02-03T04:05:06Z")
+    head.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http_block(body: bytes, chunked: bool = False) -> bytes:
+    if chunked:
+        head = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    else:
+        head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    return head + body
+
+
+def _write_warc(path, records: bytes, gz: bool = False):
+    import gzip as _gzip
+
+    data = _gzip.compress(records) if gz else records
+    path.write_bytes(data)
+
+
+def test_read_warc_records(spark, tmp_path):
+    """Only response records surface; url/ts/html come from the WARC +
+    HTTP headers; chunked transfer-encoding is decoded."""
+    import datetime
+
+    from mecab_ko_lucene_analyzer_spark.sources import read_warc
+
+    chunked_body = b"5\r\n<p>ab\r\n4\r\ncd</\r\n2\r\np>\r\n0\r\n\r\n"
+    records = (
+        _warc_record("warcinfo", None, b"software: test\r\n")
+        + _warc_record("request", "https://a.kr/x", b"GET /x HTTP/1.1\r\n\r\n")
+        + _warc_record(
+            "response", "https://a.kr/x", _http_block(b"<html><body>hello page</body></html>")
+        )
+        + _warc_record(
+            "response", "https://b.kr/y", _http_block(chunked_body, chunked=True)
+        )
+    )
+    _write_warc(tmp_path / "f1.warc", records)
+    _write_warc(tmp_path / "f2.warc.gz", records, gz=True)
+
+    for name in ("f1.warc", "f2.warc.gz"):
+        rows = {
+            r.url: r
+            for r in read_warc(spark, str(tmp_path / name)).collect()
+        }
+        assert set(rows) == {"https://a.kr/x", "https://b.kr/y"}, name
+        assert rows["https://a.kr/x"].html == b"<html><body>hello page</body></html>"
+        assert rows["https://b.kr/y"].html == b"<p>abcd</p>"  # de-chunked
+        assert rows["https://a.kr/x"].warc_ts == datetime.datetime(
+            2026, 2, 3, 4, 5, 6
+        )
+
+    # glob over the directory picks up both archives
+    all_rows = read_warc(spark, str(tmp_path / "*.warc*")).count()
+    assert all_rows == 4
+
+
+def test_warc_to_webpages_composes_extraction_and_lang(spark, tmp_path):
+    from mecab_ko_lucene_analyzer_spark.sources import warc_to_webpages
+
+    records = _warc_record(
+        "response",
+        "https://ko.example/p",
+        _http_block("<html><body>한국어 문서 분석</body></html>".encode()),
+    ) + _warc_record(
+        "response",
+        "https://en.example/p",
+        _http_block(b"<html><body>the cat sat of the mat in it</body></html>"),
+    )
+    _write_warc(tmp_path / "pages.warc", records)
+    rows = {
+        r.url: r
+        for r in warc_to_webpages(spark, str(tmp_path / "pages.warc")).collect()
+    }
+    assert rows["https://ko.example/p"].text == "한국어 문서 분석"
+    assert rows["https://ko.example/p"].lang == "ko"
+    assert rows["https://en.example/p"].lang == "en"
+    assert set(rows["https://ko.example/p"].asDict()) == {
+        "url", "warc_ts", "html", "text", "lang",
+    }
+
+
+def test_read_warc_missing_glob_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from mecab_ko_lucene_analyzer_spark.sources import read_warc
+
+    with _pytest.raises(FileNotFoundError):
+        read_warc(spark, str(tmp_path / "nope-*.warc"))
