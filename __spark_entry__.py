@@ -48,6 +48,8 @@ from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     HTML_STYLE_RE as _HTML_STYLE_RE,
     HTML_TAG_RE as _HTML_TAG_RE,
     HTML_WS_RE as _HTML_WS_RE,
+    CHARSET_ALIASES as _CHARSET_ALIASES,
+    CHARSET_META_RE as _CHARSET_META_RE,
 )
 
 
@@ -379,6 +381,49 @@ def _q_extract_text(spark, sf_dir):
     )
     return extract_html_text(pages).select(
         "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+def _q_detect_charset(spark, sf_dir):
+    """Charset sniffing (the stage BEFORE extraction on a real crawl —
+    the legacy Korean web is routinely EUC-KR/CP949): synthetic pages
+    wrap documents.text with deterministically injected charset
+    declarations keyed on doc_id — meta charset, http-equiv alias
+    form, unknown label, none, MS949 alias — plus a BOM prefix every
+    7th doc (which must outrank any meta). Pure Catalyst detection
+    (`sources.webpages.charset_of`), zero shuffles; the oracle replays
+    the shared CHARSET_META_RE + CHARSET_ALIASES at string level."""
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import charset_of
+
+    did = F.col("doc_id")
+    meta = (
+        F.when(did % 6 == 0, F.lit('<meta charset="EUC-KR">'))
+        .when(
+            did % 6 == 1,
+            F.lit(
+                '<meta http-equiv="Content-Type"'
+                ' content="text/html; charset=ks_c_5601-1987">'
+            ),
+        )
+        .when(did % 6 == 2, F.lit("<meta CHARSET=utf-8>"))
+        .when(did % 6 == 3, F.lit(""))
+        .when(did % 6 == 4, F.lit('<meta charset="x-unknown">'))
+        .otherwise(F.lit("<meta charset='MS949'>"))
+    )
+    bom = F.when(did % 7 == 0, F.lit("\ufeff")).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            bom,
+            F.lit("<html><head>"),
+            meta,
+            F.lit("</head><body>"),
+            F.col("text"),
+            F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", charset_of(html).alias("charset")
     )
 
 
@@ -1029,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "normalize_nfc": _q_normalize_nfc,
         "extract_text": _q_extract_text,
+        "detect_charset": _q_detect_charset,
         "canonical_urls": _q_canonical_urls,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1963,6 +2009,41 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(t, '{_HTML_WS_RE}', ' ', 'g')))
                        AS n_chars
             FROM e
+        """,
+        # detect_charset: injection mirrors _q_detect_charset; the
+        # detection replays the SAME CHARSET_META_RE + CHARSET_ALIASES
+        # constants the Catalyst expression uses (sources.webpages) at
+        # string level — BOM char first, then the meta scan through
+        # the generated alias CASE chain, then the utf-8 default.
+        "detect_charset": f"""
+            WITH h AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 7 = 0 THEN chr(65279) ELSE '' END)
+                    || '<html><head>'
+                    || (CASE WHEN doc_id % 6 = 0
+                             THEN '<meta charset="EUC-KR">'
+                             WHEN doc_id % 6 = 1
+                             THEN '<meta http-equiv="Content-Type"' ||
+                                  ' content="text/html; charset=ks_c_5601-1987">'
+                             WHEN doc_id % 6 = 2 THEN '<meta CHARSET=utf-8>'
+                             WHEN doc_id % 6 = 3 THEN ''
+                             WHEN doc_id % 6 = 4
+                             THEN '<meta charset="x-unknown">'
+                             ELSE '<meta charset=''MS949''>' END)
+                    || '</head><body>' || text || '</body></html>' AS s
+                FROM documents
+            ),
+            lab AS (
+                SELECT doc_id, s,
+                    lower(regexp_extract(s,
+                        '{_CHARSET_META_RE.replace("'", "''")}', 1)) AS label
+                FROM h
+            )
+            SELECT doc_id,
+                CASE WHEN left(s, 1) = chr(65279) THEN 'utf-8'
+                     {" ".join(f"WHEN label = '{k}' THEN '{v}'" for k, v in _CHARSET_ALIASES.items())}
+                     ELSE 'utf-8' END AS charset
+            FROM lab
         """,
         # canonical_urls: injection mirrors _q_canonical_urls; the
         # canonicalization chain interpolates the SAME regex constants

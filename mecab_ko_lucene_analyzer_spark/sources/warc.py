@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,9 +37,81 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_warc", "warc_to_webpages", "iter_warc_records"]
+from .webpages import CHARSET_ALIASES, CHARSET_META_RE, CHARSET_SNIFF_BYTES
+
+__all__ = [
+    "read_warc",
+    "warc_to_webpages",
+    "iter_warc_records",
+    "detect_charset_bytes",
+    "transcode_to_utf8",
+]
 
 _RECORDS_PER_BATCH = 1024
+
+# the same meta pattern the Catalyst detector (`webpages.charset_of`)
+# uses, compiled for the parse pass; scanned over the latin-1 byte view
+# (pattern is ASCII-only, so the view cannot mis-match).
+_META_RE = re.compile(CHARSET_META_RE)
+_HEADER_CHARSET_RE = re.compile(
+    r"""(?i)charset\s*=\s*["']?\s*([A-Za-z0-9_][A-Za-z0-9._\-]*)"""
+)
+
+# canonical label -> Python codec name (the canonical set is defined by
+# CHARSET_ALIASES' value set; this table must cover exactly it)
+_PY_CODECS = {
+    "utf-8": "utf-8",
+    "euc-kr": "euc_kr",
+    "cp949": "cp949",
+    "iso-8859-1": "latin-1",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+
+def detect_charset_bytes(
+    body: bytes, content_type: str | None = None, default: str = "utf-8"
+) -> str:
+    """Charset label for raw page bytes — the Python twin of the
+    Catalyst :func:`~.webpages.charset_of` expression, with the one
+    extra signal only this path can see: the transport-layer charset
+    from the HTTP ``Content-Type`` header. Priority per HTML5
+    sniffing: BOM > transport > meta prefix scan > ``default``.
+    Pure function of its arguments (same answer on every executor,
+    every retry)."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    if body.startswith(b"\xff\xfe"):
+        return "utf-16le"
+    if body.startswith(b"\xfe\xff"):
+        return "utf-16be"
+    if content_type:
+        m = _HEADER_CHARSET_RE.search(content_type)
+        if m:
+            cs = CHARSET_ALIASES.get(m.group(1).lower())
+            if cs:
+                return cs
+    m = _META_RE.search(body[:CHARSET_SNIFF_BYTES].decode("latin-1"))
+    if m:
+        cs = CHARSET_ALIASES.get(m.group(1).lower())
+        if cs:
+            return cs
+    return default
+
+
+def transcode_to_utf8(
+    body: bytes, content_type: str | None = None
+) -> tuple[bytes, str]:
+    """``(utf-8 page bytes, detected source charset)``. Non-UTF-8
+    pages decode with ``errors="replace"`` (a crawl ingester must not
+    throw away a page over one mojibake byte — U+FFFD is the
+    deterministic rendering); a leading BOM is stripped either way so
+    it can never leak into extracted text."""
+    cs = detect_charset_bytes(body, content_type)
+    if cs == "utf-8":
+        return (body[3:] if body.startswith(b"\xef\xbb\xbf") else body), cs
+    decoded = body.decode(_PY_CODECS[cs], errors="replace").lstrip("\ufeff")
+    return decoded.encode("utf-8"), cs
 
 
 def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
@@ -91,19 +164,26 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
-def _http_payload(block: bytes) -> bytes:
-    """Page bytes from an HTTP response block: drop the status line +
-    headers, de-chunk if the response was chunked."""
+def _http_payload(block: bytes) -> tuple[bytes, str | None]:
+    """``(page bytes, Content-Type header value)`` from an HTTP
+    response block: drop the status line + headers, de-chunk if the
+    response was chunked; the Content-Type line feeds charset
+    detection (transport layer outranks the meta prescan)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
-        return block
+        return block, None
     head = block[:sep].decode("latin-1", errors="replace").lower()
     body = block[sep + 4 :]
+    content_type = None
+    if "content-type:" in head:
+        content_type = (
+            head.split("content-type:", 1)[1].split("\r\n", 1)[0].strip()
+        )
     if "transfer-encoding:" in head and "chunked" in head.split(
         "transfer-encoding:", 1
     )[1].split("\r\n", 1)[0]:
-        return _dechunk(body)
-    return body
+        return _dechunk(body), content_type
+    return body, content_type
 
 
 def _open_stream(path: str):
@@ -152,9 +232,18 @@ def read_warc(
     spark: SparkSession,
     paths: str | list[str],
     record_types: tuple[str, ...] = ("response",),
+    transcode: bool = False,
 ) -> DataFrame:
-    """``(url, warc_ts, html)`` from WARC archives — one task per
-    archive, records streamed in bounded Arrow batches."""
+    """``(url, warc_ts, html, charset)`` from WARC archives — one task
+    per archive, records streamed in bounded Arrow batches.
+
+    ``charset`` is the detected source charset
+    (:func:`detect_charset_bytes`: BOM > HTTP Content-Type > meta
+    prescan). With ``transcode=False`` (default) ``html`` is the page
+    bytes exactly as served; ``transcode=True`` re-encodes non-UTF-8
+    pages to UTF-8 in the same parse pass (no extra Python boundary)
+    so downstream Catalyst extraction needs only one decode charset —
+    the legacy-Korean-web (EUC-KR/CP949) ingestion path."""
     expanded = _expand_paths(spark, paths)
     if not expanded:
         raise FileNotFoundError(f"no WARC files match {paths!r}")
@@ -165,28 +254,35 @@ def read_warc(
             for path in pdf["path"]:
                 stream = _open_stream(path)
                 try:
-                    urls, tss, payloads = [], [], []
+                    urls, tss, payloads, charsets = [], [], [], []
                     for headers, block in iter_warc_records(stream):
                         if headers.get("warc-type", "").lower() not in wanted:
                             continue
+                        body, ctype = _http_payload(block)
+                        if transcode:
+                            body, cs = transcode_to_utf8(body, ctype)
+                        else:
+                            cs = detect_charset_bytes(body, ctype)
                         urls.append(headers.get("warc-target-uri"))
                         tss.append(headers.get("warc-date"))
-                        payloads.append(_http_payload(block))
+                        payloads.append(body)
+                        charsets.append(cs)
                         if len(urls) >= _RECORDS_PER_BATCH:
-                            yield _to_frame(urls, tss, payloads)
-                            urls, tss, payloads = [], [], []
+                            yield _to_frame(urls, tss, payloads, charsets)
+                            urls, tss, payloads, charsets = [], [], [], []
                     if urls:
-                        yield _to_frame(urls, tss, payloads)
+                        yield _to_frame(urls, tss, payloads, charsets)
                 finally:
                     stream.close()
 
-    def _to_frame(urls, tss, payloads):
+    def _to_frame(urls, tss, payloads, charsets):
         ts = pd.to_datetime(pd.Series(tss), utc=True, errors="coerce")
         return pd.DataFrame(
             {
                 "url": urls,
                 "warc_ts": ts.dt.tz_localize(None),
                 "html": payloads,
+                "charset": charsets,
             }
         )
 
@@ -194,20 +290,26 @@ def read_warc(
         [(p,) for p in expanded], "path string"
     ).repartition(len(expanded))
     return paths_df.mapInPandas(
-        parse, "url string, warc_ts timestamp, html binary"
+        parse, "url string, warc_ts timestamp, html binary, charset string"
     )
 
 
 def warc_to_webpages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """Full ingestion composition: WARC archives → extracted text +
-    heuristic language label in the engine's ``(url, warc_ts, html,
-    text, lang)`` input shape (Catalyst extraction + labeling on top of
-    the streamed records — the Python boundary stays one parser pass)."""
+    """Full ingestion composition: WARC archives → charset-normalized
+    page bytes → extracted text + heuristic language label in the
+    engine's ``(url, warc_ts, html, text, lang)`` input shape
+    (Catalyst extraction + labeling on top of the streamed records —
+    the Python boundary stays one parser pass). Legacy EUC-KR/CP949
+    pages arrive transcoded to UTF-8, so one extraction charset
+    serves the whole crawl; the detected source charset is dropped
+    here to keep the pinned input shape (use :func:`read_warc`
+    directly for charset lineage)."""
     from ..functions.text import predicted_lang
     from .webpages import html_text_column
 
     return (
-        read_warc(spark, paths)
+        read_warc(spark, paths, transcode=True)
         .withColumn("text", html_text_column("html"))
         .withColumn("lang", predicted_lang(F.col("text")))
+        .drop("charset")
     )

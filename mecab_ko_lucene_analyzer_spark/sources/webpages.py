@@ -39,12 +39,16 @@ __all__ = [
     "WEBPAGES_SCHEMA",
     "extract_html_text",
     "html_text_column",
+    "charset_of",
     "HTML_SCRIPT_RE",
     "HTML_STYLE_RE",
     "HTML_COMMENT_RE",
     "HTML_TAG_RE",
     "HTML_WS_RE",
     "HTML_ENTITIES",
+    "CHARSET_META_RE",
+    "CHARSET_ALIASES",
+    "CHARSET_SNIFF_BYTES",
 ]
 
 WEBPAGES_SCHEMA = T.StructType(
@@ -174,6 +178,87 @@ def html_text_column(html: str = "html", charset: str = "UTF-8"):
     for ent, ch in HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, HTML_WS_RE, " "))
+
+
+# --------------------------------------------------------------------------
+# Charset detection (HTML5 §13.2.3 encoding sniffing, bounded subset)
+# --------------------------------------------------------------------------
+# The Korean legacy web is the one place charset handling actually
+# bites a CC-style corpus: pre-2010 pages are routinely EUC-KR/CP949
+# with the label in the HTTP Content-Type header or a <meta> tag.
+# Detection is Catalyst (pure string ops over an ASCII-safe byte view,
+# so it is SQL-replicable and oracle-gated); DECODING of non-UTF-8
+# pages happens in the WARC parse pass (`sources/warc.py`) because
+# Spark's builtin `decode` rejects EUC-KR outside the legacy-charset
+# conf and throws (rather than replaces) on malformed bytes — a
+# non-starter for crawl data.
+#
+# Priority, per the HTML5 sniffing algorithm: BOM > transport-layer
+# charset (HTTP header — WARC path only; not visible to the Catalyst
+# expression) > meta prefix scan > utf-8 default. Unknown or absent
+# labels fall back to the default, deterministically.
+
+# ASCII-only (multi-byte UTF-8/EUC-KR sequences use bytes >= 0x80, so
+# scanning the ISO-8859-1 byte view can never false-match); matches
+# both <meta charset=X> and <meta http-equiv=... content="...;
+# charset=X">. RE2-compatible for the DuckDB oracle.
+CHARSET_META_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_][A-Za-z0-9._\-]*)"""
+
+# label aliases -> the engine's supported canonical set. Values are
+# exactly the charsets the WARC transcoder can decode; anything
+# outside the map falls back to the default label.
+CHARSET_ALIASES = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "us-ascii": "utf-8",  # ASCII ⊂ UTF-8
+    "ascii": "utf-8",
+    "euc-kr": "euc-kr",
+    "euckr": "euc-kr",
+    "ks_c_5601-1987": "euc-kr",
+    "ks_c_5601_1987": "euc-kr",
+    "ksc5601": "euc-kr",
+    "korean": "euc-kr",
+    "cp949": "cp949",
+    "ms949": "cp949",
+    "windows-949": "cp949",
+    "x-windows-949": "cp949",
+    "iso-8859-1": "iso-8859-1",
+    "iso8859-1": "iso-8859-1",
+    "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "utf-16le": "utf-16le",
+    "utf-16be": "utf-16be",
+}
+
+# HTML5 prescribes a 1024-byte prescan; real-world meta tags sometimes
+# sit past a long <head>, so scan 4x that — still O(1) per row.
+CHARSET_SNIFF_BYTES = 4096
+
+
+def charset_of(
+    html: str = "html",
+    default: str = "utf-8",
+    prefix_bytes: int = CHARSET_SNIFF_BYTES,
+):
+    """Detected charset label Column for an ``html:binary`` column:
+    BOM sniff, then a :data:`CHARSET_META_RE` scan of the first
+    ``prefix_bytes`` bytes (viewed as ISO-8859-1 — lossless, and the
+    pattern is ASCII-only so the view cannot mis-match), normalized
+    through :data:`CHARSET_ALIASES`; unknown/absent → ``default``.
+    Zero shuffles — per-row map work at any scale."""
+    b = F.col(html) if isinstance(html, str) else html
+    prefix = F.decode(F.substring(b, 1, prefix_bytes), "ISO-8859-1")
+    label = F.lower(F.regexp_extract(prefix, CHARSET_META_RE, 1))
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in CHARSET_ALIASES.items() for x in kv]
+    )
+    from_meta = F.coalesce(F.element_at(alias_map, label), F.lit(default))
+    return (
+        F.when(F.substring(b, 1, 3) == F.lit(b"\xef\xbb\xbf"), F.lit("utf-8"))
+        .when(F.substring(b, 1, 2) == F.lit(b"\xff\xfe"), F.lit("utf-16le"))
+        .when(F.substring(b, 1, 2) == F.lit(b"\xfe\xff"), F.lit("utf-16be"))
+        .otherwise(from_meta)
+    )
 
 
 def extract_html_text(

@@ -43,6 +43,7 @@ SHUFFLE_CEILING = {
     "doc_stats": 2,
     "domain_stats": 1,
     "emb_near_dup": 1,
+    "detect_charset": 0,
     "extract_text": 0,
     "fingerprint": 0,
     "highlight_spans": 0,

@@ -388,3 +388,115 @@ def test_read_warc_missing_glob_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_warc(spark, str(tmp_path / "nope-*.warc"))
+
+
+# -- charset detection / transcoding (legacy Korean web) ----------------------
+
+
+def test_charset_of_matrix_and_python_twin(spark):
+    """Catalyst detector over a byte matrix covering every branch —
+    BOM priority, both meta forms, alias normalization, unknown-label
+    fallback — pinned byte-for-byte against the Python twin the WARC
+    pass uses (no transport signal on either side)."""
+    from mecab_ko_lucene_analyzer_spark.sources import (
+        charset_of,
+        detect_charset_bytes,
+    )
+
+    cases = [
+        ('<html><meta charset="EUC-KR"><body>x</body></html>'.encode(), "euc-kr"),
+        (
+            b'<meta http-equiv="Content-Type" content="text/html; CHARSET=ks_c_5601-1987">',
+            "euc-kr",
+        ),
+        (b"<meta charset=utf-8>", "utf-8"),
+        (b"<html><body>no declaration</body></html>", "utf-8"),
+        (b'<meta charset="x-klingon">', "utf-8"),  # unknown -> default
+        (b'\xef\xbb\xbf<meta charset="cp949">', "utf-8"),  # BOM outranks meta
+        (b'\xff\xfe<meta charset="euc-kr">', "utf-16le"),
+        (b"\xfe\xff\x00h", "utf-16be"),
+        (b"<META CHARSET='MS949'>", "cp949"),
+        # meta sniff over non-UTF-8 bytes (ASCII-compatible view)
+        ("한국어 <meta charset='latin1'>".encode("euc-kr"), "iso-8859-1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, (b, _) in enumerate(cases)], "i int, html binary"
+    )
+    got = {r.i: r.cs for r in df.select("i", charset_of("html").alias("cs")).collect()}
+    for i, (b, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+        assert detect_charset_bytes(b) == want, i
+
+
+def test_detect_charset_priority_and_transcode():
+    from mecab_ko_lucene_analyzer_spark.sources import (
+        detect_charset_bytes,
+        transcode_to_utf8,
+    )
+
+    body = b'<meta charset="utf-8">hello'
+    # transport outranks meta; BOM outranks transport; unknown
+    # transport labels fall through to the meta scan
+    assert detect_charset_bytes(body, "text/html; charset=euc-kr") == "euc-kr"
+    assert detect_charset_bytes(body, "text/html") == "utf-8"
+    assert (
+        detect_charset_bytes(b"\xef\xbb\xbf" + body, "text/html; charset=euc-kr")
+        == "utf-8"
+    )
+    assert (
+        detect_charset_bytes(b'<meta charset="euc-kr">', "text/html; charset=bogus")
+        == "euc-kr"
+    )
+
+    ko = "한국어 검색 엔진"
+    b, cs = transcode_to_utf8(
+        f"<html><body>{ko}</body></html>".encode("euc-kr"),
+        "text/html; charset=euc-kr",
+    )
+    assert cs == "euc-kr" and ko.encode() in b
+    # cp949-only syllable (뷁 is outside strict KS X 1001)
+    b, cs = transcode_to_utf8('<meta charset="cp949">뷁'.encode("cp949"))
+    assert cs == "cp949" and "뷁".encode() in b
+    # utf-8 BOM stripped, bytes otherwise untouched
+    assert transcode_to_utf8(b"\xef\xbb\xbfplain") == (b"plain", "utf-8")
+    # utf-16 with LE BOM: decoded, BOM char stripped
+    b, cs = transcode_to_utf8("x".encode("utf-16"))
+    assert cs == "utf-16le" and b == b"x"
+    # malformed bytes under a declared charset never throw
+    b, cs = transcode_to_utf8(b"\x81\x41\xff\xff ok", "text/html; charset=euc-kr")
+    assert cs == "euc-kr" and b.endswith(b" ok")
+
+
+def test_warc_legacy_korean_end_to_end(spark, tmp_path):
+    """EUC-KR (HTTP-header charset) and CP949 (meta-only) legacy pages
+    flow through warc_to_webpages with correct text + lang; read_warc
+    exposes the detected charset for lineage."""
+    from mecab_ko_lucene_analyzer_spark.sources import read_warc, warc_to_webpages
+
+    ko1, ko2 = "한국어 문서 분석", "검색 엔진 데이터"
+    rec = _warc_record(
+        "response",
+        "https://old.kr/a",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=euc-kr\r\n\r\n"
+        + f"<html><body>{ko1}</body></html>".encode("euc-kr"),
+    ) + _warc_record(
+        "response",
+        "https://old.kr/b",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        + f'<html><head><meta charset="cp949"></head><body>{ko2}</body></html>'.encode(
+            "cp949"
+        ),
+    )
+    (tmp_path / "legacy.warc").write_bytes(rec)
+    rows = {
+        r.url: r
+        for r in warc_to_webpages(spark, str(tmp_path / "legacy.warc")).collect()
+    }
+    assert rows["https://old.kr/a"].text == ko1
+    assert rows["https://old.kr/b"].text == ko2
+    assert rows["https://old.kr/a"].lang == "ko"
+    info = {
+        r.url: r.charset
+        for r in read_warc(spark, str(tmp_path / "legacy.warc")).collect()
+    }
+    assert info == {"https://old.kr/a": "euc-kr", "https://old.kr/b": "cp949"}
