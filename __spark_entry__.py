@@ -50,6 +50,7 @@ from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     HTML_WS_RE as _HTML_WS_RE,
     CHARSET_ALIASES as _CHARSET_ALIASES,
     CHARSET_META_RE as _CHARSET_META_RE,
+    HTML_NOINDEX_RE as _HTML_NOINDEX_RE,
 )
 
 
@@ -424,6 +425,39 @@ def _q_detect_charset(spark, sf_dir):
     )
     return _docs(spark, sf_dir).select(
         "doc_id", charset_of(html).alias("charset")
+    )
+
+
+def _q_robots_noindex(spark, sf_dir):
+    """Robots-meta exclusion (the crawl counterpart of ES index:false;
+    `jobs/build_index.py --respect-noindex` filters on this before the
+    analysis chain): synthetic pages with deterministically injected
+    robots directives keyed on doc_id — both attribute orders, an
+    index,follow control, a non-robots meta containing 'noindex', and
+    no meta at all. Pure Catalyst (`sources.webpages.noindex_of`),
+    zero shuffles; the oracle replays the shared HTML_NOINDEX_RE."""
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import noindex_of
+
+    did = F.col("doc_id")
+    meta = (
+        F.when(did % 5 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 5 == 1, F.lit('<meta content="NOINDEX" name=robots>'))
+        .when(did % 5 == 2, F.lit('<meta name="robots" content="index, follow">'))
+        .when(did % 5 == 3, F.lit(""))
+        .otherwise(F.lit('<meta name="description" content="noindex discussion">'))
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head>"),
+            meta,
+            F.lit("</head><body>"),
+            F.col("text"),
+            F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", noindex_of(html).alias("noindex")
     )
 
 
@@ -1075,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_nfc": _q_normalize_nfc,
         "extract_text": _q_extract_text,
         "detect_charset": _q_detect_charset,
+        "robots_noindex": _q_robots_noindex,
         "canonical_urls": _q_canonical_urls,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -2044,6 +2079,31 @@ def oracle_sql() -> dict[str, str]:
                      {" ".join(f"WHEN label = '{k}' THEN '{v}'" for k, v in _CHARSET_ALIASES.items())}
                      ELSE 'utf-8' END AS charset
             FROM lab
+        """,
+        # robots_noindex: injection mirrors _q_robots_noindex; the
+        # oracle replays the shared HTML_NOINDEX_RE verbatim.
+        "robots_noindex": f"""
+            WITH h AS (
+                SELECT doc_id,
+                    '<html><head>'
+                    || (CASE WHEN doc_id % 5 = 0
+                             THEN '<meta name="robots"' ||
+                                  ' content="noindex, nofollow">'
+                             WHEN doc_id % 5 = 1
+                             THEN '<meta content="NOINDEX" name=robots>'
+                             WHEN doc_id % 5 = 2
+                             THEN '<meta name="robots"' ||
+                                  ' content="index, follow">'
+                             WHEN doc_id % 5 = 3 THEN ''
+                             ELSE '<meta name="description"' ||
+                                  ' content="noindex discussion">' END)
+                    || '</head><body>' || text || '</body></html>' AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_matches(s,
+                       '{_HTML_NOINDEX_RE.replace("'", "''")}') AS noindex
+            FROM h
         """,
         # canonical_urls: injection mirrors _q_canonical_urls; the
         # canonicalization chain interpolates the SAME regex constants

@@ -34,6 +34,12 @@ def main() -> None:
         "parsed, text extracted, and language labeled before indexing",
     )
     ap.add_argument(
+        "--respect-noindex",
+        action="store_true",
+        help="drop pages carrying a robots noindex meta directive "
+        "before analysis (requires the html column)",
+    )
+    ap.add_argument(
         "--extract-html",
         action="store_true",
         help="derive the text column from the html:binary column before "
@@ -69,6 +75,12 @@ def main() -> None:
         pages = read_table(spark, args.input)
     else:
         ap.error("--input or --synthesize required")
+    if args.respect_noindex:
+        from mecab_ko_lucene_analyzer_spark.sources import noindex_of
+
+        # narrow filter before extraction/tokenization — excluded
+        # pages never pay the analysis chain
+        pages = pages.filter(~noindex_of("html"))
     if args.extract_html:
         from mecab_ko_lucene_analyzer_spark.sources import extract_html_text
 

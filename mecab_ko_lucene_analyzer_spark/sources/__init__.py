@@ -4,12 +4,14 @@ from .webpages import (
     charset_of,
     extract_html_text,
     html_text_column,
+    noindex_of,
     synthesize_webpages,
     webpages_from_documents,
 )
 
 __all__ = [
     "charset_of",
+    "noindex_of",
     "detect_charset_bytes",
     "transcode_to_utf8",
     "extract_html_text",

@@ -49,6 +49,8 @@ __all__ = [
     "CHARSET_META_RE",
     "CHARSET_ALIASES",
     "CHARSET_SNIFF_BYTES",
+    "HTML_NOINDEX_RE",
+    "noindex_of",
 ]
 
 WEBPAGES_SCHEMA = T.StructType(
@@ -259,6 +261,29 @@ def charset_of(
         .when(F.substring(b, 1, 2) == F.lit(b"\xfe\xff"), F.lit("utf-16be"))
         .otherwise(from_meta)
     )
+
+
+# A robots meta directive excludes a page from the index (the crawl
+# counterpart of ES's index:false): match `noindex` inside a
+# <meta name=robots ...> tag, either attribute order. `[^>]*` cannot
+# cross a tag boundary, so a noindex in some OTHER tag never matches.
+# Approximation bound (documented): `noindex` anywhere later in the
+# robots tag counts — attribute-exact parsing would need a real HTML
+# parser for no practical gain on crawl data. ASCII-only and
+# RE2-compatible for the DuckDB oracle.
+HTML_NOINDEX_RE = (
+    r"""(?i)(?:<meta[^>]*name\s*=\s*["']?robots\b[^>]*noindex"""
+    r"""|<meta[^>]*noindex[^>]*name\s*=\s*["']?robots\b)"""
+)
+
+
+def noindex_of(html: str = "html"):
+    """Boolean Column: does the page carry a robots ``noindex`` meta
+    directive? Scans the full document through the lossless
+    ISO-8859-1 byte view (pattern is ASCII-only, so the view cannot
+    mis-match regardless of the page's real charset). Zero shuffles."""
+    b = F.col(html) if isinstance(html, str) else html
+    return F.decode(b, "ISO-8859-1").rlike(HTML_NOINDEX_RE)
 
 
 def extract_html_text(

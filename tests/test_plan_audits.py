@@ -44,6 +44,7 @@ SHUFFLE_CEILING = {
     "domain_stats": 1,
     "emb_near_dup": 1,
     "detect_charset": 0,
+    "robots_noindex": 0,
     "extract_text": 0,
     "fingerprint": 0,
     "highlight_spans": 0,

@@ -500,3 +500,78 @@ def test_warc_legacy_korean_end_to_end(spark, tmp_path):
         for r in read_warc(spark, str(tmp_path / "legacy.warc")).collect()
     }
     assert info == {"https://old.kr/a": "euc-kr", "https://old.kr/b": "cp949"}
+
+
+def test_noindex_of_matrix(spark):
+    """Robots-meta exclusion over both attribute orders, quote styles,
+    case, non-robots tags carrying 'noindex', and cross-tag
+    non-matches ([^>]* cannot bridge tags)."""
+    from mecab_ko_lucene_analyzer_spark.sources import noindex_of
+
+    cases = [
+        (b'<meta name="robots" content="noindex, nofollow">', True),
+        (b"<meta content='NOINDEX' name=robots>", True),
+        (b"<META NAME=ROBOTS CONTENT=NOINDEX>", True),
+        (b'<meta name="robots" content="index, follow">', False),
+        (b"<html><body>plain page</body></html>", False),
+        # noindex in a different tag never marks the page
+        (b'<meta name="description" content="noindex talk">', False),
+        (b'<meta name="keywords" content="noindex"><meta name="robots" content="index">', False),
+        # a real robots-noindex later in the head still matches
+        (b'<meta name="author" content="x"><meta name="robots" content="noarchive,noindex">', True),
+        # googlebot-specific tag is NOT name=robots (documented bound)
+        (b'<meta name="googlebot" content="noindex">', False),
+    ]
+    df = spark.createDataFrame(
+        [(i, b"<html><head>" + b + b"</head><body>x</body></html>") for i, (b, _) in enumerate(cases)],
+        "i int, html binary",
+    )
+    got = {r.i: r.ni for r in df.select("i", noindex_of("html").alias("ni")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] is want, (i, got[i], want)
+
+
+def test_build_index_respect_noindex_cli(spark, tmp_path, monkeypatch):
+    """--respect-noindex drops flagged pages before the analysis chain:
+    the built index's doc_map never contains them."""
+    import json as _json
+    import sys
+
+    import pyspark.sql.functions as F
+
+    from jobs.build_index import main as build_main
+    from mecab_ko_lucene_analyzer_spark.sources import synthesize_webpages
+
+    pages = synthesize_webpages(spark, 30)
+    flagged = pages.withColumn(
+        "html",
+        F.when(
+            F.col("url").rlike("3[.]kr/page$"),  # docs 3, 13, 23 (all ko)
+            F.concat(
+                F.lit(b'<html><head><meta name="robots" content="noindex"></head><body>'),
+                F.encode("text", "utf-8"),
+                F.lit(b"</body></html>"),
+            ),
+        ).otherwise(F.col("html")),
+    )
+    n_flagged = flagged.filter(
+        F.decode("html", "ISO-8859-1").contains('name="robots"')
+    ).count()
+    assert n_flagged == 3
+    src = str(tmp_path / "pages")
+    flagged.write.parquet(src)
+    out = str(tmp_path / "idx")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["build_index", "--input", src, "--output", out, "--respect-noindex"],
+    )
+    monkeypatch.setattr(
+        "mecab_ko_lucene_analyzer_spark.plans.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    build_main()
+    docs = spark.read.parquet(f"{out}/doc_map")
+    urls = [r.url for r in docs.collect()]
+    assert urls and not any(u.endswith("3.kr/page") for u in urls)
+    # 30 pages - 3 noindex - 1 non-ko (the CLI's default --lang ko)
+    assert docs.count() == 26
