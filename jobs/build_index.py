@@ -69,13 +69,18 @@ def main() -> None:
     elif args.input and args.warc:
         from mecab_ko_lucene_analyzer_spark.sources import warc_to_webpages
 
-        pages = warc_to_webpages(spark, args.input)
+        # noindex applies inside the composition (header + meta
+        # channels); the generic html-only filter below is redundant
+        # for this path
+        pages = warc_to_webpages(
+            spark, args.input, respect_noindex=args.respect_noindex
+        )
     elif args.input:
         # parquet path or Iceberg catalog identifier (cat.db.webpages)
         pages = read_table(spark, args.input)
     else:
         ap.error("--input or --synthesize required")
-    if args.respect_noindex:
+    if args.respect_noindex and not (args.input and args.warc):
         from mecab_ko_lucene_analyzer_spark.sources import noindex_of
 
         # narrow filter before extraction/tokenization — excluded

@@ -164,14 +164,17 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
-def _http_payload(block: bytes) -> tuple[bytes, str | None]:
-    """``(page bytes, Content-Type header value)`` from an HTTP
-    response block: drop the status line + headers, de-chunk if the
-    response was chunked; the Content-Type line feeds charset
-    detection (transport layer outranks the meta prescan)."""
+def _http_payload(block: bytes) -> tuple[bytes, str | None, bool]:
+    """``(page bytes, Content-Type value, X-Robots-Tag noindex?)``
+    from an HTTP response block: drop the status line + headers,
+    de-chunk if the response was chunked. The Content-Type line feeds
+    charset detection (transport layer outranks the meta prescan);
+    an ``X-Robots-Tag`` header carrying ``noindex`` (any directive
+    list, any bot scope) is the transport-level twin of the robots
+    meta tag (`webpages.noindex_of`)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
-        return block, None
+        return block, None, False
     head = block[:sep].decode("latin-1", errors="replace").lower()
     body = block[sep + 4 :]
     content_type = None
@@ -179,11 +182,15 @@ def _http_payload(block: bytes) -> tuple[bytes, str | None]:
         content_type = (
             head.split("content-type:", 1)[1].split("\r\n", 1)[0].strip()
         )
+    hdr_noindex = (
+        "x-robots-tag:" in head
+        and "noindex" in head.split("x-robots-tag:", 1)[1].split("\r\n", 1)[0]
+    )
     if "transfer-encoding:" in head and "chunked" in head.split(
         "transfer-encoding:", 1
     )[1].split("\r\n", 1)[0]:
-        return _dechunk(body), content_type
-    return body, content_type
+        return _dechunk(body), content_type, hdr_noindex
+    return body, content_type, hdr_noindex
 
 
 def _open_stream(path: str):
@@ -239,11 +246,14 @@ def read_warc(
 
     ``charset`` is the detected source charset
     (:func:`detect_charset_bytes`: BOM > HTTP Content-Type > meta
-    prescan). With ``transcode=False`` (default) ``html`` is the page
-    bytes exactly as served; ``transcode=True`` re-encodes non-UTF-8
-    pages to UTF-8 in the same parse pass (no extra Python boundary)
-    so downstream Catalyst extraction needs only one decode charset —
-    the legacy-Korean-web (EUC-KR/CP949) ingestion path."""
+    prescan); ``hdr_noindex`` is the transport-level robots signal
+    (``X-Robots-Tag`` header carrying ``noindex`` — the meta-tag
+    level is `webpages.noindex_of` over ``html``). With
+    ``transcode=False`` (default) ``html`` is the page bytes exactly
+    as served; ``transcode=True`` re-encodes non-UTF-8 pages to UTF-8
+    in the same parse pass (no extra Python boundary) so downstream
+    Catalyst extraction needs only one decode charset — the
+    legacy-Korean-web (EUC-KR/CP949) ingestion path."""
     expanded = _expand_paths(spark, paths)
     if not expanded:
         raise FileNotFoundError(f"no WARC files match {paths!r}")
@@ -254,11 +264,11 @@ def read_warc(
             for path in pdf["path"]:
                 stream = _open_stream(path)
                 try:
-                    urls, tss, payloads, charsets = [], [], [], []
+                    urls, tss, payloads, charsets, noidx = [], [], [], [], []
                     for headers, block in iter_warc_records(stream):
                         if headers.get("warc-type", "").lower() not in wanted:
                             continue
-                        body, ctype = _http_payload(block)
+                        body, ctype, hdr_noindex = _http_payload(block)
                         if transcode:
                             body, cs = transcode_to_utf8(body, ctype)
                         else:
@@ -267,15 +277,18 @@ def read_warc(
                         tss.append(headers.get("warc-date"))
                         payloads.append(body)
                         charsets.append(cs)
+                        noidx.append(hdr_noindex)
                         if len(urls) >= _RECORDS_PER_BATCH:
-                            yield _to_frame(urls, tss, payloads, charsets)
-                            urls, tss, payloads, charsets = [], [], [], []
+                            yield _to_frame(urls, tss, payloads, charsets, noidx)
+                            urls, tss, payloads, charsets, noidx = (
+                                [], [], [], [], [],
+                            )
                     if urls:
-                        yield _to_frame(urls, tss, payloads, charsets)
+                        yield _to_frame(urls, tss, payloads, charsets, noidx)
                 finally:
                     stream.close()
 
-    def _to_frame(urls, tss, payloads, charsets):
+    def _to_frame(urls, tss, payloads, charsets, noidx):
         ts = pd.to_datetime(pd.Series(tss), utc=True, errors="coerce")
         return pd.DataFrame(
             {
@@ -283,6 +296,7 @@ def read_warc(
                 "warc_ts": ts.dt.tz_localize(None),
                 "html": payloads,
                 "charset": charsets,
+                "hdr_noindex": noidx,
             }
         )
 
@@ -290,11 +304,17 @@ def read_warc(
         [(p,) for p in expanded], "path string"
     ).repartition(len(expanded))
     return paths_df.mapInPandas(
-        parse, "url string, warc_ts timestamp, html binary, charset string"
+        parse,
+        "url string, warc_ts timestamp, html binary, charset string, "
+        "hdr_noindex boolean",
     )
 
 
-def warc_to_webpages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+def warc_to_webpages(
+    spark: SparkSession,
+    paths: str | list[str],
+    respect_noindex: bool = False,
+) -> DataFrame:
     """Full ingestion composition: WARC archives → charset-normalized
     page bytes → extracted text + heuristic language label in the
     engine's ``(url, warc_ts, html, text, lang)`` input shape
@@ -303,13 +323,18 @@ def warc_to_webpages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     pages arrive transcoded to UTF-8, so one extraction charset
     serves the whole crawl; the detected source charset is dropped
     here to keep the pinned input shape (use :func:`read_warc`
-    directly for charset lineage)."""
+    directly for charset lineage). ``respect_noindex=True`` drops
+    pages excluded by EITHER robots channel — the ``X-Robots-Tag``
+    header (transport) or the robots meta tag — before they reach the
+    analysis chain."""
     from ..functions.text import predicted_lang
-    from .webpages import html_text_column
+    from .webpages import html_text_column, noindex_of
 
+    pages = read_warc(spark, paths, transcode=True)
+    if respect_noindex:
+        pages = pages.filter(~(F.col("hdr_noindex") | noindex_of("html")))
     return (
-        read_warc(spark, paths, transcode=True)
-        .withColumn("text", html_text_column("html"))
+        pages.withColumn("text", html_text_column("html"))
         .withColumn("lang", predicted_lang(F.col("text")))
-        .drop("charset")
+        .drop("charset", "hdr_noindex")
     )

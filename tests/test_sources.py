@@ -575,3 +575,40 @@ def test_build_index_respect_noindex_cli(spark, tmp_path, monkeypatch):
     assert urls and not any(u.endswith("3.kr/page") for u in urls)
     # 30 pages - 3 noindex - 1 non-ko (the CLI's default --lang ko)
     assert docs.count() == 26
+
+
+def test_warc_respect_noindex(spark, tmp_path):
+    """Both robots exclusion channels on the WARC path: the
+    X-Robots-Tag header (transport) and the robots meta tag. Default
+    keeps everything; respect_noindex drops both flavors."""
+    from mecab_ko_lucene_analyzer_spark.sources import read_warc, warc_to_webpages
+
+    recs = (
+        _warc_record(
+            "response", "https://a.kr/ok",
+            _http_block(b"<html><body>fine page</body></html>"),
+        )
+        + _warc_record(
+            "response", "https://a.kr/hdr",
+            b"HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex, nofollow\r\n\r\n"
+            b"<html><body>hidden</body></html>",
+        )
+        + _warc_record(
+            "response", "https://a.kr/meta",
+            _http_block(
+                b'<html><head><meta name="robots" content="noindex"></head>'
+                b"<body>hidden too</body></html>"
+            ),
+        )
+    )
+    (tmp_path / "r.warc").write_bytes(recs)
+    path = str(tmp_path / "r.warc")
+    assert warc_to_webpages(spark, path).count() == 3  # default: keep all
+    kept = warc_to_webpages(spark, path, respect_noindex=True)
+    assert [r.url for r in kept.collect()] == ["https://a.kr/ok"]
+    hdr = {r.url: r.hdr_noindex for r in read_warc(spark, path).collect()}
+    assert hdr == {
+        "https://a.kr/ok": False,
+        "https://a.kr/hdr": True,
+        "https://a.kr/meta": False,  # meta channel is noindex_of, not this flag
+    }
