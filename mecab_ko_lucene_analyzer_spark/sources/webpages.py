@@ -281,9 +281,14 @@ def noindex_of(html: str = "html"):
     """Boolean Column: does the page carry a robots ``noindex`` meta
     directive? Scans the full document through the lossless
     ISO-8859-1 byte view (pattern is ASCII-only, so the view cannot
-    mis-match regardless of the page's real charset). Zero shuffles."""
+    mis-match regardless of the page's real charset). NULL html is
+    False — a page without bytes cannot carry a directive, and a
+    three-valued NULL here would silently drop the row through
+    ``filter(~noindex_of(...))``. Zero shuffles."""
     b = F.col(html) if isinstance(html, str) else html
-    return F.decode(b, "ISO-8859-1").rlike(HTML_NOINDEX_RE)
+    return F.coalesce(
+        F.decode(b, "ISO-8859-1").rlike(HTML_NOINDEX_RE), F.lit(False)
+    )
 
 
 def extract_html_text(

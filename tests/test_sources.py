@@ -521,9 +521,20 @@ def test_noindex_of_matrix(spark):
         (b'<meta name="author" content="x"><meta name="robots" content="noarchive,noindex">', True),
         # googlebot-specific tag is NOT name=robots (documented bound)
         (b'<meta name="googlebot" content="noindex">', False),
+        # NULL html: no bytes, no directive — must be False, not NULL
+        # (a NULL would silently drop the row through filter(~...))
+        (None, False),
     ]
     df = spark.createDataFrame(
-        [(i, b"<html><head>" + b + b"</head><body>x</body></html>") for i, (b, _) in enumerate(cases)],
+        [
+            (
+                i,
+                None
+                if b is None
+                else b"<html><head>" + b + b"</head><body>x</body></html>",
+            )
+            for i, (b, _) in enumerate(cases)
+        ],
         "i int, html binary",
     )
     got = {r.i: r.ni for r in df.select("i", noindex_of("html").alias("ni")).collect()}
