@@ -39,6 +39,7 @@ from mecab_ko_lucene_analyzer_spark.functions.curation import (  # noqa: E402
     URL_TRACKING_RE,
     _URL_HOSTPORT_RE,
     _URL_PATH_RE,
+    _URL_QUERY_RE,
     _URL_SCHEME_RE,
 )
 from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
@@ -488,7 +489,13 @@ def _q_canonical_urls(spark, sf_dir):
         .when(did % 5 == 2, F.lit("?utm_campaign&fbclid=f"))
         .otherwise(F.lit(""))
     )
-    frag = F.when(did % 7 == 0, F.lit("#Frag")).otherwise(F.lit(""))
+    frag = (
+        # the %14 arm carries a '?' INSIDE the fragment: it must not
+        # resurrect a query string once the fragment is dropped
+        F.when(did % 14 == 0, F.lit("#Frag?t=1"))
+        .when(did % 7 == 0, F.lit("#Frag"))
+        .otherwise(F.lit(""))
+    )
     url = F.when(did % 17 == 0, F.concat(F.lit("doc "), ds, F.lit(" no url"))).otherwise(
         F.concat(
             scheme, F.lit("Example-"), (did % 40).cast("string"), F.lit(".COM"),
@@ -2130,7 +2137,9 @@ def oracle_sql() -> dict[str, str]:
                                WHEN doc_id % 5 = 2
                                THEN '?utm_campaign&fbclid=f'
                                ELSE '' END)
-                      || (CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END)
+                      || (CASE WHEN doc_id % 14 = 0 THEN '#Frag?t=1'
+                               WHEN doc_id % 7 = 0 THEN '#Frag'
+                               ELSE '' END)
                     END AS url
                 FROM documents
             ),
@@ -2141,7 +2150,7 @@ def oracle_sql() -> dict[str, str]:
                     lower(regexp_extract(u, '{_URL_HOSTPORT_RE}', 1))
                         AS hostport,
                     regexp_extract(u, '{_URL_PATH_RE}', 1) AS path0,
-                    regexp_extract(u, '\\?([^#]*)', 1) AS query
+                    regexp_extract(u, '{_URL_QUERY_RE}', 1) AS query
                 FROM s
             ),
             q AS (

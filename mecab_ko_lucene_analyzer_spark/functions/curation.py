@@ -198,6 +198,9 @@ URL_TRACKING_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=|$)"
 _URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _URL_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/][^?#]*)?"
+# only a '?' BEFORE any '#' starts the query — a '?' inside the
+# fragment must not resurrect a query string from the dropped fragment
+_URL_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def canonical_url(url: Column | str = "url") -> Column:
@@ -224,7 +227,7 @@ def canonical_url(url: Column | str = "url") -> Column:
     ).otherwise(hostport)
     path = F.regexp_extract(s, _URL_PATH_RE, 1)
     path = F.when(path == "/", F.lit("")).otherwise(path)
-    query = F.regexp_extract(s, r"\?([^#]*)", 1)
+    query = F.regexp_extract(s, _URL_QUERY_RE, 1)
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),

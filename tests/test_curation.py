@@ -555,6 +555,10 @@ def test_canonical_url_rules(spark):
         (8, "https://example.com/p?"),
         (9, "https://example.com:443/x"),  # default port, real path
         (10, None),
+        # a '?' INSIDE the fragment must not resurrect a query string
+        # once the fragment is dropped
+        (11, "https://example.com/p#frag?t=1"),
+        (12, "https://example.com/p?a=1#frag?t=2"),
     ]
     df = spark.createDataFrame(cases, "doc_id int, url string")
     got = {r.doc_id: r.canon_url for r in canonicalize_urls(df).collect()}
@@ -569,6 +573,8 @@ def test_canonical_url_rules(spark):
     assert got[8] == "https://example.com/p"
     assert got[9] == "https://example.com/x"
     assert got[10] is None
+    assert got[11] == "https://example.com/p"
+    assert got[12] == "https://example.com/p?a=1"
 
 
 def test_canonical_url_is_idempotent(spark):
