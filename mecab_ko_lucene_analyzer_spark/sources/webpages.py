@@ -173,8 +173,22 @@ def html_text_column(html: str = "html", charset: str = "UTF-8"):
     words, never glue them); entities decode AFTER tag-stripping so a
     decoded ``&lt;`` can never be re-parsed as markup; finally all
     whitespace runs collapse to single spaces and the ends trim.
+
+    UTF-8 (the default) decodes LENIENTLY: real crawls always contain
+    some mojibake bytes, and Spark's ``decode`` THROWS on the first
+    malformed sequence — one bad page must not abort a 100 TB
+    extraction job. ``make_valid_utf8(cast(binary as string))``
+    replaces invalid sequences with U+FFFD, matching Python's
+    ``errors="replace"`` byte-for-byte (pinned in tests), so the WARC
+    transcode path and this Catalyst path render mojibake identically.
+    Non-UTF-8 charsets keep the strict ``decode`` (they are only
+    reachable through explicitly-labeled legacy configs).
     """
-    s = F.decode(F.col(html) if isinstance(html, str) else html, charset)
+    b = F.col(html) if isinstance(html, str) else html
+    if charset.replace("-", "").upper() == "UTF8":
+        s = F.call_function("make_valid_utf8", b.cast("string"))
+    else:
+        s = F.decode(b, charset)
     for pat in (HTML_SCRIPT_RE, HTML_STYLE_RE, HTML_COMMENT_RE, HTML_TAG_RE):
         s = F.regexp_replace(s, pat, " ")
     for ent, ch in HTML_ENTITIES:

@@ -291,6 +291,33 @@ def test_extract_html_text_null_and_nonutf8(spark):
     assert got[1] == "유니코드"
 
 
+def test_extract_html_text_malformed_utf8_never_throws(spark):
+    """Crawl reality: mojibake bytes exist in every CC shard. The UTF-8
+    extraction path must degrade to U+FFFD per Python's
+    ``errors="replace"`` (the WARC transcoder's rendering) instead of
+    aborting the job — Spark's strict ``decode`` throws
+    MALFORMED_CHARACTER_CODING on the first bad page."""
+    from mecab_ko_lucene_analyzer_spark.sources import extract_html_text
+
+    cases = [
+        (0, b"<p>ok \xff\xfe bad</p>"),        # stray UTF-16 BOM bytes mid-page
+        (1, b"<p>caf\xc3</p>"),                # truncated multi-byte sequence
+        (2, b"<p>\xed\xa0\x80 surrogate</p>"),  # CESU-8 surrogate half
+        (3, "<p>가나다</p>".encode("utf-8")),     # valid stays exact
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, html binary")
+    got = {r.doc_id: r.text for r in extract_html_text(df).collect()}
+
+    def py_extract(b: bytes) -> str:
+        import re as _re
+
+        s = b.decode("utf-8", errors="replace")
+        return _re.sub(r"\s+", " ", _re.sub(r"<[^>]*>", " ", s)).strip()
+
+    for i, b in cases:
+        assert got[i] == py_extract(b), (i, got[i])
+
+
 # -- WARC reader (Common-Crawl container format) ------------------------------
 
 
