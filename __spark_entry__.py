@@ -42,6 +42,9 @@ from mecab_ko_lucene_analyzer_spark.functions.curation import (  # noqa: E402
     _URL_QUERY_RE,
     _URL_SCHEME_RE,
 )
+from mecab_ko_lucene_analyzer_spark.functions.webgraph import (  # noqa: E402
+    HREF_RE as _HREF_RE,
+)
 from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     HTML_COMMENT_RE as _HTML_COMMENT_RE,
     HTML_ENTITIES as _HTML_ENTITIES,
@@ -507,6 +510,79 @@ def _q_canonical_urls(spark, sf_dir):
         .select("doc_id", url.alias("url"))
         .withColumn("canon_url", canonical_url("url"))
     )
+
+
+def _webgraph_pages(spark, sf_dir):
+    """Deterministic link-bearing pages over ``documents`` (it has no
+    html column): every resolution rule fires — absolute (uppercase
+    host, to exercise folding), protocol-relative, root-relative
+    (host-level self-loop), plus dropped mailto:/path-relative arms.
+    ASCII-only html so the ISO-8859-1 extraction view is the identity
+    and the DuckDB oracle replays extraction at string level."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (did % 5).cast("string"), F.lit(".example/d"), ds
+    )
+    html = F.concat(
+        F.lit('<p>x</p><a href="https://H'),
+        ((did + 1) % 7).cast("string"),
+        F.lit(".EXAMPLE/p"),
+        ds,
+        F.lit('">a</a>'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<a href='//h"),
+                ((did * 2) % 7).cast("string"),
+                F.lit(".example/q'>b</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit('<a href="/r'), ds, F.lit('">c</a>')),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="mailto:a@b.c">m</a><a href="rel/x">r</a>'),
+    )
+    return _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+
+
+def _q_extract_links(spark, sf_dir):
+    """Anchor extraction + absolutization over the html column (the
+    web-graph edge source). Catalyst regexp_extract_all + explode —
+    zero exchanges."""
+    from mecab_ko_lucene_analyzer_spark.functions.webgraph import extract_links
+
+    return extract_links(_webgraph_pages(spark, sf_dir))
+
+
+def _q_host_link_graph(spark, sf_dir):
+    """Host-level edge list (links aggregated to (src_host, dst_host,
+    n_links), self-loops dropped) — one map-side-combined hash agg."""
+    from mecab_ko_lucene_analyzer_spark.functions.webgraph import (
+        extract_links,
+        host_graph,
+    )
+
+    return host_graph(extract_links(_webgraph_pages(spark, sf_dir)))
+
+
+def _q_pagerank_hosts(spark, sf_dir):
+    """PageRank (3 fixed iterations, d=0.85) over the host graph — the
+    centrality/quality signal for corpus weighting. The edge relation
+    partitions on src once and persists; each round shuffles only the
+    rank vector. Oracle unrolls the same three iterations as chained
+    CTEs (round-6 absorbs summation-order float noise)."""
+    from mecab_ko_lucene_analyzer_spark.functions.webgraph import (
+        extract_links,
+        host_graph,
+        pagerank,
+    )
+
+    edges = host_graph(extract_links(_webgraph_pages(spark, sf_dir)))
+    return pagerank(edges, weight="n_links", iters=3)
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
@@ -1118,6 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_charset": _q_detect_charset,
         "robots_noindex": _q_robots_noindex,
         "canonical_urls": _q_canonical_urls,
+        "extract_links": _q_extract_links,
+        "host_link_graph": _q_host_link_graph,
+        "pagerank_hosts": _q_pagerank_hosts,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1157,6 +1236,113 @@ def _md5h64_sql(expr: str) -> str:
     from mecab_ko_lucene_analyzer_spark.functions.hashing import md5_h64_sql
 
     return md5_h64_sql(expr)
+
+
+def _webgraph_links_sql() -> str:
+    """Shared CTE body (``links(url, href)``) replaying the web-graph
+    injection (`_webgraph_pages`) and `extract_links` at string level:
+    same HREF_RE, same absolutization CASE, same http(s) filter."""
+    href_re = _HREF_RE.replace("'", "''")
+    return f"""
+        inj AS (
+            SELECT
+                'https://h' || (doc_id % 5) || '.example/d' || doc_id AS url,
+                '<p>x</p><a href="https://H' || ((doc_id + 1) % 7)
+                || '.EXAMPLE/p' || doc_id || '">a</a>'
+                || (CASE WHEN doc_id % 3 = 0
+                         THEN '<a href=''//h' || ((doc_id * 2) % 7)
+                              || '.example/q''>b</a>'
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0
+                         THEN '<a href="/r' || doc_id || '">c</a>'
+                         ELSE '' END)
+                || '<a href="mailto:a@b.c">m</a><a href="rel/x">r</a>'
+                    AS html
+            FROM documents
+        ),
+        rawhref AS (
+            SELECT url,
+                regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                unnest(regexp_extract_all(html, '{href_re}', 1)) AS raw
+            FROM inj
+        ),
+        links0 AS (
+            SELECT url,
+                CASE WHEN regexp_matches(raw,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://') THEN raw
+                     WHEN raw LIKE '//%' THEN scheme || ':' || raw
+                     WHEN raw LIKE '/%' AND host <> ''
+                          THEN scheme || '://' || host || raw
+                     ELSE NULL END AS href
+            FROM rawhref
+        ),
+        links AS (
+            SELECT url, href FROM links0
+            WHERE href IS NOT NULL
+                AND regexp_matches(href, '(?i)^https?://')
+        )"""
+
+
+def _webgraph_edges_sql() -> str:
+    """``edges(src_host, dst_host, n_links)`` on top of the links CTE
+    (host_graph: lowercase hosts, self-loops dropped, one hash agg)."""
+    return f"""{_webgraph_links_sql()},
+        edges AS (
+            SELECT
+                lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS src_host,
+                lower(regexp_extract(href,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host,
+                count(*)::BIGINT AS n_links
+            FROM links
+            GROUP BY 1, 2
+            HAVING src_host <> dst_host
+                AND src_host <> '' AND dst_host <> ''
+        )"""
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """PageRank oracle: the power iteration unrolled as ``iters``
+    chained CTEs over the host-graph edges (weighted by n_links,
+    teleport floor for every node, dangling mass not redistributed —
+    exactly `functions.webgraph.pagerank`'s documented semantics)."""
+    body = f"""{_webgraph_edges_sql()},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src_host AS node FROM edges
+                UNION ALL SELECT dst_host FROM edges
+            )
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        frac AS (
+            SELECT e.src_host AS src, e.dst_host AS dst,
+                   e.n_links::DOUBLE / o.ow AS frac
+            FROM edges e
+            JOIN (SELECT src_host, sum(n_links)::DOUBLE AS ow
+                  FROM edges GROUP BY 1) o
+              ON o.src_host = e.src_host
+        ),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        )"""
+    for i in range(iters):
+        body += f""",
+        r{i + 1} AS (
+            SELECT nodes.node,
+                ({1.0 - damping} / (SELECT n FROM nn))
+                + {damping} * COALESCE(s.in_rank, 0.0) AS rank
+            FROM nodes
+            LEFT JOIN (
+                SELECT frac.dst AS node,
+                       sum(frac.frac * r{i}.rank) AS in_rank
+                FROM frac JOIN r{i} ON r{i}.node = frac.src
+                GROUP BY 1
+            ) s ON s.node = nodes.node
+        )"""
+    return f"WITH {body}\n        SELECT node, rank FROM r{iters}"
 
 
 def _decontaminate_sql(n: int = 4, eval_max: int = 20, min_common: int = 1) -> str:
@@ -2116,6 +2302,18 @@ def oracle_sql() -> dict[str, str]:
         # canonicalization chain interpolates the SAME regex constants
         # the Spark expression uses (functions.curation), so the two
         # sides cannot drift.
+        # extract_links / host_link_graph / pagerank_hosts: one shared
+        # injection + extraction rendering (_webgraph_links_sql) so the
+        # three web-graph oracles cannot drift from each other
+        "extract_links": f"""
+            WITH {_webgraph_links_sql()}
+            SELECT url, href FROM links
+        """,
+        "host_link_graph": f"""
+            WITH {_webgraph_edges_sql()}
+            SELECT src_host, dst_host, n_links FROM edges
+        """,
+        "pagerank_hosts": _pagerank_sql(iters=3, damping=0.85),
         "canonical_urls": f"""
             WITH inj AS (
                 SELECT doc_id,

@@ -43,6 +43,13 @@ SHUFFLE_CEILING = {
     "doc_stats": 2,
     "domain_stats": 1,
     "emb_near_dup": 1,
+    "extract_links": 0,
+    "host_link_graph": 1,
+    # 3 unrolled power iterations: each shuffles the rank vector into
+    # the (pre-partitioned, persisted) edge join + one agg by dst; the
+    # edge relation itself partitions once. |nodes|-sized exchanges
+    # only — the count is iteration-proportional, not data-proportional.
+    "pagerank_hosts": 19,
     "detect_charset": 0,
     "robots_noindex": 0,
     "extract_text": 0,
