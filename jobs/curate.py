@@ -76,6 +76,8 @@ def curate(
     eval_docs=None,
     decontam_n: int = 8,
     normalize: bool = False,
+    host_ranks=None,
+    min_host_rank: float = 0.0,
 ):
     """documents DataFrame → curated DataFrame (same columns).
 
@@ -84,7 +86,13 @@ def curate(
     emptied entirely are dropped), Gopher repetition thresholds
     (``max_dup_token_frac`` / ``max_top_token_frac``), PII scrubbing
     (``scrub``), and benchmark decontamination (``eval_docs``: drop
-    docs sharing ``decontam_n``-gram shingles with the eval set)."""
+    docs sharing ``decontam_n``-gram shingles with the eval set).
+
+    ``host_ranks`` (a ``jobs/webgraph.py`` ``host_ranks`` table,
+    ``(node, rank)``) drops docs whose url host ranks below
+    ``min_host_rank`` — the centrality-weighted spam-host cut. Docs
+    without a url host or whose host is absent from the graph are
+    KEPT (absence of link evidence is not negative evidence)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -105,6 +113,24 @@ def curate(
         )
 
         docs = normalize_text(docs)
+    # 0b. host-rank quality cut FIRST among the drop stages: it is the
+    #     cheapest (one join against a |hosts|-sized relation) and
+    #     shrinks everything downstream. Left join + keep-on-null: a
+    #     doc is dropped only on positive evidence of a low-rank host.
+    if host_ranks is not None:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import host_of
+
+        r = host_ranks.select(
+            F.col("node").alias("_rank_host"), F.col("rank").alias("_host_rank")
+        )
+        docs = (
+            docs.join(r, host_of("url") == F.col("_rank_host"), "left")
+            .filter(
+                F.col("_host_rank").isNull()
+                | (F.col("_host_rank") >= F.lit(min_host_rank))
+            )
+            .drop("_rank_host", "_host_rank")
+        )
     # 1. exact: keep each identical-text group's min-doc_id member.
     #    min(doc_id) OVER (PARTITION BY md5(text)) + filter — ONE hash
     #    shuffle, no second relation, nothing broadcast (a duplicate-
@@ -285,6 +311,13 @@ def main() -> None:
         default=8,
         help="shingle width for decontamination (GPT-3 used 13)",
     )
+    ap.add_argument(
+        "--host-ranks",
+        default="",
+        help="host_ranks table from jobs/webgraph.py: drop docs whose "
+        "url host ranks below --min-host-rank (unknown hosts kept)",
+    )
+    ap.add_argument("--min-host-rank", type=float, default=0.0)
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
@@ -319,6 +352,10 @@ def main() -> None:
         ),
         decontam_n=args.decontam_n,
         normalize=args.normalize,
+        host_ranks=(
+            read_table(spark, args.host_ranks) if args.host_ranks else None
+        ),
+        min_host_rank=args.min_host_rank,
     ).observe(obs, F.count(F.lit(1)).alias("n_out"))
     write_table(kept, args.output)
     n_out = obs.get["n_out"]

@@ -125,6 +125,81 @@ def test_pagerank_weighted(spark):
     assert got["b"] > got["c"]  # 3x the weight from a
 
 
+def test_webgraph_job_cli(spark, tmp_path, capsys, monkeypatch):
+    """jobs/webgraph.py writes links/, host_graph/, host_ranks/ and the
+    ranks equal the library call's."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve()))
+    import webgraph as webgraph_job
+
+    rows = [
+        (f"https://h{i % 3}.example/d{i}",
+         f'<a href="https://h{(i + 1) % 4}.example/p{i}">x</a>')
+        for i in range(40)
+    ]
+    src = str(tmp_path / "pages")
+    _pages(spark, rows).write.parquet(src)
+    out = str(tmp_path / "wg")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["webgraph.py", "--input", src, "--output", out, "--iters", "2"],
+    )
+    monkeypatch.setattr(
+        "mecab_ko_lucene_analyzer_spark.plans.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    webgraph_job.main()
+    assert '"status": "written"' in capsys.readouterr().out
+
+    assert spark.read.parquet(f"{out}/links").count() == 40
+    edges = spark.read.parquet(f"{out}/host_graph")
+    got = {
+        r.node: r.rank for r in spark.read.parquet(f"{out}/host_ranks").collect()
+    }
+    want = {
+        r.node: r.rank
+        for r in pagerank(edges, weight="n_links", iters=2).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_curate_host_rank_filter(spark):
+    """curate(host_ranks=...): low-rank hosts drop; unknown hosts and
+    url-less docs are kept (absence of link evidence is not negative
+    evidence)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve()))
+    from curate import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha text one", "ko", "https://good.example/a"),
+            (2, "bravo text two", "ko", "https://spam.example/b"),
+            (3, "charlie text three", "ko", "https://unranked.example/c"),
+            (4, "delta text four", "ko", None),
+        ],
+        "doc_id bigint, text string, lang string, url string",
+    )
+    ranks = spark.createDataFrame(
+        [("good.example", 0.5), ("spam.example", 0.01)],
+        "node string, rank double",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in curate(
+            docs, dedup="exact", host_ranks=ranks, min_host_rank=0.1
+        ).collect()
+    )
+    assert kept == [1, 3, 4]
+
+
 def test_pagerank_rank_mass_bounds(spark):
     """Ranks stay in (0, 1] and total mass never exceeds 1 (dangling
     mass leaks, it must never be created)."""
