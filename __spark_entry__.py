@@ -43,8 +43,12 @@ from mecab_ko_lucene_analyzer_spark.functions.curation import (  # noqa: E402
     _URL_SCHEME_RE,
 )
 from mecab_ko_lucene_analyzer_spark.functions.webgraph import (  # noqa: E402
+    ANCHOR_RE as _ANCHOR_RE,
     HREF_RE as _HREF_RE,
 )
+
+# anchor-field weight for the BM25F contract query (body weight 1.0)
+ANCHOR_W = 2.0
 from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     HTML_COMMENT_RE as _HTML_COMMENT_RE,
     HTML_ENTITIES as _HTML_ENTITIES,
@@ -583,6 +587,117 @@ def _q_pagerank_hosts(spark, sf_dir):
 
     edges = host_graph(extract_links(_webgraph_pages(spark, sf_dir)))
     return pagerank(edges, weight="n_links", iters=3)
+
+
+def _anchor_pages(spark, sf_dir):
+    """Deterministic anchor-text injection ``(doc_id, url, html)``:
+    every doc links to the NEXT doc with the source doc's first 8
+    whitespace tokens as anchor text (real corpus text — entities,
+    Korean, anything goes; both engines replay the same regexes), plus
+    a decade-hub link with one of 3 fixed anchor strings (aggregation
+    fan-in for ``incoming_anchors``), plus periodic nested-markup,
+    root-relative (dangling target, entity in anchor) and mailto cases
+    exercising the extraction bounds. Urls are canonical by
+    construction, so the canonical join in ``incoming_anchors`` is the
+    identity here — variant-url matching is pinned by
+    ``tests/test_anchors.py`` and the ``canonical_urls`` oracle."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+
+    def page_url(d):
+        return F.concat(
+            F.lit("https://h"),
+            (d % 5).cast("string"),
+            F.lit(".example/d"),
+            d.cast("string"),
+        )
+
+    atext = F.array_join(
+        F.slice(F.filter(F.split("text", " "), lambda x: x != F.lit("")), 1, 8),
+        " ",
+    )
+    html = F.concat(
+        F.lit('<p>x</p><a href="'),
+        page_url(did + 1),
+        F.lit('">'),
+        atext,
+        F.lit('</a><a rel=nofollow href="'),
+        page_url(did - (did % 10)),
+        F.lit('">hub '),
+        (did % 3).cast("string"),
+        F.lit("</a>"),
+        F.when(
+            did % 6 == 0,
+            F.lit('<a href="https://h0.example/d0"><b>nested</b></a>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit('<a href="/p'), ds, F.lit('">로컬 &amp; '), ds, F.lit("</a>")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit('<a href="mailto:a@b.c">mail</a>')).otherwise(
+            F.lit("")
+        ),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        page_url(did).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def _q_anchor_texts(spark, sf_dir):
+    """Anchor-text extraction (url, href, anchor): the direct-text
+    capture, entity-decoded and whitespace-collapsed, on the lenient
+    UTF-8 view; absolutization shared with extract_links. Zero
+    exchanges (per-row map + one Generate)."""
+    from mecab_ko_lucene_analyzer_spark.functions.webgraph import (
+        extract_anchor_texts,
+    )
+
+    return extract_anchor_texts(_anchor_pages(spark, sf_dir))
+
+
+def _q_incoming_anchors(spark, sf_dir):
+    """Per-target anchor pool (url, anchor, n_incoming): anchors of
+    links pointing at pages that exist in the corpus — one hash join
+    on the canonical target url + one map-side-combined hash agg."""
+    from mecab_ko_lucene_analyzer_spark.functions.webgraph import (
+        extract_anchor_texts,
+        incoming_anchors,
+    )
+
+    pages = _anchor_pages(spark, sf_dir)
+    return incoming_anchors(extract_anchor_texts(pages), pages)
+
+
+def _q_anchor_bm25f_topk(spark, sf_dir):
+    """BM25F (simplified / Lucene combined-field) top-10 over body
+    text (w=1) + incoming anchor text (w=2): per-field tfs and lengths
+    pool into one virtual document via a weighted union, then standard
+    BM25 — one hash-aggregate pipeline, corpus scalars on a broadcast
+    1-row cross-join, TakeOrdered top-k."""
+    from mecab_ko_lucene_analyzer_spark.functions.webgraph import (
+        extract_anchor_texts,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.bm25f import bm25f_topk
+
+    pages = _anchor_pages(spark, sf_dir)
+    anchors = extract_anchor_texts(pages)
+    atoks = (
+        anchors.select(F.col("href").alias("url"), "anchor")
+        .join(pages.select("doc_id", "url"), "url")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("anchor", " "), lambda x: x != F.lit(""))
+            ).alias("term"),
+        )
+    )
+    return bm25f_topk(
+        [(_tokens(spark, sf_dir), 1.0), (atoks, ANCHOR_W)], BM25_QUERY, k=10
+    )
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
@@ -1197,6 +1312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _q_extract_links,
         "host_link_graph": _q_host_link_graph,
         "pagerank_hosts": _q_pagerank_hosts,
+        "anchor_texts": _q_anchor_texts,
+        "incoming_anchors": _q_incoming_anchors,
+        "anchor_bm25f_topk": _q_anchor_bm25f_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1343,6 +1461,76 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
             ) s ON s.node = nodes.node
         )"""
     return f"WITH {body}\n        SELECT node, rank FROM r{iters}"
+
+
+def _anchor_pages_sql() -> str:
+    """Shared CTE body (``ainj(doc_id, url, html)`` + ``anchors(url,
+    href, anchor)``) replaying the anchor injection (``_anchor_pages``)
+    and ``extract_anchor_texts`` at string level: same ANCHOR_RE (both
+    capture groups), same entity chain (generated from HTML_ENTITIES),
+    same whitespace collapse, same absolutization CASE and http(s) +
+    non-empty-anchor filters — the three anchor oracles build on one
+    rendering so they cannot drift from each other."""
+    anchor_re = _ANCHOR_RE.replace("'", "''")
+    entity = _entity_chain_sql(f"regexp_extract(m, '{anchor_re}', 2)")
+    return f"""
+        ainj AS (
+            SELECT doc_id,
+                'https://h' || (doc_id % 5) || '.example/d' || doc_id AS url,
+                '<p>x</p><a href="https://h' || ((doc_id + 1) % 5)
+                    || '.example/d' || (doc_id + 1) || '">'
+                || array_to_string(list_filter(string_split(text, ' '),
+                       x -> x <> '')[1:8], ' ')
+                || '</a><a rel=nofollow href="https://h'
+                || ((doc_id - (doc_id % 10)) % 5) || '.example/d'
+                || (doc_id - (doc_id % 10)) || '">hub ' || (doc_id % 3)
+                || '</a>'
+                || (CASE WHEN doc_id % 6 = 0
+                        THEN '<a href="https://h0.example/d0">' ||
+                             '<b>nested</b></a>'
+                        ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                        THEN '<a href="/p' || doc_id || '">로컬 &amp; '
+                             || doc_id || '</a>'
+                        ELSE '' END)
+                || (CASE WHEN doc_id % 9 = 0
+                        THEN '<a href="mailto:a@b.c">mail</a>'
+                        ELSE '' END)
+                    AS html
+            FROM documents
+        ),
+        am AS (
+            SELECT url,
+                regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                unnest(regexp_extract_all(html, '{anchor_re}', 0)) AS m
+            FROM ainj
+        ),
+        ax AS (
+            SELECT url, scheme, host,
+                regexp_extract(m, '{anchor_re}', 1) AS raw,
+                {entity} AS t0
+            FROM am
+        ),
+        ar AS (
+            SELECT url,
+                CASE WHEN regexp_matches(raw,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://') THEN raw
+                     WHEN raw LIKE '//%' THEN scheme || ':' || raw
+                     WHEN raw LIKE '/%' AND host <> ''
+                          THEN scheme || '://' || host || raw
+                     ELSE NULL END AS href,
+                trim(regexp_replace(t0, '{_HTML_WS_RE}', ' ', 'g')) AS anchor
+            FROM ax
+        ),
+        anchors AS (
+            SELECT url, href, anchor FROM ar
+            WHERE href IS NOT NULL
+                AND regexp_matches(href, '(?i)^https?://')
+                AND anchor <> ''
+        )"""
 
 
 def _decontaminate_sql(n: int = 4, eval_max: int = 20, min_common: int = 1) -> str:
@@ -2314,6 +2502,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM edges
         """,
         "pagerank_hosts": _pagerank_sql(iters=3, damping=0.85),
+        # anchor_texts / incoming_anchors / anchor_bm25f_topk: one
+        # shared injection + extraction rendering (_anchor_pages_sql)
+        # so the three anchor oracles cannot drift from each other.
+        # The incoming join key is the exact url (the injection is
+        # canonical by construction — see _anchor_pages).
+        "anchor_texts": f"""
+            WITH {_anchor_pages_sql()}
+            SELECT url, href, anchor FROM anchors
+        """,
+        "incoming_anchors": f"""
+            WITH {_anchor_pages_sql()},
+            tgt AS (SELECT DISTINCT url FROM ainj)
+            SELECT a.href AS url, a.anchor, count(*) AS n_incoming
+            FROM anchors a JOIN tgt ON a.href = tgt.url
+            GROUP BY 1, 2
+        """,
+        "anchor_bm25f_topk": f"""
+            WITH {_anchor_pages_sql()},
+            ids AS (SELECT doc_id, url FROM ainj),
+            atoks AS (
+                SELECT ids.doc_id,
+                       unnest(list_filter(string_split(a.anchor, ' '),
+                           x -> x <> '')) AS term
+                FROM anchors a JOIN ids ON a.href = ids.url
+            ),
+            btoks AS ({_TOKS_SQL}),
+            toks AS (
+                SELECT doc_id, term, 1.0::DOUBLE AS w FROM btoks
+                UNION ALL
+                SELECT doc_id, term, {ANCHOR_W}::DOUBLE AS w FROM atoks
+            ),
+            dl AS (SELECT doc_id, sum(w) AS doc_len FROM toks GROUP BY 1),
+            corpus AS (
+                SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl
+            ),
+            tfs AS (
+                SELECT term, doc_id, sum(w) AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1)
+            SELECT tfs.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                       * tfs.tf / (tfs.tf + {K1} * (1 - {B}
+                           + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY tfs.doc_id
+            ORDER BY score DESC, tfs.doc_id ASC
+            LIMIT 10
+        """,
         "canonical_urls": f"""
             WITH inj AS (
                 SELECT doc_id,

@@ -32,9 +32,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 __all__ = [
+    "ANCHOR_RE",
     "HREF_RE",
+    "extract_anchor_texts",
     "extract_links",
     "host_graph",
+    "incoming_anchors",
     "pagerank",
 ]
 
@@ -45,10 +48,41 @@ __all__ = [
 # brackets/whitespace — the capture never crosses an attribute.
 HREF_RE = r"""(?i)<a[^>]*href\s*=\s*["']([^"'<> \t\r\n]+)["']"""
 
+# HREF_RE extended through the end of the opening tag and into the
+# anchor's DIRECT text: group 1 = href value, group 2 = the text up to
+# the first '<' (documented bound: markup-nested anchor text, e.g.
+# <a..><b>x</b></a>, yields an empty capture and the row is dropped —
+# delimiting nested inline markup safely needs an HTML parser). The
+# pattern itself stays ASCII-only/RE2-compatible; the capture is
+# arbitrary page text, which is why extraction runs on the lenient
+# UTF-8 view rather than the byte view.
+ANCHOR_RE = HREF_RE + r"[^>]*>([^<]*)"
+
 # scheme-shaped prefix (mailto:, javascript:, tel:, data: ... or a real
 # scheme://) — used to split absolute urls from scheme-less paths
 _ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 _SCHEME_ONLY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+_SCHEME_CAP_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_CAP_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+
+def _resolve_href(raw: Column, scheme: Column, host: Column) -> Column:
+    """Absolutize a raw href capture against the page's scheme/host:
+    absolute urls pass through, ``//host/...`` takes the page scheme,
+    ``/path`` takes scheme+host; everything else (path-relative,
+    mailto:/javascript:/tel:/data:) resolves to NULL. Shared by
+    :func:`extract_links` and :func:`extract_anchor_texts` so the edge
+    source and the anchor-text source cannot drift."""
+    return (
+        F.when(raw.rlike(_ABS_RE), raw)
+        .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
+        .when(
+            raw.startswith("/") & (host != ""),
+            F.concat(scheme, F.lit("://"), host, raw),
+        )
+        .otherwise(F.lit(None))
+    )
 
 
 def extract_links(
@@ -70,30 +104,117 @@ def extract_links(
     """
     u = F.col(url)
     h = F.col(html)
-    scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    scheme = F.regexp_extract(u, _SCHEME_CAP_RE, 1)
+    host = F.regexp_extract(u, _HOSTPORT_CAP_RE, 1)
     # lenient decode: the href pattern is ASCII-only, so the lossless
     # ISO-8859-1 byte view can never mis-match whatever the charset is
     raw = F.explode(
         F.regexp_extract_all(F.decode(h, "ISO-8859-1"), F.lit(HREF_RE), F.lit(1))
     ).alias("_raw_href")
     links = pages.select(u.alias(url), scheme.alias("_scheme"), host.alias("_host"), raw)
-    r = F.col("_raw_href")
-    resolved = (
-        F.when(r.rlike(_ABS_RE), r)
-        .when(r.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), r))
-        .when(
-            r.startswith("/") & (F.col("_host") != ""),
-            F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), r),
-        )
-        .otherwise(F.lit(None))
-    )
+    resolved = _resolve_href(F.col("_raw_href"), F.col("_scheme"), F.col("_host"))
     return (
         links.withColumn(out, resolved)
         # keep http(s) only: a scheme-shaped prefix that is not
         # followed by // is mailto:/javascript:/tel:/data: territory
         .filter(F.col(out).rlike(r"(?i)^https?://"))
         .select(url, out)
+    )
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    url: str = "url",
+    html: str = "html",
+) -> DataFrame:
+    """``(url, href, anchor)`` rows: every http(s) ``<a href>`` target
+    together with its direct anchor text — the classic web-search
+    relevance signal (anchor text describes the TARGET page better
+    than the target's own boilerplate; Brin & Page §2.2).
+
+    Same absolutization and http(s)-only rules as
+    :func:`extract_links` (one shared resolver). Anchor text is the
+    capture between the opening tag's ``>`` and the first ``<``
+    (``ANCHOR_RE`` documents the nested-markup bound), entity-decoded
+    with the extraction chain's ordered entity set, whitespace-
+    collapsed and trimmed; rows whose anchor text is empty after that
+    (image links, nested-markup anchors) are dropped — they carry no
+    text signal. Unlike the ASCII-only href path this reads the
+    LENIENT UTF-8 view (``make_valid_utf8``): anchor text is real page
+    text and mojibake must not abort the job; non-UTF-8 pages should
+    be transcoded first (the WARC ingest path already does).
+
+    Pure per-row map work + one Generate — zero exchanges, so it
+    pipelines straight into :func:`incoming_anchors`' aggregation.
+    """
+    from ..sources.webpages import HTML_ENTITIES, HTML_WS_RE
+
+    u = F.col(url)
+    s = F.call_function("make_valid_utf8", F.col(html).cast("string"))
+    scheme = F.regexp_extract(u, _SCHEME_CAP_RE, 1)
+    host = F.regexp_extract(u, _HOSTPORT_CAP_RE, 1)
+    m = F.explode(F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(0))).alias("_m")
+    base = pages.select(u.alias(url), scheme.alias("_scheme"), host.alias("_host"), m)
+    text = F.regexp_extract(F.col("_m"), ANCHOR_RE, 2)
+    for ent, ch in HTML_ENTITIES:
+        text = F.replace(text, F.lit(ent), F.lit(ch))
+    anchor = F.trim(F.regexp_replace(text, HTML_WS_RE, " "))
+    resolved = _resolve_href(
+        F.regexp_extract(F.col("_m"), ANCHOR_RE, 1),
+        F.col("_scheme"),
+        F.col("_host"),
+    )
+    return (
+        base.select(url, resolved.alias("href"), anchor.alias("anchor"))
+        .filter(F.col("href").rlike(r"(?i)^https?://"))
+        .filter(F.col("anchor") != "")
+    )
+
+
+def incoming_anchors(
+    anchors: DataFrame,
+    pages: DataFrame,
+    url: str = "url",
+    canonicalize: bool = True,
+    external_only: bool = False,
+) -> DataFrame:
+    """``(url, anchor, n_incoming)``: anchor texts of links POINTING AT
+    pages that exist in the corpus, aggregated per (target page,
+    anchor string) — the per-target anchor-text field an index build
+    consumes (see ``query/bm25f.py``).
+
+    ``anchors`` is an :func:`extract_anchor_texts` output; ``pages``
+    any DataFrame carrying the corpus url column. ``canonicalize``
+    joins on ``canonical_url`` of both sides so tracking-param/case
+    variants of the same page collect one anchor pool (the same key
+    the url-keyed dedup/upsert paths use); the output ``url`` is then
+    the canonical form. ``external_only=True`` keeps only cross-host
+    links (nav boilerplate from a site's own pages dominates raw
+    counts; external anchors are the curated signal).
+
+    Scale shape: both sides are big at crawl scale, so this is one
+    hash join on the target url followed by one map-side-combined hash
+    aggregation — the anchor relation shuffles once, the page-url
+    projection once (single narrow column).
+    """
+    from .curation import canonical_url, host_of
+
+    key = (lambda c: canonical_url(c)) if canonicalize else (lambda c: F.col(c) if isinstance(c, str) else c)
+    a = anchors.select(
+        key("href").alias("_dst_url"),
+        F.col(url).alias("_src_url"),
+        "anchor",
+    )
+    if external_only:
+        a = a.filter(
+            F.coalesce(host_of("_src_url") != host_of("_dst_url"), F.lit(True))
+        )
+    targets = pages.select(key(url).alias("_dst_url")).distinct()
+    return (
+        a.join(targets, "_dst_url")
+        .groupBy("_dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_incoming"))
+        .withColumnRenamed("_dst_url", url)
     )
 
 

@@ -1,0 +1,126 @@
+"""Field-weighted BM25 ("BM25F-lite" / Lucene combined-fields) over
+multiple token fields — body text plus incoming anchor text is the
+classic pairing (anchor text describes the target page better than the
+target's own boilerplate; the signal web search engines have indexed
+since Brin & Page §2.2). The reference engine exposes per-field
+analysis through its Elasticsearch plugin
+(``AnalysisMeCabKoStandardPlugin.java`` registers the analyzers;
+per-field boosts ride the ES query DSL); this is the same capability
+expressed as one Spark plan.
+
+Model: the simplified BM25F that Lucene ships as "combined field"
+scoring (CombinedFieldQuery) — each field's term frequencies and
+lengths are scaled by the field weight and pooled into ONE virtual
+document before standard BM25 runs::
+
+    tf'(t,d)  = Σ_f  w_f · tf_f(t,d)
+    dl'(d)    = Σ_f  w_f · dl_f(d)
+    idf       = over the pooled tf'  (df' = #docs with tf' > 0)
+    score     = Σ_t idf(t) · tf' / (tf' + k1·(1 − b + b·dl'/avgdl'))
+
+versus full BM25F (per-field b_f saturating before the idf sum). The
+pooled form needs no per-field tuning, is rank-stable under field
+sparsity (a doc with no anchors just has smaller dl'), and — the point
+here — stays a pure relational plan: a weighted union replaces any
+per-field score combination, so the whole thing is one hash aggregate
+pipeline that an exact DuckDB oracle can replay.
+
+Scale shape: the union of field token tables is map-side work; the
+per-(term, doc) pooling and the per-doc length are each one hash
+aggregate with partial combine; query-term filtering happens BEFORE
+the tf aggregation (pushed into the field scans); corpus scalars ride
+a broadcast 1-row cross-join (no eager driver job); top-k is
+TakeOrdered, never a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..index.build import K1, B
+
+__all__ = ["weighted_field_tokens", "bm25f_topk"]
+
+
+def weighted_field_tokens(
+    fields: Sequence[tuple[DataFrame, float]],
+    doc_id: str = "doc_id",
+    term: str = "term",
+) -> DataFrame:
+    """Pool per-field token tables ``(doc_id, term)`` into one weighted
+    token relation ``(doc_id, term, w)`` — the "virtual document" of
+    simplified BM25F. Fields with weight 0 are dropped eagerly."""
+    parts = [
+        df.select(
+            F.col(doc_id).alias("doc_id"),
+            F.col(term).alias("term"),
+            F.lit(float(w)).alias("w"),
+        )
+        for df, w in fields
+        if w
+    ]
+    if not parts:
+        raise ValueError("bm25f: at least one field with non-zero weight")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bm25f_topk(
+    fields: Sequence[tuple[DataFrame, float]],
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Field-weighted BM25 top-k over ``fields`` = [(tokens, weight)]
+    token tables ``(doc_id, term)`` → ``(doc_id, score)``, ``k`` rows,
+    rank-deterministic (score desc, doc_id asc). ``score`` is rounded
+    to 6 decimals (summation-order float noise; the driver-contract
+    convention).
+
+    N and avgdl are computed over the union's docs — a doc present in
+    ANY field is a corpus member. Single lazy job: the (n, avgdl)
+    scalars ride a broadcast 1-row cross-join and ReuseExchange dedupes
+    the shared doc-length aggregation subtree (the ``bm25_topk``
+    single-job formulation).
+    """
+    toks = weighted_field_tokens(fields)
+    dl = toks.groupBy("doc_id").agg(F.sum("w").alias("doc_len"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    tfs = (
+        toks.filter(F.col("term").isin(list(set(query_terms))))
+        .groupBy("term", "doc_id")
+        .agg(F.sum("w").alias("tf"))
+    )
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    return (
+        tfs.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -30,6 +30,12 @@ SF = "/root/testdata/sf0.001"
 # shuffles — they are single-pass map work at any scale.
 SHUFFLE_CEILING = {
     "analyze_ko_tokens": 0,
+    # per-row extraction: zero exchanges (the bm25f pipeline's 7 =
+    # incoming join + weighted-union aggs + broadcast-scalar reuse,
+    # same shape family as bm25_topk)
+    "anchor_texts": 0,
+    "incoming_anchors": 2,
+    "anchor_bm25f_topk": 7,
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
     "ann_lsh_topk": 1,
