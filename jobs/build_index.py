@@ -47,6 +47,20 @@ def main() -> None:
         "ship raw pages without pre-extracted text)",
     )
     ap.add_argument(
+        "--with-anchors",
+        action="store_true",
+        help="also build the incoming-anchor field (anchor_postings + "
+        "anchor_doc_stats + anchor_corpus_stats; requires the html "
+        "column) — served by engine.search_fielded / jobs/query.py "
+        "--anchor-weight",
+    )
+    ap.add_argument(
+        "--anchor-external-only",
+        action="store_true",
+        help="anchor field: keep only cross-host links (drop same-site "
+        "nav boilerplate)",
+    )
+    ap.add_argument(
         "--publish",
         metavar="NAMESPACE",
         help="after the build, publish the index tables to this Iceberg "
@@ -97,6 +111,8 @@ def main() -> None:
         compound_noun_min_length=args.compound_noun_min_length,
         lang_filter=args.lang or None,
         with_blocks=not args.no_blocks,
+        with_anchors=args.with_anchors,
+        anchor_external_only=args.anchor_external_only,
     )
     with open(f"{args.output}/manifest.json") as f:
         print(json.dumps(json.load(f), indent=2))

@@ -40,6 +40,14 @@ def main() -> None:
         "--offset", type=int, default=0, help="scroll paging offset (Q8)"
     )
     ap.add_argument("--disjunctive", action="store_true")
+    ap.add_argument(
+        "--anchor-weight",
+        type=float,
+        default=None,
+        help="score with BM25F over body + incoming anchor text at "
+        "this anchor weight (requires a --with-anchors build; "
+        "distributed scorer, engine.search_fielded)",
+    )
     ap.add_argument("--explain", action="store_true")
     ap.add_argument(
         "--max-driver-df",
@@ -96,10 +104,18 @@ def main() -> None:
     else:
         if args.explain:
             print(engine.explain_query(args.query))
-        hits = engine.search(
-            args.query, k=args.k, offset=args.offset,
-            conjunctive=not args.disjunctive,
-        )
+        if args.anchor_weight is not None:
+            hits = engine.search_fielded(
+                args.query,
+                k=args.k,
+                offset=args.offset,
+                anchor_weight=args.anchor_weight,
+            )
+        else:
+            hits = engine.search(
+                args.query, k=args.k, offset=args.offset,
+                conjunctive=not args.disjunctive,
+            )
         print(json.dumps(hits, ensure_ascii=False, indent=2))
     spark.stop()
 

@@ -113,6 +113,8 @@ class SearchEngine:
         mode: str = "standard",
         compound_noun_min_length: int = 3,
         lang_filter: str | None = "ko",
+        with_anchors: bool = False,
+        anchor_external_only: bool = False,
     ) -> "SearchEngine":
         build_and_write(
             pages,
@@ -121,6 +123,8 @@ class SearchEngine:
             compound_noun_min_length=compound_noun_min_length,
             lang_filter=lang_filter,
             with_blocks=True,
+            with_anchors=with_anchors,
+            anchor_external_only=anchor_external_only,
         )
         return cls(spark, base_path, option or AnalyzerOption(), mode)
 
@@ -252,6 +256,91 @@ class SearchEngine:
         out = self._resolve(hits[offset : offset + k])
         if highlight:
             terms = [t["term"] for t in tokens]
+            for hit in out:
+                hit["highlight_terms"] = terms
+        return out
+
+    def _load_anchor_tables(self):
+        """Lazy anchor-field tables (``with_anchors=True`` builds);
+        probed once through the Hadoop FS API (object-store-safe)."""
+        if not hasattr(self, "_anchor_postings"):
+            from .streaming.incremental import _fs_and_path
+
+            fs, jpath, _jvm = _fs_and_path(
+                self.spark, f"{self.base_path}/anchor_postings"
+            )
+            if fs.exists(jpath):
+                sp = self.spark
+                self._anchor_postings = sp.read.parquet(
+                    f"{self.base_path}/anchor_postings"
+                )
+                self._anchor_doc_stats = sp.read.parquet(
+                    f"{self.base_path}/anchor_doc_stats"
+                )
+                self._anchor_corpus_stats = sp.read.parquet(
+                    f"{self.base_path}/anchor_corpus_stats"
+                )
+            else:
+                self._anchor_postings = None
+        if self._anchor_postings is None:
+            raise FileNotFoundError(
+                f"no anchor field under {self.base_path!r} — build with "
+                "with_anchors=True (jobs/build_index.py --with-anchors)"
+            )
+        return (
+            self._anchor_postings,
+            self._anchor_doc_stats,
+            self._anchor_corpus_stats,
+        )
+
+    def _body_index(self):
+        """Lazy row-postings view of the serving index (fused builds
+        decode the partial blocks; row-identical to a legacy build)."""
+        if not hasattr(self, "_body_idx"):
+            from .index.build import load_index
+
+            self._body_idx = load_index(self.spark, self.base_path)
+        return self._body_idx
+
+    def search_fielded(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        anchor_weight: float = 2.0,
+        highlight: bool = False,
+    ) -> list[dict]:
+        """Field-weighted retrieval: BM25F (Lucene combined-field
+        model) over body text + the incoming-anchor field of a
+        ``with_anchors=True`` build (``query/bm25f.py``).
+
+        Always the DISTRIBUTED scorer — one Spark job per query, both
+        postings scans pruned by the query-term IN filter. The anchor
+        field is an offline/relevance-mining surface (hard negatives,
+        quality-weighted sampling), not the hot serving path; the
+        driver WAND cursors stay body-only by design.
+        ``anchor_weight=0`` is rank-identical to disjunctive
+        :meth:`search` (pinned in tests)."""
+        from .query.bm25f import bm25f_topk_postings
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        terms = [t["term"] for t in tokens]
+        ap, ads, acs = self._load_anchor_tables()
+        self.last_route = "distributed"
+        rows = bm25f_topk_postings(
+            self._body_index(),
+            ap,
+            ads,
+            acs,
+            terms,
+            w_anchor=anchor_weight,
+            k=offset + k,
+        ).collect()
+        hits = [(r["doc_id"], r["score"]) for r in rows]
+        out = self._resolve(hits[offset : offset + k])
+        if highlight:
             for hit in out:
                 hit["highlight_terms"] = terms
         return out

@@ -710,6 +710,8 @@ def build_and_write(
     hot_min_df: int = 1000,
     salt_shift: int | None = None,
     doc_order: str = "input",
+    with_anchors: bool = False,
+    anchor_external_only: bool = False,
 ) -> InvertedIndex:
     """Materialize the index with per-stage checkpoints (I6):
 
@@ -882,6 +884,55 @@ def build_and_write(
 
     with _build_confs():
         run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
+
+    if with_anchors:
+
+        def stage_anchors():
+            """Anchor-field tables (``index/anchors.py``): postings
+            first, then doc/corpus stats derived from the WRITTEN
+            postings (no second tokenize pass; corpus scalars ride the
+            doc-stats write via Observation — retry-exact, the stats-
+            stage discipline)."""
+            from pyspark.sql import Observation
+
+            from .anchors import anchor_postings_table
+
+            doc_map = spark.read.parquet(f"{base_path}/doc_map")
+            anchor_postings_table(
+                pages,
+                doc_map,
+                mode,
+                compound_noun_min_length,
+                external_only=anchor_external_only,
+            ).write.mode("overwrite").parquet(f"{base_path}/anchor_postings")
+            written = spark.read.parquet(f"{base_path}/anchor_postings")
+            ads = written.groupBy("doc_id").agg(
+                F.sum("tf").alias("anchor_len")
+            )
+            obs = Observation("anchor_corpus")
+            ads = ads.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_anchor_docs"),
+                F.sum("anchor_len").alias("anchor_len_sum"),
+            )
+            ads.write.mode("overwrite").parquet(f"{base_path}/anchor_doc_stats")
+            vals = obs.get
+            n_ad = int(vals["n_anchor_docs"] or 0)
+            als = int(vals["anchor_len_sum"] or 0)
+            spark.createDataFrame(
+                [(n_ad, als)], "n_anchor_docs long, anchor_len_sum long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{base_path}/anchor_corpus_stats"
+            )
+            return {"n_anchor_docs": n_ad, "anchor_len_sum": als}
+
+        with _build_confs():
+            run_stage(
+                manifest,
+                "anchors",
+                f"{base_path}/anchor_postings",
+                stage_anchors,
+            )
 
     if with_blocks:
 

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 
 from ..index.build import K1, B
 
-__all__ = ["weighted_field_tokens", "bm25f_topk"]
+__all__ = ["weighted_field_tokens", "bm25f_topk", "bm25f_topk_postings"]
 
 
 def weighted_field_tokens(
@@ -121,6 +121,109 @@ def bm25f_topk(
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+def bm25f_topk_postings(
+    index,
+    anchor_postings: DataFrame,
+    anchor_doc_stats: DataFrame,
+    anchor_corpus_stats: DataFrame,
+    query_terms: Sequence[str],
+    w_anchor: float = 2.0,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Combined-field BM25F over a BUILT index (``InvertedIndex``) plus
+    the anchor-field tables an ``--with-anchors`` build writes
+    (``index/anchors.py``) → ``(doc_id, score)``, ``k`` rows,
+    rank-deterministic. ``w_anchor=0`` degenerates to plain body BM25
+    (rank-identity pinned in tests).
+
+    Pooling per the model in this module's header: query-term tfs from
+    both fields full-outer-join on (term, doc_id) and sum with the
+    anchor weight; the virtual doc length is ``doc_len + w·anchor_len``
+    (anchor-less docs coalesce to 0); ``avgdl' = avgdl +
+    w·Σanchor_len/N`` comes from the two 1-row corpus tables — exact
+    for ANY query-time weight, no per-query corpus pass; idf uses the
+    POOLED df (count of docs matching in either field), computed
+    in-plan from the already-filtered tf relation (exact, tiny agg).
+
+    Scale shape: both postings scans are pruned by the query-term
+    IN-filter before anything shuffles; the doc-length join touches
+    only matched docs. At 10^12 docs, store doc_stats /
+    anchor_doc_stats bucketed by doc_id alongside doc-partitioned
+    postings so that join is co-located; the driver sees only the two
+    1-row stats reads and the final top-k.
+    """
+    terms = sorted(set(query_terms))
+    spark = anchor_postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    corpus = index.corpus_stats.first()
+    n_docs, avgdl_body = corpus["n_docs"], corpus["avgdl"]
+    if not n_docs:
+        return spark.createDataFrame([], "doc_id long, score double")
+    ac = anchor_corpus_stats.first()
+    anchor_len_sum = (ac["anchor_len_sum"] or 0) if ac is not None else 0
+    avgdl = avgdl_body + w_anchor * anchor_len_sum / n_docs
+
+    bt = index.postings.filter(F.col("term").isin(terms)).select(
+        "term", "doc_id", F.col("tf").cast("double").alias("_btf")
+    )
+    if w_anchor:
+        at = anchor_postings.filter(F.col("term").isin(terms)).select(
+            "term",
+            "doc_id",
+            (F.col("tf").cast("double") * F.lit(float(w_anchor))).alias("_atf"),
+        )
+        tfs = bt.join(at, ["term", "doc_id"], "full_outer").select(
+            "term",
+            "doc_id",
+            (
+                F.coalesce(F.col("_btf"), F.lit(0.0))
+                + F.coalesce(F.col("_atf"), F.lit(0.0))
+            ).alias("tf"),
+        )
+        lens = (
+            index.doc_stats.select("doc_id", "doc_len")
+            .join(anchor_doc_stats, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("doc_len").cast("double")
+                    + F.lit(float(w_anchor))
+                    * F.coalesce(F.col("anchor_len").cast("double"), F.lit(0.0))
+                ).alias("pooled_len"),
+            )
+        )
+    else:
+        tfs = bt.select("term", "doc_id", F.col("_btf").alias("tf"))
+        lens = index.doc_stats.select(
+            "doc_id", F.col("doc_len").cast("double").alias("pooled_len")
+        )
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    return (
+        tfs.join(F.broadcast(dfs), "term")
+        .join(lens, "doc_id")
+        .withColumn(
+            "idf",
+            F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("pooled_len") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
