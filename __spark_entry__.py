@@ -49,6 +49,8 @@ from mecab_ko_lucene_analyzer_spark.functions.webgraph import (  # noqa: E402
 
 # anchor-field weight for the BM25F contract query (body weight 1.0)
 ANCHOR_W = 2.0
+# centrality-prior weight for the boosted-BM25 contract query
+BOOST_W = 0.5
 from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     HTML_COMMENT_RE as _HTML_COMMENT_RE,
     HTML_ENTITIES as _HTML_ENTITIES,
@@ -700,6 +702,81 @@ def _q_anchor_bm25f_topk(spark, sf_dir):
     )
 
 
+def _q_boosted_bm25_topk(spark, sf_dir):
+    """BM25 blended with the PageRank host-centrality prior (score' =
+    bm25 + w·ln(1 + rank·N), Brin & Page §4.5.1): the webgraph signal
+    feeding retrieval, not just curation. The blend joins BEFORE the
+    top-k cut; boost rows come from the real ``doc_boost_table``
+    operator over a (doc_id, url) doc_map of the webgraph injection.
+    Oracle chains the unrolled-PageRank CTEs with the BM25 CTEs."""
+    from mecab_ko_lucene_analyzer_spark.functions.webgraph import (
+        doc_boost_table,
+        extract_links,
+        host_graph,
+        pagerank,
+    )
+
+    edges = host_graph(extract_links(_webgraph_pages(spark, sf_dir)))
+    ranks = pagerank(edges, weight="n_links", iters=3)
+    did = F.col("doc_id")
+    doc_map = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (did % 5).cast("string"),
+            F.lit(".example/d"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    boosts = doc_boost_table(doc_map, ranks)
+
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("doc_len"))
+    scalars = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("doc_len").alias("avgdl")
+    )
+    tfs = (
+        toks.filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfs = tfs.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    base = (
+        tfs.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("base"))
+    )
+    return (
+        base.join(boosts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("base")
+                + F.lit(BOOST_W) * F.coalesce(F.col("boost"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -1315,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": _q_anchor_texts,
         "incoming_anchors": _q_incoming_anchors,
         "anchor_bm25f_topk": _q_anchor_bm25f_topk,
+        "boosted_bm25_topk": _q_boosted_bm25_topk,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1422,11 +1500,13 @@ def _webgraph_edges_sql() -> str:
         )"""
 
 
-def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
-    """PageRank oracle: the power iteration unrolled as ``iters``
-    chained CTEs over the host-graph edges (weighted by n_links,
-    teleport floor for every node, dangling mass not redistributed —
-    exactly `functions.webgraph.pagerank`'s documented semantics)."""
+def _pagerank_cte_body(iters: int = 3, damping: float = 0.85) -> str:
+    """PageRank CTE chain (ending in ``r{iters}(node, rank)``): the
+    power iteration unrolled as ``iters`` chained CTEs over the
+    host-graph edges (weighted by n_links, teleport floor for every
+    node, dangling mass not redistributed — exactly
+    `functions.webgraph.pagerank`'s documented semantics). Shared by
+    the ``pagerank_hosts`` and ``boosted_bm25_topk`` oracles."""
     body = f"""{_webgraph_edges_sql()},
         nodes AS (
             SELECT DISTINCT node FROM (
@@ -1460,6 +1540,11 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
                 GROUP BY 1
             ) s ON s.node = nodes.node
         )"""
+    return body
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    body = _pagerank_cte_body(iters, damping)
     return f"WITH {body}\n        SELECT node, rank FROM r{iters}"
 
 
@@ -2502,6 +2587,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM edges
         """,
         "pagerank_hosts": _pagerank_sql(iters=3, damping=0.85),
+        # boosted_bm25_topk: the unrolled-PageRank CTE chain feeding a
+        # per-doc centrality prior (ln(1 + rank*N), N = |graph nodes|)
+        # blended into the bm25_topk formulation BEFORE the top-k cut
+        "boosted_bm25_topk": f"""
+            WITH {_pagerank_cte_body(iters=3, damping=0.85)},
+            ranks AS (SELECT node, rank FROM r3),
+            nh AS (SELECT count(*)::DOUBLE AS n FROM ranks),
+            boosts AS (
+                SELECT d.doc_id,
+                       ln(1 + ranks.rank * (SELECT n FROM nh)) AS boost
+                FROM documents d
+                JOIN ranks
+                  ON ranks.node = 'h' || (d.doc_id % 5) || '.example'
+            ),
+            btoks AS ({_TOKS_SQL}),
+            bdl AS (
+                SELECT doc_id, count(*)::DOUBLE AS doc_len
+                FROM btoks GROUP BY 1
+            ),
+            bcorpus AS (
+                SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM bdl
+            ),
+            btfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM btoks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            bdfs AS (SELECT term, count(*)::DOUBLE AS df FROM btfs GROUP BY 1),
+            base AS (
+                SELECT btfs.doc_id,
+                       sum(
+                           ln(1 + (bcorpus.n - bdfs.df + 0.5)
+                              / (bdfs.df + 0.5))
+                           * btfs.tf / (btfs.tf + {K1} * (1 - {B}
+                               + {B} * bdl.doc_len / bcorpus.avgdl))
+                       ) AS base
+                FROM btfs
+                JOIN bdfs ON btfs.term = bdfs.term
+                JOIN bdl ON btfs.doc_id = bdl.doc_id
+                CROSS JOIN bcorpus
+                GROUP BY btfs.doc_id
+            )
+            SELECT base.doc_id,
+                   round(base.base
+                         + {BOOST_W} * coalesce(boosts.boost, 0.0), 6)
+                       AS score
+            FROM base LEFT JOIN boosts ON boosts.doc_id = base.doc_id
+            ORDER BY score DESC, base.doc_id ASC
+            LIMIT 10
+        """,
         # anchor_texts / incoming_anchors / anchor_bm25f_topk: one
         # shared injection + extraction rendering (_anchor_pages_sql)
         # so the three anchor oracles cannot drift from each other.

@@ -61,6 +61,13 @@ def main() -> None:
         "nav boilerplate)",
     )
     ap.add_argument(
+        "--host-ranks",
+        default="",
+        help="host_ranks table from jobs/webgraph.py: also write the "
+        "doc_boosts quality prior (host log-centrality per docID) — "
+        "served by engine.search_boosted / jobs/query.py --boost-weight",
+    )
+    ap.add_argument(
         "--publish",
         metavar="NAMESPACE",
         help="after the build, publish the index tables to this Iceberg "
@@ -113,6 +120,9 @@ def main() -> None:
         with_blocks=not args.no_blocks,
         with_anchors=args.with_anchors,
         anchor_external_only=args.anchor_external_only,
+        host_ranks=(
+            read_table(spark, args.host_ranks) if args.host_ranks else None
+        ),
     )
     with open(f"{args.output}/manifest.json") as f:
         print(json.dumps(json.load(f), indent=2))

@@ -48,6 +48,19 @@ def main() -> None:
         "this anchor weight (requires a --with-anchors build; "
         "distributed scorer, engine.search_fielded)",
     )
+    ap.add_argument(
+        "--boost-weight",
+        type=float,
+        default=None,
+        help="blend bm25 + w*boost with the index's doc_boosts quality "
+        "prior (a --host-ranks build, or --boosts); distributed "
+        "scorer, engine.search_boosted",
+    )
+    ap.add_argument(
+        "--boosts",
+        default="",
+        help="override (doc_id, boost) table for --boost-weight",
+    )
     ap.add_argument("--explain", action="store_true")
     ap.add_argument(
         "--max-driver-df",
@@ -110,6 +123,15 @@ def main() -> None:
                 k=args.k,
                 offset=args.offset,
                 anchor_weight=args.anchor_weight,
+            )
+        elif args.boost_weight is not None:
+            if args.boosts:
+                engine.load_boosts(args.boosts)
+            hits = engine.search_boosted(
+                args.query,
+                k=args.k,
+                offset=args.offset,
+                w_boost=args.boost_weight,
             )
         else:
             hits = engine.search(

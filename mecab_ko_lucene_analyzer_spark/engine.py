@@ -345,6 +345,71 @@ class SearchEngine:
                 hit["highlight_terms"] = terms
         return out
 
+    def load_boosts(self, source) -> "SearchEngine":
+        """Attach a ``(doc_id, boost)`` quality-prior table for
+        :meth:`search_boosted` — a parquet/catalog identifier or a
+        DataFrame (e.g. ``functions.webgraph.doc_boost_table`` over
+        ``jobs/webgraph.py`` host ranks)."""
+        if isinstance(source, str):
+            from .sources.catalog import read_table
+
+            source = read_table(self.spark, source)
+        self._doc_boosts = source
+        return self
+
+    def _boost_table(self):
+        if not hasattr(self, "_doc_boosts"):
+            from .streaming.incremental import _fs_and_path
+
+            fs, jpath, _jvm = _fs_and_path(
+                self.spark, f"{self.base_path}/doc_boosts"
+            )
+            self._doc_boosts = (
+                self.spark.read.parquet(f"{self.base_path}/doc_boosts")
+                if fs.exists(jpath)
+                else None
+            )
+        if self._doc_boosts is None:
+            raise FileNotFoundError(
+                f"no doc_boosts under {self.base_path!r} — build with "
+                "host_ranks (jobs/build_index.py --host-ranks) or call "
+                "engine.load_boosts(...)"
+            )
+        return self._doc_boosts
+
+    def search_boosted(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        w_boost: float = 0.5,
+        highlight: bool = False,
+    ) -> list[dict]:
+        """Centrality-blended retrieval: ``bm25 + w·boost`` over the
+        attached quality prior (:meth:`load_boosts`, or the
+        ``doc_boosts`` table a ``--host-ranks`` build writes). The
+        blend applies BEFORE the top-k cut, so this is always the
+        DISTRIBUTED scorer (an additive per-doc prior cannot ride
+        WAND's upper-bound pruning); ``w_boost=0`` is rank-identical
+        to disjunctive :meth:`search` (pinned in tests)."""
+        from .query.bm25 import boosted_bm25_topk
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        terms = [t["term"] for t in tokens]
+        boosts = self._boost_table()
+        self.last_route = "distributed"
+        rows = boosted_bm25_topk(
+            self._body_index(), boosts, terms, w_boost=w_boost, k=offset + k
+        ).collect()
+        hits = [(r["doc_id"], r["score"]) for r in rows]
+        out = self._resolve(hits[offset : offset + k])
+        if highlight:
+            for hit in out:
+                hit["highlight_terms"] = terms
+        return out
+
     def search_ast(
         self,
         query,

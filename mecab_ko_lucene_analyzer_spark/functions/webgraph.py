@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 __all__ = [
     "ANCHOR_RE",
     "HREF_RE",
+    "doc_boost_table",
     "extract_anchor_texts",
     "extract_links",
     "host_graph",
@@ -317,3 +318,34 @@ def pagerank(
                 else ranks.persist()
             )
     return ranks
+
+def doc_boost_table(
+    doc_map: DataFrame,
+    host_ranks: DataFrame,
+    url: str = "url",
+) -> DataFrame:
+    """``(doc_id, boost)``: a static per-document quality prior from
+    host centrality — ``boost = ln(1 + rank·N)`` where ``rank`` is the
+    page's host's PageRank (:func:`pagerank` output ``(node, rank)``)
+    and ``N`` the number of graph nodes. ``rank·N`` is the centrality
+    ratio against the uniform ``1/N`` baseline, so an exactly-average
+    host gets ``ln 2`` regardless of corpus size and the prior is
+    scale-free; the log keeps mega-hubs from drowning text relevance
+    (the shape Brin & Page §4.5.1 use when blending PageRank with IR
+    score). Docs whose host is absent from the graph get NO row —
+    consumers blend them at 0 (``query/bm25.py::boosted_bm25_topk``).
+
+    One hash join of the narrow ``(doc_id, host)`` projection against
+    the |hosts|-sized rank relation; N rides a broadcast 1-row
+    aggregate (fully lazy, no driver job)."""
+    from .curation import host_of
+
+    n = host_ranks.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (
+        doc_map.select("doc_id", host_of(url).alias("_h"))
+        .join(host_ranks.select(F.col("node").alias("_h"), "rank"), "_h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", F.log1p(F.col("rank") * F.col("_n")).alias("boost")
+        )
+    )

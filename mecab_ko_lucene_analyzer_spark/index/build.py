@@ -712,6 +712,7 @@ def build_and_write(
     doc_order: str = "input",
     with_anchors: bool = False,
     anchor_external_only: bool = False,
+    host_ranks: DataFrame | None = None,
 ) -> InvertedIndex:
     """Materialize the index with per-stage checkpoints (I6):
 
@@ -933,6 +934,30 @@ def build_and_write(
                 f"{base_path}/anchor_postings",
                 stage_anchors,
             )
+
+    if host_ranks is not None:
+
+        def stage_boosts():
+            """``doc_boosts`` (doc_id, boost): the host-centrality
+            quality prior (``functions/webgraph.py::doc_boost_table``)
+            resolved against this build's doc_map — served by
+            ``engine.search_boosted`` / ``query/bm25.py::
+            boosted_bm25_topk``."""
+            from ..functions.webgraph import doc_boost_table
+
+            doc_map = spark.read.parquet(f"{base_path}/doc_map")
+            doc_boost_table(doc_map, host_ranks).write.mode(
+                "overwrite"
+            ).parquet(f"{base_path}/doc_boosts")
+            # footer-only count for the lineage counter
+            return {
+                "docs_boosted": spark.read.parquet(
+                    f"{base_path}/doc_boosts"
+                ).count()
+            }
+
+        with _build_confs():
+            run_stage(manifest, "boosts", f"{base_path}/doc_boosts", stage_boosts)
 
     if with_blocks:
 

@@ -30,7 +30,14 @@ from pyspark.sql import DataFrame
 
 from ..index.build import InvertedIndex, K1, B
 
-__all__ = ["bm25_topk", "bm25_oracle", "lucene_idf", "score_expr"]
+__all__ = [
+    "bm25_scored",
+    "bm25_topk",
+    "boosted_bm25_topk",
+    "bm25_oracle",
+    "lucene_idf",
+    "score_expr",
+]
 
 
 def lucene_idf(n_docs: int, df: int) -> float:
@@ -45,21 +52,21 @@ def score_expr(k1: float = K1, b: float = B):
     return F.col("idf") * norm
 
 
-def bm25_topk(
+def bm25_scored(
     index: InvertedIndex,
     query_terms: list[str],
-    k: int = 10,
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Distributed scatter-gather BM25: returns ``(doc_id, score)``,
-    rank-deterministic (score desc, doc_id asc), ``k`` rows max.
+    """Every matching doc's BM25 score ``(doc_id, score)`` — the
+    pre-top-k relation :func:`bm25_topk` cuts and
+    :func:`boosted_bm25_topk` blends (a doc-dependent boost must apply
+    BEFORE the top-k cut or boosted tail docs can never surface).
 
     Plan shape: postings are filtered with an IN-list on ``term``
     (pushed to the scan — the posting store is term-partitioned at
     scale), idf/corpus stats arrive via *broadcast* joins (tiny dims),
-    the per-doc sum is one partial+final hash aggregate, and the top-k
-    is TakeOrdered, not a global sort.
+    the per-doc sum is one partial+final hash aggregate.
     """
     spark = index.postings.sparkSession
     if not query_terms:
@@ -80,17 +87,73 @@ def bm25_topk(
     if "doc_len" not in matched.columns:
         # older row-postings without the denormalized doc_len
         matched = matched.join(index.doc_stats, "doc_id")
-    scored = (
+    return (
         matched
         .join(F.broadcast(idf_df), "term")
         .withColumn("avgdl", F.lit(avgdl))
         .withColumn("partial", score_expr(k1, b))
         .groupBy("doc_id")
         .agg(F.sum("partial").alias("score"))
+    )
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Distributed scatter-gather BM25: returns ``(doc_id, score)``,
+    rank-deterministic (score desc, doc_id asc), ``k`` rows max.
+    Top-k is TakeOrdered over :func:`bm25_scored`, not a global sort.
+    """
+    return (
+        bm25_scored(index, query_terms, k1, b)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
-    return scored
+
+
+def boosted_bm25_topk(
+    index: InvertedIndex,
+    doc_boosts: DataFrame,
+    query_terms: list[str],
+    w_boost: float = 0.5,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 blended with a per-document static quality prior —
+    ``score' = bm25 + w·boost`` — the classic web-search combination of
+    text relevance with link centrality (PageRank; Brin & Page §4.5.1
+    combine exactly these two signals). ``doc_boosts`` is
+    ``(doc_id, boost)``, e.g. ``functions.webgraph.doc_boost_table``'s
+    log-centrality of the page's host; docs absent from it blend with
+    boost 0 (no link evidence ≠ negative evidence — the
+    ``jobs/curate.py --host-ranks`` convention).
+
+    The blend joins BEFORE the top-k cut (a boost-heavy doc outside the
+    text-only top k must be able to surface), so the additive prior
+    cannot ride WAND's upper-bound pruning — this is a distributed-path
+    scorer by construction. The join is doc_id-keyed against a
+    |docs|-sized narrow relation; at 10^12 docs store ``doc_boosts``
+    bucketed by doc_id next to doc-partitioned postings for a
+    co-located join.
+    """
+    blended = (
+        bm25_scored(index, query_terms, k1, b)
+        .join(doc_boosts.select("doc_id", "boost"), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("score")
+                + F.lit(float(w_boost))
+                * F.coalesce(F.col("boost"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return blended.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def bm25_oracle(

@@ -36,6 +36,10 @@ SHUFFLE_CEILING = {
     "anchor_texts": 0,
     "incoming_anchors": 2,
     "anchor_bm25f_topk": 7,
+    # PageRank prior (the pagerank_hosts 19, iteration-proportional,
+    # |nodes|-sized) + the bm25_topk pipeline + the pre-top-k blend
+    # joins; all data-proportional exchanges are term- or host-pruned
+    "boosted_bm25_topk": 30,
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
     "ann_lsh_topk": 1,
