@@ -61,6 +61,7 @@ from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     CHARSET_ALIASES as _CHARSET_ALIASES,
     CHARSET_META_RE as _CHARSET_META_RE,
     HTML_NOINDEX_RE as _HTML_NOINDEX_RE,
+    HTML_TITLE_RE as _HTML_TITLE_RE,
 )
 
 
@@ -700,6 +701,49 @@ def _q_anchor_bm25f_topk(spark, sf_dir):
     return bm25f_topk(
         [(_tokens(spark, sf_dir), 1.0), (atoks, ANCHOR_W)], BM25_QUERY, k=10
     )
+
+
+def _q_extract_title(spark, sf_dir):
+    """<title> extraction (doc_id, title): first-title-wins, direct
+    text (nested markup ends the capture), entity-decoded,
+    whitespace-collapsed, '' when absent — the title FIELD source
+    (build_and_write(with_titles=True)). Injection exercises: no
+    title, plain, uppercase+attrs+entity, two titles, nested markup.
+    Zero exchanges."""
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import title_of
+
+    did = F.col("doc_id")
+    body = F.array_join(
+        F.slice(F.filter(F.split("text", " "), lambda x: x != F.lit("")), 1, 6),
+        " ",
+    )
+    html = (
+        F.when(did % 5 == 0, F.lit("<head></head>"))
+        .when(did % 5 == 1, F.concat(F.lit("<head><title>"), body, F.lit("</title></head>")))
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit('<head><TITLE class="t"> 제목 &amp; '),
+                body,
+                F.lit(" </TITLE></head>"),
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(
+                F.lit("<head><title>first "),
+                did.cast("string"),
+                F.lit("</title><title>second</title></head>"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<head><title>부분 <b>markup</b> "), body, F.lit("</title></head>"))
+        )
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.concat(html, F.lit("<body>x</body>")), "utf-8").alias("html")
+    )
+    return pages.select("doc_id", title_of("html").alias("title"))
 
 
 def _q_boosted_bm25_topk(spark, sf_dir):
@@ -1393,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incoming_anchors": _q_incoming_anchors,
         "anchor_bm25f_topk": _q_anchor_bm25f_topk,
         "boosted_bm25_topk": _q_boosted_bm25_topk,
+        "extract_title": _q_extract_title,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -2645,6 +2690,44 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": f"""
             WITH {_anchor_pages_sql()}
             SELECT url, href, anchor FROM anchors
+        """,
+        # extract_title: injection mirrors _q_extract_title; the oracle
+        # replays the shared HTML_TITLE_RE + entity chain + whitespace
+        # collapse at string level.
+        "extract_title": f"""
+            WITH tinj AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 5 = 0 THEN '<head></head>'
+                     WHEN doc_id % 5 = 1
+                     THEN '<head><title>'
+                          || array_to_string(list_filter(
+                               string_split(text, ' '), x -> x <> '')[1:6], ' ')
+                          || '</title></head>'
+                     WHEN doc_id % 5 = 2
+                     THEN '<head><TITLE class="t"> 제목 &amp; '
+                          || array_to_string(list_filter(
+                               string_split(text, ' '), x -> x <> '')[1:6], ' ')
+                          || ' </TITLE></head>'
+                     WHEN doc_id % 5 = 3
+                     THEN '<head><title>first ' || doc_id
+                          || '</title><title>second</title></head>'
+                     ELSE '<head><title>부분 <b>markup</b> '
+                          || array_to_string(list_filter(
+                               string_split(text, ' '), x -> x <> '')[1:6], ' ')
+                          || '</title></head>' END)
+                    || '<body>x</body>' AS html
+                FROM documents
+            ),
+            tx AS (
+                SELECT doc_id,
+                    regexp_extract(html,
+                        '{_HTML_TITLE_RE.replace("'", "''")}', 1) AS t
+                FROM tinj
+            ),
+            te AS (SELECT doc_id, {_entity_chain_sql("t")} AS t FROM tx)
+            SELECT doc_id,
+                   trim(regexp_replace(t, '{_HTML_WS_RE}', ' ', 'g')) AS title
+            FROM te
         """,
         "incoming_anchors": f"""
             WITH {_anchor_pages_sql()},

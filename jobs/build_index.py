@@ -61,6 +61,13 @@ def main() -> None:
         "nav boilerplate)",
     )
     ap.add_argument(
+        "--with-titles",
+        action="store_true",
+        help="also build the <title> field (title_postings + stats; "
+        "requires the html column) — served by engine.search_fielded "
+        "title_weight / jobs/query.py --title-weight",
+    )
+    ap.add_argument(
         "--host-ranks",
         default="",
         help="host_ranks table from jobs/webgraph.py: also write the "
@@ -120,6 +127,7 @@ def main() -> None:
         with_blocks=not args.no_blocks,
         with_anchors=args.with_anchors,
         anchor_external_only=args.anchor_external_only,
+        with_titles=args.with_titles,
         host_ranks=(
             read_table(spark, args.host_ranks) if args.host_ranks else None
         ),

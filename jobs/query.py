@@ -49,6 +49,13 @@ def main() -> None:
         "distributed scorer, engine.search_fielded)",
     )
     ap.add_argument(
+        "--title-weight",
+        type=float,
+        default=0.0,
+        help="with --anchor-weight (or alone, as BM25F): also blend "
+        "the title field at this weight (a --with-titles build)",
+    )
+    ap.add_argument(
         "--boost-weight",
         type=float,
         default=None,
@@ -117,12 +124,13 @@ def main() -> None:
     else:
         if args.explain:
             print(engine.explain_query(args.query))
-        if args.anchor_weight is not None:
+        if args.anchor_weight is not None or args.title_weight:
             hits = engine.search_fielded(
                 args.query,
                 k=args.k,
                 offset=args.offset,
-                anchor_weight=args.anchor_weight,
+                anchor_weight=args.anchor_weight or 0.0,
+                title_weight=args.title_weight,
             )
         elif args.boost_weight is not None:
             if args.boosts:

@@ -115,6 +115,7 @@ class SearchEngine:
         lang_filter: str | None = "ko",
         with_anchors: bool = False,
         anchor_external_only: bool = False,
+        with_titles: bool = False,
     ) -> "SearchEngine":
         build_and_write(
             pages,
@@ -125,6 +126,7 @@ class SearchEngine:
             with_blocks=True,
             with_anchors=with_anchors,
             anchor_external_only=anchor_external_only,
+            with_titles=with_titles,
         )
         return cls(spark, base_path, option or AnalyzerOption(), mode)
 
@@ -260,38 +262,41 @@ class SearchEngine:
                 hit["highlight_terms"] = terms
         return out
 
-    def _load_anchor_tables(self):
-        """Lazy anchor-field tables (``with_anchors=True`` builds);
-        probed once through the Hadoop FS API (object-store-safe)."""
-        if not hasattr(self, "_anchor_postings"):
+    def _field_tables(self, name: str):
+        """Lazy extra-field tables ``(postings, doc_stats, len_sum)``
+        for ``name`` in {'anchor', 'title'} (``with_anchors=True`` /
+        ``with_titles=True`` builds); probed once through the Hadoop
+        FS API (object-store-safe)."""
+        attr = f"_{name}_field"
+        if not hasattr(self, attr):
             from .streaming.incremental import _fs_and_path
 
             fs, jpath, _jvm = _fs_and_path(
-                self.spark, f"{self.base_path}/anchor_postings"
+                self.spark, f"{self.base_path}/{name}_postings"
             )
             if fs.exists(jpath):
                 sp = self.spark
-                self._anchor_postings = sp.read.parquet(
-                    f"{self.base_path}/anchor_postings"
-                )
-                self._anchor_doc_stats = sp.read.parquet(
-                    f"{self.base_path}/anchor_doc_stats"
-                )
-                self._anchor_corpus_stats = sp.read.parquet(
-                    f"{self.base_path}/anchor_corpus_stats"
+                cs = sp.read.parquet(
+                    f"{self.base_path}/{name}_corpus_stats"
+                ).first()
+                setattr(
+                    self,
+                    attr,
+                    (
+                        sp.read.parquet(f"{self.base_path}/{name}_postings"),
+                        sp.read.parquet(f"{self.base_path}/{name}_doc_stats"),
+                        float(cs[f"{name}_len_sum"] or 0) if cs else 0.0,
+                    ),
                 )
             else:
-                self._anchor_postings = None
-        if self._anchor_postings is None:
+                setattr(self, attr, None)
+        tables = getattr(self, attr)
+        if tables is None:
             raise FileNotFoundError(
-                f"no anchor field under {self.base_path!r} — build with "
-                "with_anchors=True (jobs/build_index.py --with-anchors)"
+                f"no {name} field under {self.base_path!r} — build with "
+                f"with_{name}s=True (jobs/build_index.py --with-{name}s)"
             )
-        return (
-            self._anchor_postings,
-            self._anchor_doc_stats,
-            self._anchor_corpus_stats,
-        )
+        return tables
 
     def _body_index(self):
         """Lazy row-postings view of the serving index (fused builds
@@ -308,18 +313,21 @@ class SearchEngine:
         k: int = 10,
         offset: int = 0,
         anchor_weight: float = 2.0,
+        title_weight: float = 0.0,
         highlight: bool = False,
     ) -> list[dict]:
         """Field-weighted retrieval: BM25F (Lucene combined-field
-        model) over body text + the incoming-anchor field of a
-        ``with_anchors=True`` build (``query/bm25f.py``).
+        model) over body text + the incoming-anchor and/or title
+        fields of a ``with_anchors=True`` / ``with_titles=True`` build
+        (``query/bm25f.py``). A field participates iff its weight is
+        non-zero (and its tables must then exist).
 
-        Always the DISTRIBUTED scorer — one Spark job per query, both
-        postings scans pruned by the query-term IN filter. The anchor
-        field is an offline/relevance-mining surface (hard negatives,
-        quality-weighted sampling), not the hot serving path; the
-        driver WAND cursors stay body-only by design.
-        ``anchor_weight=0`` is rank-identical to disjunctive
+        Always the DISTRIBUTED scorer — one Spark job per query, every
+        postings scan pruned by the query-term IN filter. The extra
+        fields are an offline/relevance-mining surface (hard
+        negatives, quality-weighted sampling), not the hot serving
+        path; the driver WAND cursors stay body-only by design.
+        All-zero weights are rank-identical to disjunctive
         :meth:`search` (pinned in tests)."""
         from .query.bm25f import bm25f_topk_postings
 
@@ -327,15 +335,16 @@ class SearchEngine:
         if not tokens:
             return []
         terms = [t["term"] for t in tokens]
-        ap, ads, acs = self._load_anchor_tables()
+        fields = []
+        for name, w in (("anchor", anchor_weight), ("title", title_weight)):
+            if w:
+                p, ds, ls = self._field_tables(name)
+                fields.append((p, ds, ls, w))
         self.last_route = "distributed"
         rows = bm25f_topk_postings(
             self._body_index(),
-            ap,
-            ads,
-            acs,
+            fields,
             terms,
-            w_anchor=anchor_weight,
             k=offset + k,
         ).collect()
         hits = [(r["doc_id"], r["score"]) for r in rows]

@@ -65,3 +65,32 @@ def anchor_postings_table(
         occurrences, "doc_id", "anchor", mode, compound_noun_min_length
     )
     return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def title_postings_table(
+    pages: DataFrame,
+    doc_map: DataFrame,
+    mode: str = "standard",
+    compound_noun_min_length: int = 3,
+) -> DataFrame:
+    """``(url, html)`` pages + ``(doc_id, url)`` doc_map →
+    ``(term, doc_id, tf)`` title postings: the analyzed ``<title>``
+    text per document (``sources/webpages.py::title_of``) — the third
+    classic web field next to body and incoming anchors. Same shape as
+    the anchor build minus the link resolution: titles are the doc's
+    OWN text, so the only join is the exact-url doc_id resolution
+    against the doc_map."""
+    from ..functions.udfs import tokens_table
+    from ..sources.webpages import title_of
+
+    if "html" not in pages.columns:
+        raise ValueError(
+            "title_postings_table: pages must carry an 'html' column"
+        )
+    titles = (
+        pages.select("url", title_of("html").alias("title"))
+        .filter(F.col("title") != "")
+        .join(doc_map, "url")
+    )
+    toks = tokens_table(titles, "doc_id", "title", mode, compound_noun_min_length)
+    return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))

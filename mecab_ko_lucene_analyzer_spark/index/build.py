@@ -712,6 +712,7 @@ def build_and_write(
     doc_order: str = "input",
     with_anchors: bool = False,
     anchor_external_only: bool = False,
+    with_titles: bool = False,
     host_ranks: DataFrame | None = None,
 ) -> InvertedIndex:
     """Materialize the index with per-stage checkpoints (I6):
@@ -886,54 +887,67 @@ def build_and_write(
     with _build_confs():
         run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
 
-    if with_anchors:
+    def _field_stage(name: str, postings_maker):
+        """Extra-field stage (``index/anchors.py`` tables): postings
+        first, then ``{name}_doc_stats``/``{name}_corpus_stats``
+        derived from the WRITTEN postings (no second tokenize pass;
+        corpus scalars ride the doc-stats write via Observation —
+        retry-exact, the stats-stage discipline). Consumed by
+        ``query/bm25f.py::bm25f_topk_postings``."""
 
-        def stage_anchors():
-            """Anchor-field tables (``index/anchors.py``): postings
-            first, then doc/corpus stats derived from the WRITTEN
-            postings (no second tokenize pass; corpus scalars ride the
-            doc-stats write via Observation — retry-exact, the stats-
-            stage discipline)."""
+        def stage():
             from pyspark.sql import Observation
 
-            from .anchors import anchor_postings_table
-
             doc_map = spark.read.parquet(f"{base_path}/doc_map")
-            anchor_postings_table(
+            postings_maker(doc_map).write.mode("overwrite").parquet(
+                f"{base_path}/{name}_postings"
+            )
+            written = spark.read.parquet(f"{base_path}/{name}_postings")
+            ds = written.groupBy("doc_id").agg(F.sum("tf").alias(f"{name}_len"))
+            obs = Observation(f"{name}_corpus")
+            ds = ds.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(f"{name}_len").alias("len_sum"),
+            )
+            ds.write.mode("overwrite").parquet(f"{base_path}/{name}_doc_stats")
+            vals = obs.get
+            n_fd = int(vals["n_docs"] or 0)
+            fls = int(vals["len_sum"] or 0)
+            spark.createDataFrame(
+                [(n_fd, fls)],
+                f"n_{name}_docs long, {name}_len_sum long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{base_path}/{name}_corpus_stats"
+            )
+            return {f"n_{name}_docs": n_fd, f"{name}_len_sum": fls}
+
+        with _build_confs():
+            run_stage(manifest, f"{name}s", f"{base_path}/{name}_postings", stage)
+
+    if with_anchors:
+        from .anchors import anchor_postings_table
+
+        _field_stage(
+            "anchor",
+            lambda doc_map: anchor_postings_table(
                 pages,
                 doc_map,
                 mode,
                 compound_noun_min_length,
                 external_only=anchor_external_only,
-            ).write.mode("overwrite").parquet(f"{base_path}/anchor_postings")
-            written = spark.read.parquet(f"{base_path}/anchor_postings")
-            ads = written.groupBy("doc_id").agg(
-                F.sum("tf").alias("anchor_len")
-            )
-            obs = Observation("anchor_corpus")
-            ads = ads.observe(
-                obs,
-                F.count(F.lit(1)).alias("n_anchor_docs"),
-                F.sum("anchor_len").alias("anchor_len_sum"),
-            )
-            ads.write.mode("overwrite").parquet(f"{base_path}/anchor_doc_stats")
-            vals = obs.get
-            n_ad = int(vals["n_anchor_docs"] or 0)
-            als = int(vals["anchor_len_sum"] or 0)
-            spark.createDataFrame(
-                [(n_ad, als)], "n_anchor_docs long, anchor_len_sum long"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{base_path}/anchor_corpus_stats"
-            )
-            return {"n_anchor_docs": n_ad, "anchor_len_sum": als}
+            ),
+        )
 
-        with _build_confs():
-            run_stage(
-                manifest,
-                "anchors",
-                f"{base_path}/anchor_postings",
-                stage_anchors,
-            )
+    if with_titles:
+        from .anchors import title_postings_table
+
+        _field_stage(
+            "title",
+            lambda doc_map: title_postings_table(
+                pages, doc_map, mode, compound_noun_min_length
+            ),
+        )
 
     if host_ranks is not None:
 

@@ -127,83 +127,74 @@ def bm25f_topk(
 
 def bm25f_topk_postings(
     index,
-    anchor_postings: DataFrame,
-    anchor_doc_stats: DataFrame,
-    anchor_corpus_stats: DataFrame,
+    fields: Sequence[tuple[DataFrame, DataFrame, float, float]],
     query_terms: Sequence[str],
-    w_anchor: float = 2.0,
     k: int = 10,
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Combined-field BM25F over a BUILT index (``InvertedIndex``) plus
-    the anchor-field tables an ``--with-anchors`` build writes
-    (``index/anchors.py``) → ``(doc_id, score)``, ``k`` rows,
-    rank-deterministic. ``w_anchor=0`` degenerates to plain body BM25
-    (rank-identity pinned in tests).
+    """Combined-field BM25F over a BUILT index (``InvertedIndex``, the
+    body field at weight 1) plus any number of extra fields —
+    ``fields`` is a sequence of ``(postings, doc_stats, len_sum,
+    weight)`` per extra field, the table triple a ``with_anchors=True``
+    / ``with_titles=True`` build writes (postings ``(term, doc_id,
+    tf)``; doc_stats ``(doc_id, <field>_len)``; ``len_sum`` the
+    corpus-wide field length, a scalar). Returns ``(doc_id, score)``,
+    ``k`` rows, rank-deterministic. An empty/all-zero-weight ``fields``
+    degenerates to plain body BM25 (rank-identity pinned in tests).
 
     Pooling per the model in this module's header: query-term tfs from
-    both fields full-outer-join on (term, doc_id) and sum with the
-    anchor weight; the virtual doc length is ``doc_len + w·anchor_len``
-    (anchor-less docs coalesce to 0); ``avgdl' = avgdl +
-    w·Σanchor_len/N`` comes from the two 1-row corpus tables — exact
-    for ANY query-time weight, no per-query corpus pass; idf uses the
-    POOLED df (count of docs matching in either field), computed
-    in-plan from the already-filtered tf relation (exact, tiny agg).
+    every field union and sum with the field weights (one hash agg);
+    the virtual doc length is ``doc_len + Σ w_f·len_f`` (field-less
+    docs coalesce to 0); ``avgdl' = avgdl + Σ w_f·len_sum_f/N`` comes
+    from scalars — exact for ANY query-time weights, no per-query
+    corpus pass; idf uses the POOLED df (count of docs matching in any
+    field), computed in-plan from the already-filtered tf relation.
 
-    Scale shape: both postings scans are pruned by the query-term
+    Scale shape: every postings scan is pruned by the query-term
     IN-filter before anything shuffles; the doc-length join touches
-    only matched docs. At 10^12 docs, store doc_stats /
-    anchor_doc_stats bucketed by doc_id alongside doc-partitioned
-    postings so that join is co-located; the driver sees only the two
-    1-row stats reads and the final top-k.
+    only matched docs. At 10^12 docs, store doc_stats and the field
+    doc_stats bucketed by doc_id alongside doc-partitioned postings so
+    those joins are co-located; the driver sees only the 1-row stats
+    reads and the final top-k.
     """
     terms = sorted(set(query_terms))
-    spark = anchor_postings.sparkSession
+    spark = index.postings.sparkSession
+    live = [(p, ds, ls, w) for p, ds, ls, w in fields if w]
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     corpus = index.corpus_stats.first()
     n_docs, avgdl_body = corpus["n_docs"], corpus["avgdl"]
     if not n_docs:
         return spark.createDataFrame([], "doc_id long, score double")
-    ac = anchor_corpus_stats.first()
-    anchor_len_sum = (ac["anchor_len_sum"] or 0) if ac is not None else 0
-    avgdl = avgdl_body + w_anchor * anchor_len_sum / n_docs
-
-    bt = index.postings.filter(F.col("term").isin(terms)).select(
-        "term", "doc_id", F.col("tf").cast("double").alias("_btf")
+    avgdl = avgdl_body + sum(
+        w * (ls or 0) / n_docs for _p, _ds, ls, w in live
     )
-    if w_anchor:
-        at = anchor_postings.filter(F.col("term").isin(terms)).select(
-            "term",
-            "doc_id",
-            (F.col("tf").cast("double") * F.lit(float(w_anchor))).alias("_atf"),
-        )
-        tfs = bt.join(at, ["term", "doc_id"], "full_outer").select(
-            "term",
-            "doc_id",
-            (
-                F.coalesce(F.col("_btf"), F.lit(0.0))
-                + F.coalesce(F.col("_atf"), F.lit(0.0))
-            ).alias("tf"),
-        )
-        lens = (
-            index.doc_stats.select("doc_id", "doc_len")
-            .join(anchor_doc_stats, "doc_id", "left")
-            .select(
+
+    tfs = index.postings.filter(F.col("term").isin(terms)).select(
+        "term", "doc_id", F.col("tf").cast("double").alias("wtf")
+    )
+    for p, _ds, _ls, w in live:
+        tfs = tfs.unionByName(
+            p.filter(F.col("term").isin(terms)).select(
+                "term",
                 "doc_id",
-                (
-                    F.col("doc_len").cast("double")
-                    + F.lit(float(w_anchor))
-                    * F.coalesce(F.col("anchor_len").cast("double"), F.lit(0.0))
-                ).alias("pooled_len"),
+                (F.col("tf").cast("double") * F.lit(float(w))).alias("wtf"),
             )
         )
-    else:
-        tfs = bt.select("term", "doc_id", F.col("_btf").alias("tf"))
-        lens = index.doc_stats.select(
-            "doc_id", F.col("doc_len").cast("double").alias("pooled_len")
+    tfs = tfs.groupBy("term", "doc_id").agg(F.sum("wtf").alias("tf"))
+
+    pooled = F.col("doc_len").cast("double")
+    lens = index.doc_stats.select("doc_id", "doc_len")
+    for i, (_p, ds, _ls, w) in enumerate(live):
+        len_col = next(c for c in ds.columns if c != "doc_id")
+        lens = lens.join(
+            ds.select("doc_id", F.col(len_col).alias(f"_fl{i}")), "doc_id", "left"
         )
+        pooled = pooled + F.lit(float(w)) * F.coalesce(
+            F.col(f"_fl{i}").cast("double"), F.lit(0.0)
+        )
+    lens = lens.select("doc_id", pooled.alias("pooled_len"))
     dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     return (
         tfs.join(F.broadcast(dfs), "term")

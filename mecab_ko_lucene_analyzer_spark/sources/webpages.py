@@ -305,6 +305,34 @@ def noindex_of(html: str = "html"):
     )
 
 
+# first <title> element's direct text (group 1). Documented bounds:
+# the FIRST title wins (regexp_extract returns the first match — the
+# HTML5 tree builder likewise only honors the first in head), and
+# markup nested inside the title ends the capture (the ANCHOR_RE
+# convention; real titles are character data per the spec, which
+# forbids markup inside <title>). ASCII-only pattern, RE2-compatible.
+HTML_TITLE_RE = r"(?is)<title[^>]*>([^<]*)"
+
+
+def title_of(html: str = "html", charset: str = "UTF-8"):
+    """The page title as a text Column: first ``<title>`` element's
+    direct text, entity-decoded with the extraction chain's ordered
+    entity set, whitespace-collapsed and trimmed ('' when absent or
+    empty, NULL only for NULL html). Reads the lenient UTF-8 view —
+    titles are real page text (Korean included) and mojibake must not
+    abort the job. Zero shuffles; the title FIELD an index build
+    consumes (``build_and_write(with_titles=True)``)."""
+    b = F.col(html) if isinstance(html, str) else html
+    if charset.replace("-", "").upper() == "UTF8":
+        s = F.call_function("make_valid_utf8", b.cast("string"))
+    else:
+        s = F.decode(b, charset)
+    t = F.regexp_extract(s, HTML_TITLE_RE, 1)
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, HTML_WS_RE, " "))
+
+
 def extract_html_text(
     pages: DataFrame, html: str = "html", out: str = "text", charset: str = "UTF-8"
 ) -> DataFrame:

@@ -144,7 +144,9 @@ def test_bm25f_postings_hand_model(spark):
     w = 2.0
     got = {
         r["doc_id"]: r["score"]
-        for r in bm25f_topk_postings(idx, ap, ads, acs, ["q"], w_anchor=w).collect()
+        for r in bm25f_topk_postings(
+            idx, [(ap, ads, acs.first()["anchor_len_sum"], w)], ["q"]
+        ).collect()
     }
     # pooled: tf'(q,1)=2, tf'(q,2)=1+2*3=7; dl'(1)=3, dl'(2)=1+2*4=9
     # avgdl' = 2 + 2*4/2 = 6; df'(q)=2, n=2 → idf = ln(1 + 0.5/2.5)
@@ -155,3 +157,70 @@ def test_bm25f_postings_hand_model(spark):
 
     assert got[1] == pytest.approx(s(2, 3), rel=1e-12)
     assert got[2] == pytest.approx(s(7, 9), rel=1e-12)
+
+def test_title_field_end_to_end(spark, tmp_path):
+    """with_titles build: the <title> text is analyzed into
+    title_postings; a title-only term retrieves its doc via
+    search_fielded(title_weight=...); weight 0 ignores it."""
+    noun = _anchor_noun()
+    pages = synthesize_webpages(spark, 20, partitions=2)
+    pid = F.regexp_extract("url", r"example-(\d+)", 1).cast("long")
+    # give page 7 a Korean title carrying the body-absent noun
+    titled = pages.withColumn(
+        "html",
+        F.when(
+            pid == 7,
+            F.concat(
+                F.encode(
+                    F.concat(F.lit("<head><title> "), F.lit(noun), F.lit(" &amp; 검색 </title></head>")),
+                    "utf-8",
+                ),
+                "html",
+            ),
+        ).otherwise(F.col("html")),
+    )
+    base = str(tmp_path / "title_idx")
+    engine = SearchEngine.build(spark, titled, base, with_titles=True)
+    tp = spark.read.parquet(f"{base}/title_postings")
+    assert tp.filter(F.col("term") == noun).count() == 1
+    assert engine.search(noun, conjunctive=False) == []  # not in any body
+    hits = engine.search_fielded(noun, k=3, anchor_weight=0.0, title_weight=2.0)
+    assert hits and hits[0]["url"].startswith("https://example-00000007")
+    assert engine.search_fielded(noun, k=3, anchor_weight=0.0) == []
+
+
+def test_both_fields_blend(spark, tmp_path):
+    """anchors + titles in one build; both weights participate."""
+    pages, noun = _linked_pages(spark)
+    pid = F.regexp_extract("url", r"example-(\d+)", 1).cast("long")
+    titled = pages.withColumn(
+        "html",
+        F.concat(
+            F.encode(
+                F.concat(
+                    F.lit("<title>페이지 "), pid.cast("string"), F.lit("</title>")
+                ),
+                "utf-8",
+            ),
+            "html",
+        ),
+    )
+    base = str(tmp_path / "both_idx")
+    engine = SearchEngine.build(
+        spark, titled, base, with_anchors=True, with_titles=True
+    )
+    # the anchor-only noun still resolves through the anchor field even
+    # with the title field active
+    hits = engine.search_fielded(noun, k=3, anchor_weight=2.0, title_weight=1.0)
+    assert hits and hits[0]["doc_id"] == 0
+    # '페이지' lives only in titles
+    title_hits = engine.search_fielded(
+        "페이지", k=3, anchor_weight=0.0, title_weight=1.0
+    )
+    assert title_hits
+    with pytest.raises(FileNotFoundError):
+        SearchEngine.build(
+            spark,
+            synthesize_webpages(spark, 8, partitions=1),
+            str(tmp_path / "nt_idx"),
+        ).search_fielded("x", anchor_weight=0.0, title_weight=1.0)

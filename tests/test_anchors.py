@@ -198,3 +198,29 @@ def test_bm25f_tiebreak_and_k(spark):
     body = _toks(spark, [(i, t) for i in range(1, 6) for t in ("q", "x")])
     got = [r.doc_id for r in bm25f_topk([(body, 1.0)], ["q"], k=3).collect()]
     assert got == [1, 2, 3]
+
+def test_title_of_matrix(spark):
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import title_of
+
+    rows = [
+        ("no", b"<head></head><body>x</body>"),
+        ("plain", "<title>삼성 노트북</title>".encode()),
+        ("attrs", b'<TITLE class="a"> Spaced\n  Title </TITLE>'),
+        ("entity", b"<title>A &amp; B</title>"),
+        ("two", b"<title>first</title><title>second</title>"),
+        ("nested", b"<title>cut <b>here</b></title>"),
+        ("mojibake", b"\xff\xfe<title>ok</title>"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, html binary")
+    got = {r.k: r.t for r in df.select("k", title_of("html").alias("t")).collect()}
+    assert got == {
+        "no": "",
+        "plain": "삼성 노트북",
+        "attrs": "Spaced Title",
+        "entity": "A & B",
+        "two": "first",
+        "nested": "cut",
+        "mojibake": "ok",
+        "null": None,
+    }

@@ -40,6 +40,7 @@ SHUFFLE_CEILING = {
     # |nodes|-sized) + the bm25_topk pipeline + the pre-top-k blend
     # joins; all data-proportional exchanges are term- or host-pruned
     "boosted_bm25_topk": 30,
+    "extract_title": 0,
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
     "ann_lsh_topk": 1,
