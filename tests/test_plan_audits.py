@@ -109,6 +109,19 @@ def plans(spark):
     contract query. Built once: several callables eagerly build the
     serving index / run a micro-stream for SF, so per-test calls would
     multiply that cost."""
+    # Audit the COLD canonical plans: earlier suite modules leave
+    # persisted intermediates in the session CacheManager (e.g.
+    # pagerank's hash-partitioned `frac` edge relation), and cache
+    # substitution into a fresh plan loses the recognized partitioning
+    # across expr-ids — measured +1 Exchange per PageRank iteration
+    # when test_entry_contract ran first. Later modules that still use
+    # their own caches merely recompute once. The entry module's own
+    # memos (e.g. the persisted block-index partials behind
+    # phrase_match_distributed) must be dropped WITH the cache — a
+    # memoized DataFrame whose persist flag was just cleared would
+    # plan cold while the ceiling assumes its InMemoryRelation.
+    spark.catalog.clearCache()
+    entrymod._WS_INDEX_CACHE.clear()
     out = {}
     for name, fn in entrymod.queries().items():
         p = _plan(fn(spark, SF))
