@@ -51,6 +51,21 @@ from mecab_ko_lucene_analyzer_spark.functions.webgraph import (  # noqa: E402
 ANCHOR_W = 2.0
 # centrality-prior weight for the boosted-BM25 contract query
 BOOST_W = 0.5
+# minimum-should-match precision knob for the msm contract query
+MSM_MIN_MATCH = 2
+# more-like-this: seed doc + Lucene MoreLikeThis maxQueryTerms analogue
+MLT_SEED_DOC = 0
+MLT_M_TERMS = 5
+# PMI related-terms seed (rare-ish term: df 25 at sf0.01)
+RELATED_SEED = "dup"
+RELATED_MIN_CO = 2
+# did-you-mean seed: 'par' → part(1), a(2), spark(2) in the synthetic vocab
+SUGGEST_SEED = "par"
+SUGGEST_MAX_EDITS = 2
+# freshness prior: synthetic warc_ts = epoch + doc_id hours, 7d half-life
+FRESH_EPOCH = 1735689600  # 2025-01-01 00:00:00 UTC
+FRESH_STEP_S = 3600
+FRESH_HALF_LIFE_DAYS = 7.0
 from mecab_ko_lucene_analyzer_spark.sources.webpages import (  # noqa: E402
     HTML_COMMENT_RE as _HTML_COMMENT_RE,
     HTML_ENTITIES as _HTML_ENTITIES,
@@ -821,6 +836,115 @@ def _q_boosted_bm25_topk(spark, sf_dir):
     )
 
 
+def _ws_index(spark, sf_dir):
+    """Whitespace-token ``InvertedIndex`` over ``documents`` — puts the
+    REAL query operators (``query/bm25.py``, ``query/expand.py``) under
+    the DuckDB oracle instead of inlined formula copies."""
+    from mecab_ko_lucene_analyzer_spark.index.build import InvertedIndex
+
+    toks = _tokens(spark, sf_dir)
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    doc_stats = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    corpus = doc_stats.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    return InvertedIndex(postings, term_stats, doc_stats, corpus)
+
+
+def _q_msm_topk(spark, sf_dir):
+    """Disjunctive BM25 with Elasticsearch's ``minimum_should_match``:
+    only docs matching >= MSM_MIN_MATCH distinct query terms score
+    (``query/bm25.py::bm25_scored(min_should_match=...)``). Rounding
+    applies BEFORE the rank cut so the oracle's ordering is identical."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+
+    return (
+        bm25_scored(
+            _ws_index(spark, sf_dir),
+            BM25_QUERY,
+            min_should_match=MSM_MIN_MATCH,
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _q_mlt_topk(spark, sf_dir):
+    """More-like-this (Lucene ``MoreLikeThis``): the seed doc's
+    tf·idf-top MLT_M_TERMS terms as a disjunctive BM25 query, seed
+    excluded (``query/expand.py::mlt_seed_terms`` + the shared scorer)."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+    from mecab_ko_lucene_analyzer_spark.query.expand import mlt_seed_terms
+
+    idx = _ws_index(spark, sf_dir)
+    terms = mlt_seed_terms(idx, MLT_SEED_DOC, m_terms=MLT_M_TERMS)
+    return (
+        bm25_scored(idx, terms)
+        .filter(F.col("doc_id") != MLT_SEED_DOC)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _q_related_terms(spark, sf_dir):
+    """Corpus-mined query expansion: top terms by document-level PMI
+    with RELATED_SEED (``query/expand.py::related_terms``). The
+    top-k cut orders on ROUNDED pmi (term asc tiebreak) so both
+    engines rank identically; the library's own cut is disabled by a
+    k far above the vocabulary size."""
+    from mecab_ko_lucene_analyzer_spark.query.expand import related_terms
+
+    return (
+        related_terms(
+            _ws_index(spark, sf_dir),
+            RELATED_SEED,
+            k=1_000_000,
+            min_co=RELATED_MIN_CO,
+        )
+        .select("term", "n_co", F.round("pmi", 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(10)
+    )
+
+
+def _q_suggest_terms(spark, sf_dir):
+    """Did-you-mean (Lucene ``DirectSpellChecker``): vocabulary terms
+    within SUGGEST_MAX_EDITS Levenshtein edits of SUGGEST_SEED, ranked
+    dist asc / df desc / term asc (``query/expand.py::suggest_terms``).
+    Integer/string keys only — bit-deterministic across engines."""
+    from mecab_ko_lucene_analyzer_spark.query.expand import suggest_terms
+
+    return suggest_terms(
+        _ws_index(spark, sf_dir),
+        SUGGEST_SEED,
+        k=10,
+        max_edits=SUGGEST_MAX_EDITS,
+    ).select("term", "df", F.col("dist").cast("long").alias("dist"))
+
+
+def _q_freshness_boost(spark, sf_dir):
+    """Recency prior (``functions/freshness.py::freshness_boost_table``)
+    over a deterministic synthetic fetch timestamp (epoch + doc_id
+    hours — documents carries no ts column): boost = 2^(-age_days /
+    half_life) against the corpus max timestamp."""
+    from mecab_ko_lucene_analyzer_spark.functions.freshness import (
+        freshness_boost_table,
+    )
+
+    doc_ts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(FRESH_EPOCH) + F.col("doc_id") * FRESH_STEP_S
+        ).alias("warc_ts"),
+    )
+    return freshness_boost_table(
+        doc_ts, half_life_days=FRESH_HALF_LIFE_DAYS
+    ).select("doc_id", F.round("boost", 6).alias("boost"))
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -1437,6 +1561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incoming_anchors": _q_incoming_anchors,
         "anchor_bm25f_topk": _q_anchor_bm25f_topk,
         "boosted_bm25_topk": _q_boosted_bm25_topk,
+        "msm_topk": _q_msm_topk,
+        "mlt_topk": _q_mlt_topk,
+        "related_terms": _q_related_terms,
+        "suggest_terms": _q_suggest_terms,
+        "freshness_boost": _q_freshness_boost,
         "extract_title": _q_extract_title,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -2238,6 +2367,104 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tfs.doc_id
             ORDER BY score DESC, tfs.doc_id ASC
             LIMIT 10
+        """,
+        "msm_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1)
+            SELECT tfs.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                       * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY tfs.doc_id
+            HAVING count(*) >= {MSM_MIN_MATCH}
+            ORDER BY score DESC, tfs.doc_id ASC
+            LIMIT 10
+        """,
+        "mlt_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            stats AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+            seed AS (
+                SELECT p.term
+                FROM posts p JOIN stats s ON p.term = s.term CROSS JOIN corpus
+                WHERE p.doc_id = {MLT_SEED_DOC}
+                ORDER BY p.tf * ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5)) DESC,
+                         p.term ASC
+                LIMIT {MLT_M_TERMS}
+            )
+            SELECT p.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+                       * p.tf / (p.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM posts p
+            JOIN seed ON p.term = seed.term
+            JOIN stats s ON p.term = s.term
+            JOIN dl ON p.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            WHERE p.doc_id <> {MLT_SEED_DOC}
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id ASC
+            LIMIT 10
+        """,
+        "related_terms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT DISTINCT term, doc_id FROM toks),
+            stats AS (SELECT term, count(*) AS df FROM posts GROUP BY 1),
+            corpus AS (SELECT count(DISTINCT doc_id) AS n FROM posts),
+            seed_docs AS (SELECT doc_id FROM posts WHERE term = '{RELATED_SEED}'),
+            co AS (
+                SELECT p.term, count(*) AS n_co
+                FROM posts p JOIN seed_docs USING (doc_id)
+                WHERE p.term <> '{RELATED_SEED}'
+                GROUP BY 1 HAVING count(*) >= {RELATED_MIN_CO}
+            )
+            SELECT co.term, co.n_co,
+                   round(ln(co.n_co::DOUBLE * corpus.n::DOUBLE
+                            / (seed_df.df::DOUBLE * stats.df::DOUBLE)), 6) AS pmi
+            FROM co
+            JOIN stats ON co.term = stats.term
+            CROSS JOIN corpus
+            CROSS JOIN (SELECT df FROM stats WHERE term = '{RELATED_SEED}') seed_df
+            ORDER BY pmi DESC, co.term ASC
+            LIMIT 10
+        """,
+        "suggest_terms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+            SELECT term, df, levenshtein(term, '{SUGGEST_SEED}') AS dist
+            FROM stats
+            WHERE term <> '{SUGGEST_SEED}'
+              AND abs(length(term) - length('{SUGGEST_SEED}')) <= {SUGGEST_MAX_EDITS}
+              AND levenshtein(term, '{SUGGEST_SEED}') <= {SUGGEST_MAX_EDITS}
+            ORDER BY dist ASC, df DESC, term ASC
+            LIMIT 10
+        """,
+        "freshness_boost": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       ({FRESH_EPOCH}::BIGINT + doc_id * {FRESH_STEP_S})::DOUBLE AS s
+                FROM documents
+            ),
+            m AS (SELECT max(s) AS mx FROM t)
+            SELECT doc_id,
+                   round(pow(2.0, -((m.mx - t.s) / 86400.0) / {FRESH_HALF_LIFE_DAYS}), 6)
+                       AS boost
+            FROM t CROSS JOIN m
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS dup_count,

@@ -75,6 +75,17 @@ def main() -> None:
         "served by engine.search_boosted / jobs/query.py --boost-weight",
     )
     ap.add_argument(
+        "--freshness-half-life",
+        type=float,
+        default=None,
+        metavar="DAYS",
+        help="also write a recency prior into doc_boosts: "
+        "boost = 2^(-age_days/DAYS) from the pages' warc_ts against "
+        "the corpus max timestamp (summed with the --host-ranks prior "
+        "when both are given) — served by engine.search_boosted / "
+        "jobs/query.py --boost-weight",
+    )
+    ap.add_argument(
         "--publish",
         metavar="NAMESPACE",
         help="after the build, publish the index tables to this Iceberg "
@@ -131,6 +142,7 @@ def main() -> None:
         host_ranks=(
             read_table(spark, args.host_ranks) if args.host_ranks else None
         ),
+        freshness_half_life=args.freshness_half_life,
     )
     with open(f"{args.output}/manifest.json") as f:
         print(json.dumps(json.load(f), indent=2))

@@ -30,6 +30,28 @@ def main() -> None:
         help="file with one query text per line — the whole batch is "
         "scored in ONE Spark job (engine.search_bulk)",
     )
+    group.add_argument(
+        "--more-like-this",
+        type=int,
+        default=None,
+        metavar="DOC_ID",
+        help="retrieve docs similar to this doc_id: its tf*idf-top "
+        "--mlt-terms terms as a disjunctive BM25 query, seed excluded "
+        "(engine.search_more_like_this)",
+    )
+    group.add_argument(
+        "--related",
+        metavar="TERM",
+        help="print the top-k corpus-mined related terms (document "
+        "PMI) for TERM instead of searching (engine.related_terms)",
+    )
+    group.add_argument(
+        "--suggest",
+        metavar="TERM",
+        help="did-you-mean: print the top-k vocabulary terms within "
+        "--max-edits Levenshtein edits of TERM, ranked dist asc / df "
+        "desc (engine.suggest)",
+    )
     ap.add_argument(
         "--out",
         help="parquet output path for --bulk results (default: print "
@@ -67,6 +89,26 @@ def main() -> None:
         "--boosts",
         default="",
         help="override (doc_id, boost) table for --boost-weight",
+    )
+    ap.add_argument(
+        "--min-should-match",
+        type=int,
+        default=0,
+        help="OR-query precision knob: only docs matching at least "
+        "this many distinct query terms score (engine.search_msm; "
+        "distributed scorer)",
+    )
+    ap.add_argument(
+        "--mlt-terms",
+        type=int,
+        default=10,
+        help="seed-term count for --more-like-this",
+    )
+    ap.add_argument(
+        "--max-edits",
+        type=int,
+        default=2,
+        help="Levenshtein radius for --suggest",
     )
     ap.add_argument("--explain", action="store_true")
     ap.add_argument(
@@ -111,6 +153,32 @@ def main() -> None:
                         ensure_ascii=False,
                     )
                 )
+    elif args.more_like_this is not None:
+        hits = engine.search_more_like_this(
+            args.more_like_this,
+            m_terms=args.mlt_terms,
+            k=args.k,
+            offset=args.offset,
+        )
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
+    elif args.related:
+        print(
+            json.dumps(
+                engine.related_terms(args.related, k=args.k),
+                ensure_ascii=False,
+                indent=2,
+            )
+        )
+    elif args.suggest:
+        print(
+            json.dumps(
+                engine.suggest(
+                    args.suggest, k=args.k, max_edits=args.max_edits
+                ),
+                ensure_ascii=False,
+                indent=2,
+            )
+        )
     elif args.ast_json:
         if args.explain:
             from mecab_ko_lucene_analyzer_spark.query.ast import (
@@ -131,6 +199,13 @@ def main() -> None:
                 offset=args.offset,
                 anchor_weight=args.anchor_weight or 0.0,
                 title_weight=args.title_weight,
+            )
+        elif args.min_should_match > 1:
+            hits = engine.search_msm(
+                args.query,
+                min_should_match=args.min_should_match,
+                k=args.k,
+                offset=args.offset,
             )
         elif args.boost_weight is not None:
             if args.boosts:

@@ -419,6 +419,98 @@ class SearchEngine:
                 hit["highlight_terms"] = terms
         return out
 
+    def search_msm(
+        self,
+        text: str,
+        min_should_match: int = 2,
+        k: int = 10,
+        offset: int = 0,
+        highlight: bool = False,
+    ) -> list[dict]:
+        """Disjunctive retrieval with Elasticsearch's
+        ``minimum_should_match`` precision knob: only docs matching at
+        least ``min_should_match`` distinct query terms score. The
+        match-count filter rides the per-doc aggregate
+        (``query/bm25.py::bm25_scored``), so this is the distributed
+        scorer; ``min_should_match<=1`` is rank-identical to
+        disjunctive :meth:`search` (pinned in tests)."""
+        from .query.bm25 import bm25_topk
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        terms = [t["term"] for t in tokens]
+        self.last_route = "distributed"
+        rows = bm25_topk(
+            self._body_index(),
+            terms,
+            k=offset + k,
+            min_should_match=min_should_match,
+        ).collect()
+        out = self._resolve(
+            [(r["doc_id"], r["score"]) for r in rows][offset : offset + k]
+        )
+        if highlight:
+            for hit in out:
+                hit["highlight_terms"] = terms
+        return out
+
+    def search_more_like_this(
+        self,
+        doc_id: int,
+        m_terms: int = 10,
+        k: int = 10,
+        offset: int = 0,
+    ) -> list[dict]:
+        """Lucene MoreLikeThis over the built index: the seed doc's
+        tf·idf-top ``m_terms`` terms as a disjunctive BM25 query, seed
+        excluded (``query/expand.py::mlt_topk``)."""
+        from .query.expand import mlt_topk
+
+        self.last_route = "distributed"
+        rows = mlt_topk(
+            self._body_index(), doc_id, m_terms=m_terms, k=offset + k
+        ).collect()
+        return self._resolve(
+            [(r["doc_id"], r["score"]) for r in rows][offset : offset + k]
+        )
+
+    def related_terms(
+        self, term: str, k: int = 10, min_co: int = 2
+    ) -> list[dict]:
+        """Corpus-mined expansion candidates for ``term``: top-k
+        co-occurring terms by document-level PMI
+        (``query/expand.py::related_terms``) — the data-driven
+        bootstrap for the curated synonym dictionary the analysis
+        chain serves (A19/Q2)."""
+        from .query.expand import related_terms as _related
+
+        return [
+            {"term": r["term"], "n_co": r["n_co"], "pmi": r["pmi"]}
+            for r in _related(
+                self._body_index(), term, k=k, min_co=min_co
+            ).collect()
+        ]
+
+    def suggest(
+        self, term: str, k: int = 5, max_edits: int = 2, min_df: int = 1
+    ) -> list[dict]:
+        """Did-you-mean suggestions from the index vocabulary
+        (``query/expand.py::suggest_terms``): Levenshtein candidates
+        ranked dist asc, df desc, term asc."""
+        from .query.expand import suggest_terms
+
+        return [
+            {"term": r["term"], "df": r["df"], "dist": r["dist"]}
+            for r in suggest_terms(
+                self._body_index(),
+                term,
+                k=k,
+                max_edits=max_edits,
+                min_df=min_df,
+            ).collect()
+        ]
+
     def search_ast(
         self,
         query,

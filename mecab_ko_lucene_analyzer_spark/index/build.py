@@ -714,6 +714,7 @@ def build_and_write(
     anchor_external_only: bool = False,
     with_titles: bool = False,
     host_ranks: DataFrame | None = None,
+    freshness_half_life: float | None = None,
 ) -> InvertedIndex:
     """Materialize the index with per-stage checkpoints (I6):
 
@@ -949,18 +950,42 @@ def build_and_write(
             ),
         )
 
-    if host_ranks is not None:
+    if host_ranks is not None or freshness_half_life is not None:
 
         def stage_boosts():
-            """``doc_boosts`` (doc_id, boost): the host-centrality
-            quality prior (``functions/webgraph.py::doc_boost_table``)
-            resolved against this build's doc_map — served by
+            """``doc_boosts`` (doc_id, boost): static quality priors
+            resolved against this build's doc_map — host centrality
+            (``functions/webgraph.py::doc_boost_table``) and/or
+            recency (``functions/freshness.py::freshness_boost_table``
+            over the pages' ``warc_ts``), summed per doc when both are
+            requested (``combine_boosts``) — served by
             ``engine.search_boosted`` / ``query/bm25.py::
             boosted_bm25_topk``."""
+            from ..functions.freshness import (
+                combine_boosts,
+                freshness_boost_table,
+            )
             from ..functions.webgraph import doc_boost_table
 
             doc_map = spark.read.parquet(f"{base_path}/doc_map")
-            doc_boost_table(doc_map, host_ranks).write.mode(
+            parts = []
+            if host_ranks is not None:
+                parts.append(doc_boost_table(doc_map, host_ranks))
+            if freshness_half_life is not None:
+                # url-keyed resolution; duplicate urls (legal on the
+                # non-upsert ingest path) take the latest fetch so the
+                # join stays 1:1 against doc_map and deterministic
+                page_ts = (
+                    pages.groupBy("url")
+                    .agg(F.max("warc_ts").alias("warc_ts"))
+                )
+                doc_ts = doc_map.join(page_ts, "url").select(
+                    "doc_id", "warc_ts"
+                )
+                parts.append(
+                    freshness_boost_table(doc_ts, freshness_half_life)
+                )
+            combine_boosts(*parts).write.mode(
                 "overwrite"
             ).parquet(f"{base_path}/doc_boosts")
             # footer-only count for the lineage counter

@@ -57,11 +57,20 @@ def bm25_scored(
     query_terms: list[str],
     k1: float = K1,
     b: float = B,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Every matching doc's BM25 score ``(doc_id, score)`` — the
     pre-top-k relation :func:`bm25_topk` cuts and
     :func:`boosted_bm25_topk` blends (a doc-dependent boost must apply
     BEFORE the top-k cut or boosted tail docs can never surface).
+
+    ``min_should_match`` keeps only docs matching at least that many
+    DISTINCT query terms (Elasticsearch's ``minimum_should_match`` for
+    an OR query — the precision knob between pure-OR recall and
+    pure-AND strictness). The count rides the existing per-doc hash
+    aggregate (postings carry one row per (term, doc), so it is a
+    plain ``count(*)``) and the filter applies post-aggregate — zero
+    extra exchanges, and at scale it CUTS the top-k heap's input.
 
     Plan shape: postings are filtered with an IN-list on ``term``
     (pushed to the scan — the posting store is term-partitioned at
@@ -87,14 +96,20 @@ def bm25_scored(
     if "doc_len" not in matched.columns:
         # older row-postings without the denormalized doc_len
         matched = matched.join(index.doc_stats, "doc_id")
-    return (
+    scored = (
         matched
         .join(F.broadcast(idf_df), "term")
         .withColumn("avgdl", F.lit(avgdl))
         .withColumn("partial", score_expr(k1, b))
         .groupBy("doc_id")
-        .agg(F.sum("partial").alias("score"))
+        .agg(
+            F.sum("partial").alias("score"),
+            F.count(F.lit(1)).alias("_n_matched"),
+        )
     )
+    if min_should_match > 1:
+        scored = scored.filter(F.col("_n_matched") >= min_should_match)
+    return scored.select("doc_id", "score")
 
 
 def bm25_topk(
@@ -103,13 +118,14 @@ def bm25_topk(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Distributed scatter-gather BM25: returns ``(doc_id, score)``,
     rank-deterministic (score desc, doc_id asc), ``k`` rows max.
     Top-k is TakeOrdered over :func:`bm25_scored`, not a global sort.
     """
     return (
-        bm25_scored(index, query_terms, k1, b)
+        bm25_scored(index, query_terms, k1, b, min_should_match)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -1,0 +1,184 @@
+"""Query expansion over the built index: more-like-this and
+data-driven related terms.
+
+The reference expands queries from curated synonym dictionaries
+(``SynonymDictionary.java``, served through the A19 appender and the
+Q2 synonym-OR subquery). A crawl-scale engine also wants the
+*data-driven* counterparts, both standard Lucene/ES machinery:
+
+* **More-like-this** (Lucene ``MoreLikeThis``): pick a seed document's
+  most characteristic terms by tf·idf and run them as a BM25 OR query,
+  excluding the seed — "find pages like this page".
+* **Related terms** (PMI co-occurrence mining): terms that co-occur
+  with a seed term across documents far more often than chance —
+  candidate synonyms/expansions mined from the corpus itself, the
+  usual bootstrap for the curated dictionary the reference assumes.
+
+Both are single declarative plans over the index tables; the only
+driver-side materialization is the m-term seed list in
+:func:`mlt_topk` (bounded by ``m_terms``, the same bounded-metadata
+pattern as the hot-term list in ``index/blocks.py``) — it buys the
+IN-list predicate pushdown on the postings scan that
+``query/bm25.py::bm25_scored`` is built around.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..index.build import InvertedIndex, K1, B
+from .bm25 import bm25_scored
+
+__all__ = ["mlt_topk", "mlt_seed_terms", "related_terms", "suggest_terms"]
+
+
+def mlt_seed_terms(
+    index: InvertedIndex, seed_doc_id: int, m_terms: int = 10
+) -> list[str]:
+    """The seed doc's top ``m_terms`` terms by tf·idf (Lucene
+    ``MoreLikeThis.retrieveInterestingTerms`` semantics; its default
+    ``maxQueryTerms`` is 25). Deterministic tie-break: tf·idf desc,
+    term asc. One doc_id-pruned postings fetch joined to term_stats —
+    the collect is ≤ ``m_terms`` rows."""
+    corpus = index.corpus_stats.first()
+    n_docs = corpus["n_docs"]
+    seed = index.postings.filter(F.col("doc_id") == seed_doc_id).select("term", "tf")
+    ranked = (
+        seed.join(index.term_stats.select("term", "df"), "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(int(m_terms))
+    )
+    return [r["term"] for r in ranked.collect()]
+
+
+def mlt_topk(
+    index: InvertedIndex,
+    seed_doc_id: int,
+    m_terms: int = 10,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """More-like-this: BM25 top-k ``(doc_id, score)`` for the seed
+    doc's tf·idf-top ``m_terms`` terms, seed excluded. Rank tie-break:
+    score desc, doc_id asc."""
+    terms = mlt_seed_terms(index, seed_doc_id, m_terms)
+    return (
+        bm25_scored(index, terms, k1, b)
+        .filter(F.col("doc_id") != seed_doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def suggest_terms(
+    index: InvertedIndex,
+    term: str,
+    k: int = 10,
+    max_edits: int = 2,
+    min_df: int = 1,
+) -> DataFrame:
+    """Did-you-mean term suggestions (Lucene/ES ``term`` suggester,
+    ``DirectSpellChecker`` semantics): vocabulary terms within
+    ``max_edits`` Levenshtein edits of ``term``, ranked edit distance
+    asc, then df desc (popular corrections first), then term asc —
+    ``(term, df, dist)``, ``k`` rows. The input term itself is
+    excluded (it needs no correction); ``min_df`` drops
+    typo-vocabulary suggestions.
+
+    Plan: one pass over ``term_stats`` (the vocabulary — tiny next to
+    postings) with a cheap *length-band* prefilter
+    ``|len(t) − len(term)| ≤ max_edits`` (a necessary condition for
+    edit distance, pushed to the scan) before the O(|t|·|term|)
+    Levenshtein, then TakeOrdered. Zero exchanges beyond the top-k
+    gather; at 10^12 docs the vocabulary is the only input and it is
+    orders of magnitude smaller.
+
+    All ranking keys are integers/strings — no float tie-break
+    anywhere, so ranks are bit-deterministic across engines.
+    """
+    lit = F.lit(term)
+    return (
+        index.term_stats.select("term", "df")
+        .filter(
+            (F.col("term") != lit)
+            & (F.col("df") >= int(min_df))
+            & (
+                F.abs(F.length("term") - F.length(lit))
+                <= int(max_edits)
+            )
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), lit))
+        .filter(F.col("dist") <= int(max_edits))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def related_terms(
+    index: InvertedIndex,
+    seed_term: str,
+    k: int = 10,
+    min_co: int = 2,
+) -> DataFrame:
+    """Top-``k`` terms by document-level PMI with ``seed_term``:
+    ``(term, n_co, pmi)`` where ``n_co`` is the number of docs
+    containing both terms and::
+
+        pmi = ln( n_co · N / (df_seed · df_term) )
+
+    (pointwise mutual information of the two document events; > 0
+    means the pair co-occurs more than independence predicts). Ranked
+    pmi desc, term asc; pairs with ``n_co < min_co`` are dropped —
+    a 1-doc co-occurrence with a rare term yields a huge, meaningless
+    PMI (the classic PMI rare-event bias).
+
+    Plan: the seed's doc list prunes postings via a doc_id hash join
+    (df(seed) rows — NOT broadcast by force: a josa-class seed matches
+    a constant fraction of the corpus and must stay a shuffle join),
+    one hash aggregate counts co-occurrences, then a term-keyed join
+    against term_stats picks up df (left to AQE: the aggregated co
+    side is usually broadcastable, but neither side is FORCED — the
+    vocab of a 10^12-doc crawl does not fit one executor). The only
+    data-proportional exchanges are the doc_id join + one aggregate.
+    """
+    seed_docs = (
+        index.postings.filter(F.col("term") == seed_term)
+        .select("doc_id")
+        .distinct()
+    )
+    co = (
+        index.postings.select("term", "doc_id")
+        .join(seed_docs, "doc_id")
+        .filter(F.col("term") != seed_term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= int(min_co))
+    )
+    corpus = index.corpus_stats.first()
+    n_docs = float(corpus["n_docs"])
+    seed_df_row = index.term_stats.filter(F.col("term") == seed_term).first()
+    if seed_df_row is None:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "term string, n_co bigint, pmi double")
+    df_seed = float(seed_df_row["df"])
+    return (
+        co.join(index.term_stats.select("term", "df"), "term")
+        .select(
+            "term",
+            "n_co",
+            F.log(
+                F.col("n_co").cast("double")
+                * F.lit(n_docs)
+                / (F.lit(df_seed) * F.col("df").cast("double"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(k)
+    )

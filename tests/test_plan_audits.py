@@ -41,6 +41,16 @@ SHUFFLE_CEILING = {
     # joins; all data-proportional exchanges are term- or host-pruned
     "boosted_bm25_topk": 30,
     "extract_title": 0,
+    # _ws_index-backed expansion family: the 5 = tokenize→postings agg
+    # + stats aggs + the per-doc score agg (all term-pruned or
+    # vocab-sized); suggest's 2 are both VOCABULARY-sized aggregates
+    # (the only input is term_stats); freshness's 1 is the doc_ts
+    # projection's single agg-shuffle for the broadcast max-ts scalar
+    "msm_topk": 5,
+    "mlt_topk": 5,
+    "related_terms": 5,
+    "suggest_terms": 2,
+    "freshness_boost": 1,
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
     "ann_lsh_topk": 1,
