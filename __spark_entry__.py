@@ -945,6 +945,49 @@ def _q_freshness_boost(spark, sf_dir):
     ).select("doc_id", F.round("boost", 6).alias("boost"))
 
 
+def _q_facet_terms(spark, sf_dir):
+    """ES ``terms`` aggregation (``query/aggs.py::facet_terms``): top
+    attribute values (``documents.source``) among the docs matching
+    the disjunctive BM25_QUERY, ranked doc_count desc / value asc —
+    the facet panel next to every product-search result page. Keys
+    are ints/strings only, so ranks are bit-deterministic."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import facet_terms
+
+    return facet_terms(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+        k=10,
+    )
+
+
+def _q_date_histogram(spark, sf_dir):
+    """ES ``date_histogram`` (``query/aggs.py::date_histogram``):
+    matching-doc counts per UTC day of the synthetic fetch timestamp
+    (epoch + doc_id hours, the ``freshness_boost`` convention —
+    documents carries no ts column). The bucket start is emitted as
+    epoch seconds (BIGINT) so the oracle comparison is pure integer
+    arithmetic with no timestamp-rendering dependence (session tz is
+    UTC on this driver, where day-truncation == s // 86400 * 86400)."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import date_histogram
+
+    doc_ts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(FRESH_EPOCH) + F.col("doc_id") * FRESH_STEP_S
+        ).alias("warc_ts"),
+    )
+    return (
+        date_histogram(_ws_index(spark, sf_dir), BM25_QUERY, doc_ts, interval="day")
+        .select(
+            F.col("bucket").cast("long").alias("bucket_start"),
+            "doc_count",
+        )
+        .orderBy("bucket_start")
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -1566,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms": _q_related_terms,
         "suggest_terms": _q_suggest_terms,
         "freshness_boost": _q_freshness_boost,
+        "facet_terms": _q_facet_terms,
+        "date_histogram": _q_date_histogram,
         "extract_title": _q_extract_title,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -2465,6 +2510,32 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(2.0, -((m.mx - t.s) / 86400.0) / {FRESH_HALF_LIFE_DAYS}), 6)
                        AS boost
             FROM t CROSS JOIN m
+        """,
+        "facet_terms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT d.source AS value, count(*) AS doc_count
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.source IS NOT NULL
+            GROUP BY 1
+            ORDER BY doc_count DESC, value ASC
+            LIMIT 10
+        """,
+        "date_histogram": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT (({FRESH_EPOCH}::BIGINT + doc_id * {FRESH_STEP_S}) // 86400)
+                       * 86400 AS bucket_start,
+                   count(*) AS doc_count
+            FROM matched
+            GROUP BY 1
+            ORDER BY bucket_start ASC
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS dup_count,

@@ -1,0 +1,132 @@
+"""Search-time aggregations (Elasticsearch-style facets).
+
+The reference ships inside an Elasticsearch plugin, and the product
+searches it powers are facet-heavy: every query page shows hit counts
+grouped by category / maker / price band next to the ranked hits. ES
+computes those as ``aggregations`` over the full *matched doc set*
+(not just the top-k page). This module supplies the two workhorse
+shapes over the built index:
+
+* :func:`facet_terms` — ES ``terms`` aggregation: the top-k attribute
+  values among matching docs by document count.
+* :func:`date_histogram` — ES ``date_histogram``: matching-doc counts
+  per calendar bucket of a timestamp attribute.
+
+Both run over :func:`matching_docs`, the disjunctive match set the
+BM25 scorer also starts from (``query/bm25.py::bm25_scored``), with
+the same ``min_should_match`` precision knob.
+
+Plan shape at 10^12 docs: the postings scan is pruned with a pushed
+IN-list on ``term`` (term-partitioned store → partition pruning), the
+match set is one partial+final hash aggregate, the attribute arrives
+via ONE doc_id hash join (both sides huge → AQE picks sort-merge;
+neither side is forced broadcast), and the facet itself is a
+map-side-combined count per value followed by a TakeOrdered gather.
+No driver materialization anywhere — the only driver rows are the
+final k buckets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..index.build import InvertedIndex
+
+__all__ = ["matching_docs", "facet_terms", "date_histogram"]
+
+# date_trunc units Spark and ANSI SQL agree on (lowercase canonical)
+_INTERVALS = frozenset(
+    {"hour", "day", "week", "month", "quarter", "year"}
+)
+
+
+def matching_docs(
+    index: InvertedIndex,
+    query_terms: list[str],
+    min_should_match: int = 0,
+) -> DataFrame:
+    """``(doc_id)`` — every doc matching at least
+    ``max(min_should_match, 1)`` DISTINCT query terms (the ES query
+    context's disjunctive match set, the same relation BM25 scores).
+
+    Postings carry one row per (term, doc), so the distinct-match
+    count is a plain ``count(*)`` riding one hash aggregate over the
+    IN-pruned scan."""
+    spark = index.postings.sparkSession
+    if not query_terms:
+        return spark.createDataFrame([], "doc_id long")
+    need = max(int(min_should_match), 1)
+    matched = (
+        index.postings.filter(F.col("term").isin(list(set(query_terms))))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_matched"))
+    )
+    if need > 1:
+        matched = matched.filter(F.col("_matched") >= need)
+    return matched.select("doc_id")
+
+
+def facet_terms(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    k: int = 10,
+    min_doc_count: int = 1,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``terms`` aggregation: ``(value, doc_count)`` — the top ``k``
+    values of ``attr_col`` among matching docs, ranked doc_count desc
+    then value asc (ES's default ``_count`` desc order, with the key
+    as the deterministic tiebreak; integer/string keys only, so ranks
+    are bit-deterministic across engines).
+
+    ``doc_attrs`` is any ``(doc_id, <attr_col>)`` relation — the
+    doc_map's url host, a crawl metadata table, a joined product
+    category column. NULL attribute values get no bucket (ES's
+    ``missing`` bucket is opt-in and not modeled); ``min_doc_count``
+    drops sparse tail buckets exactly like the ES knob."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    out = (
+        docs.join(doc_attrs.select("doc_id", attr_col), "doc_id")
+        .filter(F.col(attr_col).isNotNull())
+        .groupBy(F.col(attr_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    if min_doc_count > 1:
+        out = out.filter(F.col("doc_count") >= int(min_doc_count))
+    return out.orderBy(F.desc("doc_count"), F.asc("value")).limit(int(k))
+
+
+def date_histogram(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_ts: DataFrame,
+    ts_col: str = "warc_ts",
+    interval: str = "day",
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``date_histogram``: ``(bucket, doc_count)`` — matching-doc
+    counts per calendar ``interval`` of ``ts_col``, bucket ascending.
+    ``bucket`` is the truncated timestamp (the bucket's start instant).
+
+    Buckets with zero matching docs are omitted (ES's
+    ``min_doc_count: 0`` gap-filling is a presentation concern — at
+    crawl scale the bucket range is decided by the UI, not the
+    engine); NULL timestamps get no bucket, mirroring
+    :func:`facet_terms`'s missing handling."""
+    iv = interval.lower()
+    if iv not in _INTERVALS:
+        raise ValueError(
+            f"interval must be one of {sorted(_INTERVALS)}, got {interval!r}"
+        )
+    docs = matching_docs(index, query_terms, min_should_match)
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        docs.join(doc_ts.select("doc_id", ts.alias("_ts")), "doc_id")
+        .filter(F.col("_ts").isNotNull())
+        .groupBy(F.date_trunc(iv, F.col("_ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.asc("bucket"))
+    )

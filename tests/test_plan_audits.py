@@ -51,6 +51,13 @@ SHUFFLE_CEILING = {
     "related_terms": 5,
     "suggest_terms": 2,
     "freshness_boost": 1,
+    # facet family: tokenize→postings agg + the matched-docs agg; the
+    # attr join broadcasts at sf (AQE decides at scale) and the facet
+    # count is map-side combined into the final TakeOrdered. The
+    # histogram's +1 is its bucket agg (facet's value agg folds into
+    # the TakeOrdered's local sort at this size).
+    "facet_terms": 2,
+    "date_histogram": 3,
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
     "ann_lsh_topk": 1,
