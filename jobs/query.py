@@ -20,6 +20,13 @@ def main() -> None:
     group = ap.add_mutually_exclusive_group(required=True)
     group.add_argument("--query")
     group.add_argument(
+        "--query-file",
+        help="file whose UTF-8 contents are the query text — byte-safe "
+        "on clusters whose launcher locale is not UTF-8 (a non-UTF-8 "
+        "JVM locale lossily decodes Korean argv to '?' before Python "
+        "ever runs; see the startup guard)",
+    )
+    group.add_argument(
         "--ast-json",
         help="structured query as the Q6 JSON rendering (engine."
         "search_ast) — the phrase/boolean-tree surface, e.g. "
@@ -119,6 +126,25 @@ def main() -> None:
         "instead of collected to the driver (query/router.py)",
     )
     args = ap.parse_args()
+
+    if args.query_file:
+        args.query = Path(args.query_file).read_text(encoding="utf-8").strip()
+
+    # spark-submit launches the driver THROUGH the JVM: with a
+    # non-UTF-8 launcher locale (LANG unset → POSIX) the JVM decodes
+    # argv at startup and lossily replaces every Korean codepoint with
+    # '?'. The corruption is unrecoverable here, so fail loudly with
+    # the fix instead of silently analyzing to zero terms and
+    # returning [] (verified against a live spark-submit run).
+    for text in (args.query, args.related, args.suggest, args.ast_json):
+        if text and ("�" in text or ("?" in text and not text.strip("? "))):
+            raise SystemExit(
+                "query text reached the driver as replacement characters "
+                "— the JVM launcher decoded argv with a non-UTF-8 locale. "
+                "Export a UTF-8 locale for spark-submit (e.g. "
+                "LANG=C.UTF-8), or pass the query bytes via --query-file "
+                "/ --bulk instead of argv."
+            )
 
     from mecab_ko_lucene_analyzer_spark.analysis.dictionary import AnalyzerOption
     from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
