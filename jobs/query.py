@@ -117,6 +117,15 @@ def main() -> None:
         default=2,
         help="Levenshtein radius for --suggest",
     )
+    ap.add_argument(
+        "--facet-hosts",
+        type=int,
+        default=0,
+        metavar="K",
+        help="with --query: also print the top-K url-host buckets over "
+        "the FULL matched doc set (ES terms aggregation, "
+        "engine.facets)",
+    )
     ap.add_argument("--explain", action="store_true")
     ap.add_argument(
         "--max-driver-df",
@@ -248,6 +257,18 @@ def main() -> None:
                 conjunctive=not args.disjunctive,
             )
         print(json.dumps(hits, ensure_ascii=False, indent=2))
+        if args.facet_hosts:
+            print(
+                json.dumps(
+                    {
+                        "facet_hosts": engine.facets(
+                            args.query, k=args.facet_hosts
+                        )
+                    },
+                    ensure_ascii=False,
+                    indent=2,
+                )
+            )
     spark.stop()
 
 

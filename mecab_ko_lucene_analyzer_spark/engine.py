@@ -511,6 +511,53 @@ class SearchEngine:
             ).collect()
         ]
 
+    def facets(
+        self,
+        text: str,
+        attrs=None,
+        attr_col: str = "host",
+        k: int = 10,
+        min_doc_count: int = 1,
+        min_should_match: int = 0,
+    ) -> list[dict]:
+        """ES ``terms`` aggregation over the FULL matched doc set of
+        the analyzed query (``query/aggs.py::facet_terms``) — the
+        facet panel next to every product-search page. Default
+        attribute: the doc's url host from the doc_map; pass any
+        ``(doc_id, <attr_col>)`` DataFrame as ``attrs`` to facet on a
+        joined metadata column instead. Buckets rank doc_count desc /
+        value asc.
+
+        Match semantics: the disjunctive bag over the ANALYZED
+        vocabulary (``ast_terms`` of the built query — synonym and
+        extra terms included), i.e. exactly the match set of
+        ``search(conjunctive=False)`` for term/synonym queries; for
+        queries whose analysis emits multi-word phrases, phrase
+        adjacency is not enforced here (the bag is a superset)."""
+        from .functions.curation import host_of
+        from .query.aggs import facet_terms
+        from .query.ast import ast_terms
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        if attrs is None:
+            attrs = self.doc_map.select(
+                "doc_id", host_of("url").alias(attr_col)
+            )
+        rows = facet_terms(
+            self._body_index(),
+            sorted(ast_terms(self.build_query(text))),
+            attrs,
+            attr_col,
+            k=k,
+            min_doc_count=min_doc_count,
+            min_should_match=min_should_match,
+        ).collect()
+        return [
+            {"value": r["value"], "doc_count": r["doc_count"]} for r in rows
+        ]
+
     def search_ast(
         self,
         query,

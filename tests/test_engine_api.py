@@ -3,6 +3,7 @@
 import shutil
 
 import pytest
+import pyspark.sql.functions as F
 
 from mecab_ko_lucene_analyzer_spark.analysis.dictionary import (
     AnalyzerOption,
@@ -393,3 +394,54 @@ def test_whitespace_highlight_spans_semantics():
     assert whitespace_highlight_spans("nothing here", ["spark"]) == []
     # repeated occurrences each get a span
     assert whitespace_highlight_spans("data data", ["data"]) == [(0, 4), (5, 9)]
+
+
+def test_facets_custom_attrs_match_brute_force(engine, spark):
+    """Facet buckets over a custom (doc_id, category) relation equal a
+    pure-Python recount: per-doc client-side tokenization decides
+    membership in the analyzed-vocabulary bag (synonym terms
+    included), then buckets count by doc_id % 3."""
+    from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import (
+        index_token_stream,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+
+    vocab = ast_terms(engine.build_query("검색 엔진"))
+    assert "서치" in vocab  # the synonym must be part of the facet bag
+    pages = {
+        r["url"]: r["text"]
+        for r in synthesize_webpages(spark, 150, partitions=4).collect()
+    }
+    matched = {
+        r["doc_id"]
+        for r in engine.doc_map.collect()
+        if vocab & set(index_token_stream(pages[r["url"]], "standard", 3)[0])
+    }
+    assert matched
+    cats = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("cat"), (F.col("id") % 3).cast("string")).alias("cat"),
+    )
+    got = engine.facets("검색 엔진", attrs=cats, attr_col="cat", k=10)
+    want = {}
+    for d in matched:
+        want[f"cat{d % 3}"] = want.get(f"cat{d % 3}", 0) + 1
+    expect = sorted(
+        ({"value": v, "doc_count": c} for v, c in want.items()),
+        key=lambda r: (-r["doc_count"], r["value"]),
+    )
+    assert got == expect
+
+
+def test_facets_default_host_buckets(engine):
+    """Default facet attribute is the doc_map url host: the synthetic
+    corpus has one host per doc, so every bucket counts exactly 1 and
+    the bucket total is bounded by k."""
+    got = engine.facets("검색 엔진", k=7)
+    assert 0 < len(got) <= 7
+    assert all(b["doc_count"] == 1 for b in got)
+    assert all(b["value"].startswith("example-") for b in got)
+
+
+def test_facets_empty_analysis_returns_no_buckets(engine):
+    assert engine.facets("...", k=5) == []

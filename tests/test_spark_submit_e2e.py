@@ -89,13 +89,16 @@ def test_build_via_submit_writes_a_complete_index(deploy):
 def test_query_via_submit_matches_in_process_engine(deploy, spark):
     got = _submit(
         deploy, "query.py", "--index", str(deploy / "index"),
-        "--query", QUERY, "-k", "5",
+        "--query", QUERY, "-k", "5", "--facet-hosts", "3",
     )
     assert got.returncode == 0, got.stderr[-4000:]
-    # hits are the last JSON array on stdout (after any log noise)
+    # stdout carries the hits array then the facet object
     payload = got.stdout[got.stdout.index("[") :]
-    hits = json.loads(payload[: payload.rindex("]") + 1])
+    hits = json.loads(payload[: payload.index("]") + 1])
     assert hits, "submitted query returned no hits"
+    facets = json.loads(payload[payload.index('{\n  "facet_hosts"') :])
+    assert facets["facet_hosts"], "facet panel came back empty"
+    assert all(b["doc_count"] >= 1 for b in facets["facet_hosts"])
 
     from mecab_ko_lucene_analyzer_spark.analysis.dictionary import AnalyzerOption
     from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
