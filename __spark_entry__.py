@@ -988,6 +988,28 @@ def _q_date_histogram(spark, sf_dir):
     )
 
 
+def _q_stats_agg(spark, sf_dir):
+    """ES ``stats`` metric aggregation (``query/aggs.py::stats_agg``):
+    count/min/max/avg/sum of ``documents.n_chars`` over the docs
+    matching the disjunctive BM25_QUERY — the numeric summary strip
+    next to the facet panel. One row; avg rounded to 6 (float
+    summation-order noise), the rest exact."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import stats_agg
+
+    return stats_agg(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+    ).select(
+        "count",
+        "min",
+        "max",
+        F.round("avg", 6).alias("avg"),
+        "sum",
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
@@ -1611,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_boost": _q_freshness_boost,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
+        "stats_agg": _q_stats_agg,
         "extract_title": _q_extract_title,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -2536,6 +2559,20 @@ def oracle_sql() -> dict[str, str]:
             FROM matched
             GROUP BY 1
             ORDER BY bucket_start ASC
+        """,
+        "stats_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT count(n_chars) AS count,
+                   min(n_chars)::DOUBLE AS min,
+                   max(n_chars)::DOUBLE AS max,
+                   round(avg(n_chars), 6) AS avg,
+                   sum(n_chars)::DOUBLE AS sum
+            FROM matched JOIN documents USING (doc_id)
+            WHERE n_chars IS NOT NULL
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS dup_count,

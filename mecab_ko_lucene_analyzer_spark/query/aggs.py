@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 
 from ..index.build import InvertedIndex
 
-__all__ = ["matching_docs", "facet_terms", "date_histogram"]
+__all__ = ["matching_docs", "facet_terms", "date_histogram", "stats_agg"]
 
 # date_trunc units Spark and ANSI SQL agree on (lowercase canonical)
 _INTERVALS = frozenset(
@@ -97,6 +97,39 @@ def facet_terms(
     if min_doc_count > 1:
         out = out.filter(F.col("doc_count") >= int(min_doc_count))
     return out.orderBy(F.desc("doc_count"), F.asc("value")).limit(int(k))
+
+
+def stats_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``stats`` metric aggregation: ONE row
+    ``(count, min, max, avg, sum)`` of a numeric attribute over the
+    matching docs — the price/size summary strip next to a facet
+    panel. NULL attribute values are excluded from every statistic
+    (ES semantics: ``count`` is the number of VALUES collected, not
+    of matching docs). A query matching nothing yields
+    ``(0, NULL, NULL, NULL, NULL)``.
+
+    Plan: the match set's one aggregate plus one doc_id join, then a
+    single global aggregate — partial-combined, so the final exchange
+    carries one row per upstream partition."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    v = F.col(attr_col).cast("double")
+    return (
+        docs.join(doc_attrs.select("doc_id", attr_col), "doc_id")
+        .filter(v.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.avg(v).alias("avg"),
+            F.sum(v).alias("sum"),
+        )
+    )
 
 
 def date_histogram(

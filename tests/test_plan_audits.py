@@ -58,6 +58,9 @@ SHUFFLE_CEILING = {
     # the TakeOrdered's local sort at this size).
     "facet_terms": 2,
     "date_histogram": 3,
+    # stats' 2 = the postings/matched aggs; the global stats row is a
+    # partial-combined single-row gather
+    "stats_agg": 2,
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
     "ann_lsh_topk": 1,

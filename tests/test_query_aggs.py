@@ -10,6 +10,7 @@ from mecab_ko_lucene_analyzer_spark.query.aggs import (
     date_histogram,
     facet_terms,
     matching_docs,
+    stats_agg,
 )
 
 
@@ -165,3 +166,33 @@ def test_date_histogram_rejects_bad_interval(spark):
     idx = _hand_index(spark)
     with pytest.raises(ValueError, match="interval"):
         date_histogram(idx, ["a"], _doc_ts(spark), interval="fortnight")
+
+
+# --------------------------------------------------------------------------
+# stats_agg
+# --------------------------------------------------------------------------
+
+
+def _nums(spark):
+    # doc4 carries a NULL metric (excluded from every statistic)
+    return spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, None), (5, 99.0)],
+        "doc_id long, price double",
+    )
+
+
+def test_stats_agg_values(spark):
+    """Query {a,c} matches docs 1-4; doc4's NULL price is excluded:
+    count=3 over values {10,30,20}."""
+    idx = _hand_index(spark)
+    row = stats_agg(idx, ["a", "c"], _nums(spark), "price").collect()[0]
+    assert (row["count"], row["min"], row["max"], row["avg"], row["sum"]) == (
+        3, 10.0, 30.0, 20.0, 60.0,
+    )
+
+
+def test_stats_agg_no_matches(spark):
+    idx = _hand_index(spark)
+    row = stats_agg(idx, ["zzz"], _nums(spark), "price").collect()[0]
+    assert row["count"] == 0
+    assert row["min"] is None and row["sum"] is None
