@@ -1392,6 +1392,55 @@ def _q_nested_phrase_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "rank int, doc_id long, score double")
 
 
+#: bool must_not contract query (session 13): the ES bool
+#: must/must_not shape — a required term, a synonym Or-group, and an
+#: excluded term (Lucene ``BooleanClause.Occur.MUST_NOT``; the
+#: reference's bool-mode plumbing is
+#: ``DanawaSearchQueryBuilder.java:266-282``). Term choice: excluding
+#: ``batch`` removes ~84% of ``stream``'s matches at sf0.01, so the
+#: exclusion — not the positive clauses — shapes the ranking.
+NOT_REQUIRED = "stream"
+NOT_GROUP: tuple[str, ...] = ("table", "hash")
+NOT_EXCLUDED = "batch"
+NOT_K = 20
+
+
+def _q_not_topk(spark, sf_dir):
+    """must_not retrieval through the DISTRIBUTED evaluator
+    (``router._scored_docs`` — the Not clause renders as a
+    null-inverting ``when`` over the per-doc scores map; no driver
+    block fetch): a doc matches iff the required term AND at least one
+    group member appear AND the excluded term does NOT; exclusion
+    contributes exactly 0.0 to the score (the positive clauses' sum is
+    untouched). Driver-tree parity is property-gated in
+    ``tests/test_query_ast.py``/``test_query_router.py``; this entry
+    puts the distributed plan under the driver's oracle gate."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import (
+        And,
+        Not,
+        Or,
+        Term,
+        ast_terms,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.router import (
+        distributed_ast_topk,
+        term_dfs,
+    )
+
+    blocks, term_stats, n, avgdl = _ws_block_index(spark, sf_dir)
+    ast = And(
+        (
+            Term(NOT_REQUIRED),
+            Or(tuple(Term(t) for t in NOT_GROUP)),
+            Not(Term(NOT_EXCLUDED)),
+        )
+    )
+    dfs = term_dfs(term_stats, sorted(ast_terms(ast)))
+    hits = distributed_ast_topk(ast, blocks, dfs, n, avgdl, k=NOT_K)
+    rows = [(i + 1, int(d), round(s, 6)) for i, (d, s) in enumerate(hits)]
+    return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
+
 #: Q8 scroll contract: page 2 of the flagship BM25 query (ranks 11-25)
 #: through the serving WAND path — the ``engine.search(offset=...)``
 #: deep-paging shape (``SearchUtil.java:136-150`` scroll equivalent).
@@ -1651,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count": _q_match_count,
         "synonym_or_topk": _q_synonym_or_topk,
         "nested_phrase_topk": _q_nested_phrase_topk,
+        "not_topk": _q_not_topk,
         "scroll_page": _q_scroll_page,
         "highlight_spans": _q_highlight_spans,
         "streaming_postings_tf": _q_streaming_postings_tf,
@@ -2202,6 +2252,58 @@ def _synonym_or_topk_sql(k: int = SYNONYM_K) -> str:
             SELECT grp.doc_id, grp.s + req.s AS score, row_number() OVER (
                 ORDER BY grp.s + req.s DESC, grp.doc_id ASC) AS rank
             FROM grp JOIN req ON grp.doc_id = req.doc_id
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _not_topk_sql(k: int = NOT_K) -> str:
+    """Oracle for :func:`_q_not_topk`: BM25 partials per (term, doc);
+    group max + required term's partial (the Q2 semantics), then a
+    NOT EXISTS on docs containing the excluded term — the must_not
+    filter, which never touches the surviving scores."""
+    group_list = ", ".join(f"'{t}'" for t in NOT_GROUP)
+    all_terms = ", ".join(
+        f"'{t}'" for t in (*NOT_GROUP, NOT_REQUIRED, NOT_EXCLUDED)
+    )
+    return f"""
+        WITH toks AS ({_TOKS_SQL}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+        corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+        tfs AS (
+            SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+            WHERE term IN ({all_terms}) GROUP BY 1, 2
+        ),
+        dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+        part AS (
+            SELECT tfs.term, tfs.doc_id,
+                   ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   AS partial
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        ),
+        excl AS (
+            SELECT DISTINCT doc_id FROM tfs WHERE term = '{NOT_EXCLUDED}'
+        ),
+        grp AS (
+            SELECT doc_id, max(partial) AS s FROM part
+            WHERE term IN ({group_list}) GROUP BY 1
+        ),
+        req AS (
+            SELECT doc_id, max(partial) AS s FROM part
+            WHERE term = '{NOT_REQUIRED}' GROUP BY 1
+        ),
+        ranked AS (
+            SELECT req.doc_id, req.s + grp.s AS score, row_number() OVER (
+                ORDER BY req.s + grp.s DESC, req.doc_id ASC) AS rank
+            FROM req JOIN grp ON grp.doc_id = req.doc_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM excl WHERE excl.doc_id = req.doc_id
+            )
         )
         SELECT CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
         FROM ranked WHERE rank <= {k}
@@ -3212,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
         "match_count": _match_count_sql(),
         "synonym_or_topk": _synonym_or_topk_sql(),
         "nested_phrase_topk": _nested_phrase_topk_sql(),
+        "not_topk": _not_topk_sql(),
         "scroll_page": _scroll_page_sql(),
         # Q9 char spans: cumulative token lengths over the UNFILTERED
         # split (each empty token from consecutive spaces consumes one

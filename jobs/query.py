@@ -70,6 +70,12 @@ def main() -> None:
     )
     ap.add_argument("--disjunctive", action="store_true")
     ap.add_argument(
+        "--exclude",
+        help="must_not text: analyzed through the same chain "
+        "(synonyms included) and excluded from the match set "
+        "(ES bool must/must_not; conjunctive queries only)",
+    )
+    ap.add_argument(
         "--anchor-weight",
         type=float,
         default=None,
@@ -255,6 +261,7 @@ def main() -> None:
             hits = engine.search(
                 args.query, k=args.k, offset=args.offset,
                 conjunctive=not args.disjunctive,
+                exclude=args.exclude,
             )
         print(json.dumps(hits, ensure_ascii=False, indent=2))
         if args.facet_hosts:

@@ -156,8 +156,15 @@ class SearchEngine:
     def analyze(self, text: str) -> list[dict]:
         return analyze_query(text, self.option, self.mode)
 
-    def build_query(self, text: str):
-        return build_query_ast(self.analyze(text))
+    def build_query(self, text: str, exclude: str | None = None):
+        """Analyzed boolean AST for ``text``; ``exclude`` (analyzed
+        through the same chain) becomes must_not clauses — the ES bool
+        must/must_not shape (``DanawaSearchQueryBuilder.java:266-282``
+        appends generic bool modes)."""
+        return build_query_ast(
+            self.analyze(text),
+            self.analyze(exclude) if exclude else None,
+        )
 
     def explain_query(self, text: str) -> str:
         return to_json(self.build_query(text))
@@ -219,6 +226,7 @@ class SearchEngine:
         offset: int = 0,
         conjunctive: bool = True,
         highlight: bool = False,
+        exclude: str | None = None,
     ) -> list[dict]:
         """Analyze → AST → execute → resolve URLs.
 
@@ -226,16 +234,27 @@ class SearchEngine:
         (Q1); ``False`` is classic disjunctive WAND top-k. ``offset``/``k``
         give scroll-style paging (Q8, ``SearchUtil.java:136-150``):
         the engine fetches offset+k and slices — the standard deep-paging
-        contract for top-k indexes.
+        contract for top-k indexes. ``exclude`` text (analyzed through
+        the same chain, synonyms included) becomes must_not clauses —
+        exclusion filters, contributing 0 to every score.
         """
         from .query.router import bm25_topk_blocks
 
         tokens = self.analyze(text)
         if not tokens:
             return []
+        excl = self.analyze(exclude) if exclude else None
         fetch = offset + k
+        if excl and not conjunctive:
+            # the AST Or scores max-of-children (synonym semantics),
+            # not the disjunctive sum — supporting should+must_not
+            # would silently change disjunctive scoring, so refuse
+            raise ValueError(
+                "exclude requires conjunctive=True (the reference's Q1"
+                " AND-over-tokens semantics)"
+            )
         if conjunctive or any(t.get("synonyms") for t in tokens):
-            hits = self._ast_hits(build_query_ast(tokens), fetch)
+            hits = self._ast_hits(build_query_ast(tokens, excl), fetch)
         else:
             terms = [t["term"] for t in tokens]
             dfs = self._dfs(terms)

@@ -31,10 +31,12 @@ __all__ = [
     "Phrase",
     "And",
     "Or",
+    "Not",
     "build_query_ast",
     "ast_terms",
     "to_json",
     "from_json",
+    "validate_ast",
 ]
 
 
@@ -59,26 +61,98 @@ class Or:
     children: tuple = ()
 
 
-def build_query_ast(analyzed_tokens: list[dict]) -> And:
+@dataclass(frozen=True)
+class Not:
+    """Exclusion clause — Lucene ``BooleanClause.Occur.MUST_NOT`` / the
+    ES bool-query ``must_not`` mode (the reference's query builder
+    emits generic bool modes through ``appendJSONQuery``,
+    ``DanawaSearchQueryBuilder.java:266-282``; ``Occur`` itself is the
+    Lucene clause enum imported at ``TermHighlightingQuery.java:15``).
+
+    Semantics (engine spec, mirrored by the oracle): a ``Not`` child of
+    an ``And`` matches a doc iff its subtree does NOT match, and it
+    contributes exactly 0.0 to the score — exclusion is a filter, never
+    a scoring signal. Placement is the ES shape: ``Not`` may only
+    appear as a direct child of an ``And`` that also carries at least
+    one positive child (``{"bool": {"must": [...], "must_not":
+    [...]}}`` — a bool query of only must_not clauses matches nothing
+    rankable); the negated subtree is any positive Term/Phrase/And/Or
+    tree (no nested ``Not``). :func:`validate_ast` enforces this."""
+
+    child: object = None
+
+
+def validate_ast(node) -> None:
+    """Raise ``ValueError`` on malformed ``Not`` placement (see
+    :class:`Not`). Called by both evaluators' entry points so the
+    driver cursor tree and the distributed scorer reject exactly the
+    same shapes."""
+
+    def no_not(n):
+        if isinstance(n, Not):
+            raise ValueError("nested Not is not supported")
+        if isinstance(n, (And, Or)):
+            for c in n.children:
+                no_not(c)
+
+    def walk(n):
+        if isinstance(n, Not):
+            raise ValueError(
+                "Not must be a direct child of And (the ES bool "
+                "must/must_not shape)"
+            )
+        if isinstance(n, And):
+            pos = [c for c in n.children if not isinstance(c, Not)]
+            if len(pos) < len(n.children) and not pos:
+                raise ValueError(
+                    "And with only Not children matches nothing rankable"
+                    " — add at least one positive clause"
+                )
+            for c in n.children:
+                if isinstance(c, Not):
+                    no_not(c.child)
+                else:
+                    walk(c)
+        elif isinstance(n, Or):
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+
+
+def build_query_ast(
+    analyzed_tokens: list[dict], exclude_tokens: list[dict] | None = None
+) -> And:
     """Analyzed query tokens → AND over per-token subtrees.
 
     Each token dict may carry ``synonyms: list[str]`` (Q2) and
     ``extra_terms: list[str]`` (Q3). Multi-word synonyms (space-
     separated) become phrases.
+
+    ``exclude_tokens`` (analyzed the same way) become ``must_not``
+    clauses: each excluded token's subtree — the SAME token-or-synonyms
+    Or-group a positive token builds, so excluding a word excludes its
+    synonym surface forms too — is wrapped in :class:`Not` and appended
+    to the top-level And. Extra-terms are NOT negated (an extra-term
+    subtree is an AND refinement; negating it would exclude docs merely
+    for containing the refinement words together).
     """
-    clauses = []
-    for tok in analyzed_tokens:
+
+    def token_node(tok, with_extras: bool) -> object:
         node: object = Term(tok["term"])
         syns = tok.get("synonyms") or []
-        extras = tok.get("extra_terms") or []
+        extras = (tok.get("extra_terms") or []) if with_extras else []
         alts = [node]
         for s in syns:
             words = s.split()
             alts.append(Phrase(tuple(words)) if len(words) > 1 else Term(s))
         if extras:
             alts.append(And(tuple(Term(e) for e in extras)))
-        node = alts[0] if len(alts) == 1 else Or(tuple(alts))
-        clauses.append(node)
+        return alts[0] if len(alts) == 1 else Or(tuple(alts))
+
+    clauses = [token_node(tok, True) for tok in analyzed_tokens]
+    for tok in exclude_tokens or []:
+        clauses.append(Not(token_node(tok, False)))
     return And(tuple(clauses))
 
 
@@ -88,6 +162,10 @@ def ast_terms(node) -> set[str]:
         return {node.term}
     if isinstance(node, Phrase):
         return set(node.terms)
+    if isinstance(node, Not):
+        # negated terms still need postings: exclusion is evaluated by
+        # probing the negated subtree's match set
+        return ast_terms(node.child)
     out: set[str] = set()
     for c in node.children:
         out |= ast_terms(c)
@@ -106,6 +184,8 @@ def to_json(node) -> str:
             return {"and": [conv(c) for c in n.children]}
         if isinstance(n, Or):
             return {"or": [conv(c) for c in n.children]}
+        if isinstance(n, Not):
+            return {"not": conv(n.child)}
         raise TypeError(type(n))
 
     return json.dumps(conv(node), ensure_ascii=False)
@@ -128,6 +208,8 @@ def from_json(spec: str | dict):
             return And(tuple(conv(c) for c in n["and"]))
         if "or" in n:
             return Or(tuple(conv(c) for c in n["or"]))
+        if "not" in n:
+            return Not(conv(n["not"]))
         raise ValueError(f"unknown node: {n}")
 
     return conv(node)

@@ -15,7 +15,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 
-from .ast import And, Or, Phrase, Term, ast_terms
+from .ast import And, Not, Or, Phrase, Term, ast_terms, validate_ast
 from .wand import TermCursor, load_query_cursors
 
 __all__ = ["execute_ast", "execute_ast_cursors", "topk_and", "topk_or"]
@@ -110,6 +110,44 @@ def phrase_reach(pos_lists, slop: int = 0) -> bool:
     return reach.size > 0
 
 
+class _AndNotNode:
+    """Conjunction with exclusions (Lucene ``ReqExclScorer`` shape):
+    the positive subtree drives iteration; each candidate doc probes
+    the negated subtrees with ``next_geq`` — negatives only ever move
+    forward, so the walk stays the positive side's complexity plus one
+    bounded probe per candidate. Score = the positive side's score
+    (``Not`` contributes exactly 0.0, and ``x + 0.0 == x`` bit-for-bit,
+    so dropping the zero keeps float parity with the oracle's sum)."""
+
+    def __init__(self, pos, negs):
+        self.pos = pos
+        self.negs = negs
+
+    @property
+    def cur_doc(self) -> int:
+        while True:
+            d = self.pos.cur_doc
+            if d >= _INF:
+                return _INF
+            if not self._excluded(d):
+                return d
+            self.pos.next_geq(d + 1)
+
+    def _excluded(self, d: int) -> bool:
+        for n in self.negs:
+            if n.cur_doc < d:
+                n.next_geq(d)
+            if n.cur_doc == d:
+                return True
+        return False
+
+    def next_geq(self, target: int) -> None:
+        self.pos.next_geq(target)
+
+    def score(self) -> float:
+        return self.pos.score()
+
+
 class _PhraseNode(_AndNode):
     """Conjunction + consecutive-position check within slop; score 0
     (``match_phrase(...).boost(0)``, DanawaSearchQueryBuilder.java:287-291)."""
@@ -140,6 +178,8 @@ class _PhraseNode(_AndNode):
 def _has_phrase(node) -> bool:
     if isinstance(node, Phrase):
         return True
+    if isinstance(node, Not):
+        return _has_phrase(node.child)
     if isinstance(node, (And, Or)):
         return any(_has_phrase(c) for c in node.children)
     return False
@@ -184,17 +224,27 @@ def _build_tree(node, cursors: dict[str, TermCursor], used: set[str] | None = No
                 return _Empty()
             children.append(_TermNode(c))
         return _PhraseNode(children, node.slop)
-    cls = _AndNode if isinstance(node, And) else _OrNode
-    children = [_build_tree(c, cursors, used) for c in node.children]
-    if isinstance(node, And) and any(isinstance(c, _Empty) for c in children):
-        return _Empty()
-    if isinstance(node, Or):
-        children = [c for c in children if not isinstance(c, _Empty)]
-        if not children:
+    if isinstance(node, Not):
+        raise ValueError("Not must be a direct child of And (validate_ast)")
+    if isinstance(node, And):
+        negs = [
+            _build_tree(c.child, cursors, used)
+            for c in node.children
+            if isinstance(c, Not)
+        ]
+        # a Not over index-absent terms excludes nothing
+        negs = [n for n in negs if not isinstance(n, _Empty)]
+        positives = [c for c in node.children if not isinstance(c, Not)]
+        children = [_build_tree(c, cursors, used) for c in positives]
+        if any(isinstance(c, _Empty) for c in children) or not children:
             return _Empty()
+        pos = children[0] if len(children) == 1 else _AndNode(children)
+        return _AndNotNode(pos, negs) if negs else pos
+    children = [_build_tree(c, cursors, used) for c in node.children]
+    children = [c for c in children if not isinstance(c, _Empty)]
     if not children:
         return _Empty()
-    return cls(children)
+    return _OrNode(children)
 
 
 def _and_or_groups(ast) -> list[list[str]] | None:
@@ -280,6 +330,7 @@ def execute_ast_cursors(
     path (tests pin both identical)."""
     from .wand import TAAT_MAX_BYTES
 
+    validate_ast(ast)
     if strategy != "tree":
         groups = _and_or_groups(ast)
         if groups is not None:
@@ -316,6 +367,7 @@ def count_ast_cursors(ast, cursors: dict[str, TermCursor]) -> int:
     ``execute_ast_cursors`` but count matching docs instead of keeping
     a score heap (Q8 ``trackTotalHits`` with full AST semantics —
     synonym Or-groups and phrase position filters included)."""
+    validate_ast(ast)
     root = _build_tree(ast, cursors)
     n = 0
     d = root.cur_doc

@@ -57,7 +57,7 @@ import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame
 
 from ..index.build import B, K1
-from .ast import And, Or, Phrase, Term
+from .ast import And, Not, Or, Phrase, Term, validate_ast
 from .bm25 import lucene_idf
 
 __all__ = [
@@ -244,9 +244,19 @@ def match_count_blocks(
 def _phrase_free(node) -> bool:
     if isinstance(node, Phrase):
         return False
+    if isinstance(node, Not):
+        return _phrase_free(node.child)
     if isinstance(node, (And, Or)):
         return all(_phrase_free(c) for c in node.children)
     return True
+
+
+def _has_not(node) -> bool:
+    if isinstance(node, Not):
+        return True
+    if isinstance(node, (And, Or)):
+        return any(_has_not(c) for c in node.children)
+    return False
 
 
 def _fast_shape(node) -> bool:
@@ -259,6 +269,11 @@ def _fast_shape(node) -> bool:
     nested Phrase may be optional rather than required."""
     if isinstance(node, Phrase):
         return True
+    if _has_not(node) and not _phrase_free(node):
+        # a Not beside/inside phrases needs the outer-join flag plan: a
+        # doc matching only the phrase arm has no partials row, and the
+        # fast plan's inner phrase join starts FROM the partials side
+        return False
     if isinstance(node, And):
         return all(
             isinstance(c, Phrase) or _phrase_free(c) for c in node.children
@@ -273,6 +288,8 @@ def ast_routable(node) -> bool:
     so a future node type can opt out)."""
     if isinstance(node, (Term, Phrase)):
         return True
+    if isinstance(node, Not):
+        return ast_routable(node.child)
     if isinstance(node, (And, Or)):
         return all(ast_routable(c) for c in node.children)
     return False
@@ -415,6 +432,13 @@ def _ast_expr(node, scores, phrase_flags=None):
         # outer-joined flag: null ≡ false (doc not in the phrase set)
         flag = phrase_flags[node]
         return F.when(F.coalesce(flag, F.lit(False)), F.lit(0.0))
+    if isinstance(node, Not):
+        # must_not: matches (contributing 0.0) exactly when the negated
+        # subtree does NOT match — null (= no match) inverts to 0.0.
+        # element_at on a null scores map is null, so docs with no
+        # partials row at all correctly count as "negated term absent".
+        inner = _ast_expr(node.child, scores, phrase_flags)
+        return F.when(inner.isNull(), F.lit(0.0))
     children = [_ast_expr(c, scores, phrase_flags) for c in node.children]
     if not children:
         return F.lit(None).cast("double")
@@ -446,6 +470,8 @@ def _term_leaves(node) -> set[str]:
     phrase's terms contribute match positions, not score partials)."""
     if isinstance(node, Term):
         return {node.term}
+    if isinstance(node, Not):
+        return _term_leaves(node.child)
     if isinstance(node, (And, Or)):
         out: set[str] = set()
         for c in node.children:
@@ -460,6 +486,8 @@ def _collect_phrases(node, out: list) -> None:
     if isinstance(node, Phrase):
         if node not in out:
             out.append(node)
+    elif isinstance(node, Not):
+        _collect_phrases(node.child, out)
     elif isinstance(node, (And, Or)):
         for c in node.children:
             _collect_phrases(c, out)
@@ -475,6 +503,10 @@ def _required_phrases(node, out: set, required: bool = True) -> None:
     if isinstance(node, Phrase):
         if required:
             out.add(node)
+    elif isinstance(node, Not):
+        # a negated phrase's match set must NOT bound the result — docs
+        # outside it are exactly the matches
+        _required_phrases(node.child, out, False)
     elif isinstance(node, And):
         for c in node.children:
             _required_phrases(c, out, required)
@@ -572,6 +604,7 @@ def _scored_docs(
     empty AST (no docs). Shared by the top-k and count evaluators."""
     if not ast_routable(ast):
         raise ValueError(f"unroutable AST node in {ast!r}")
+    validate_ast(ast)
     from .ast import ast_terms
 
     if not _fast_shape(ast):

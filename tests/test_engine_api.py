@@ -33,6 +33,48 @@ def test_search_and_paging(engine):
     assert all(h["url"].startswith("https://example-") for h in all10)
 
 
+def test_search_exclude_must_not(engine, spark):
+    """search(exclude=): hits are exactly the unexcluded hits minus
+    docs containing the excluded token, scores untouched; the excluded
+    text goes through the SAME analysis chain (synonyms included)."""
+    plain = engine.search("검색", k=150)
+    negated = engine.search("검색", k=150, exclude="엔진")
+    pages = synthesize_webpages(spark, 150, partitions=4)
+    rows = sorted(pages.select("url", "text").collect(), key=lambda r: r["url"])
+    has_engine = {
+        i
+        for i, r in enumerate(rows)
+        if any(t["term"] == "엔진" for t in engine.analyze(r["text"]))
+    }
+    want = [h for h in plain if h["doc_id"] not in has_engine]
+    assert [(h["doc_id"], h["score"]) for h in negated] == [
+        (h["doc_id"], h["score"]) for h in want
+    ]
+    assert negated and len(negated) < len(plain)
+    # the engine's synonym 검색→서치 applies to the excluded text too:
+    # excluding 서치 must behave as excluding its synonym group
+    assert engine.build_query("문서", exclude="검색").children[-1].child.children
+
+
+def test_search_exclude_requires_conjunctive(engine):
+    with pytest.raises(ValueError):
+        engine.search("검색 엔진", exclude="문서", conjunctive=False)
+
+
+def test_search_ast_json_not_clause(engine):
+    """Q7 JSON surface: a must_not clause arrives as {"not": ...} and
+    serves identically to the structured AST."""
+    spec = '{"and": [{"term": "검색"}, {"not": {"term": "엔진"}}]}'
+    from mecab_ko_lucene_analyzer_spark.query.ast import Not
+
+    got = engine.search_ast(spec, k=20)
+    want = engine.search_ast(And((Term("검색"), Not(Term("엔진")))), k=20)
+    assert [(h["doc_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["score"]) for h in want
+    ]
+    assert got
+
+
 def test_count_conjunctive_vs_disjunctive(engine):
     c_and = engine.count("검색 엔진", conjunctive=True)
     c_or = engine.count("검색 엔진", conjunctive=False)

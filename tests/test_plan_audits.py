@@ -92,6 +92,7 @@ SHUFFLE_CEILING = {
     "multimodal_features": 0,
     "nested_phrase_topk": 0,
     "normalize_nfc": 0,
+    "not_topk": 0,
     "pack_manifest": 2,
     "ngram_jaccard_pairs": 2,
     "phrase_match": 0,

@@ -17,11 +17,14 @@ from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import token_records
 from mecab_ko_lucene_analyzer_spark.index import build_and_write
 from mecab_ko_lucene_analyzer_spark.query.ast import (
     And,
+    Not,
     Or,
     Phrase,
     Term,
     build_query_ast,
+    from_json,
     to_json,
+    validate_ast,
 )
 from mecab_ko_lucene_analyzer_spark.query.bm25 import lucene_idf
 from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast, topk_and
@@ -108,6 +111,11 @@ def _brute_force(docs, ast, n_docs, avgdl, k=10, k1=1.2, b=0.75):
 
     def eval_node(node, toks, dl):
         """returns score or None if no match"""
+        from mecab_ko_lucene_analyzer_spark.query.ast import Not as _Not
+
+        if isinstance(node, _Not):
+            # must_not: matches (0.0 contribution) iff the child does not
+            return None if eval_node(node.child, toks, dl) is not None else 0.0
         if isinstance(node, Term):
             return term_score(node.term, toks, dl)
         if isinstance(node, Phrase):
@@ -174,6 +182,87 @@ def test_execute_ast_matches_brute_force(env, ast):
         assert s1 == pytest.approx(s2, abs=1e-9)
 
 
+NOT_CASES = [
+    And((Term("검색"), Not(Term("엔진")))),
+    And((Term("데이터"), Not(Term("는")))),  # excluding the hot josa
+    And((Term("데이터"), Not(Or((Term("처리"), Term("시스템")))))),
+    And((Or((Term("검색"), Term("문서"))), Not(Term("데이터")))),
+    And((Term("데이터"), Not(Phrase(("검색", "엔진"))))),
+    And((Phrase(("데이터", "처리")), Not(Term("검색")))),
+    And((Term("검색"), Not(Term("없는단어")))),  # excluding an absent term
+    And((Term("검색"), Term("문서"), Not(Term("엔진")))),
+]
+
+
+@pytest.mark.parametrize("ast", NOT_CASES, ids=[to_json(c)[:48] for c in NOT_CASES])
+def test_execute_ast_not_matches_brute_force(env, ast):
+    """must_not ground truth: the cursor tree's exclusion semantics
+    (score = positive side only, excluded docs absent) against the
+    exhaustive pure-Python evaluator."""
+    blocks, term_stats, corpus, docs = env
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    expected = _brute_force(docs, ast, n_docs, avgdl, k=10)
+    got = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], to_json(ast)
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_not_excludes_and_scores_identically(env):
+    """Exclusion is a filter, never a scoring signal: hits of
+    And(a, Not(b)) are exactly the hits of And(a) minus docs matching
+    b, with bit-identical scores for the survivors."""
+    blocks, term_stats, corpus, docs = env
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    plain = execute_ast(
+        And((Term("검색"),)), blocks, term_stats, n_docs, avgdl, k=len(docs)
+    )
+    negated = execute_ast(
+        And((Term("검색"), Not(Term("엔진")))),
+        blocks, term_stats, n_docs, avgdl, k=len(docs),
+    )
+    has_engine = {
+        d for d, toks in docs.items() if any(t["term"] == "엔진" for t in toks)
+    }
+    want = [(d, s) for d, s in plain if d not in has_engine]
+    assert negated == want
+    assert has_engine & {d for d, _ in negated} == set()
+
+
+def test_validate_ast_rejects_malformed_not():
+    validate_ast(And((Term("a"), Not(Term("b")))))  # valid shape
+    with pytest.raises(ValueError):
+        validate_ast(Not(Term("a")))  # bare Not
+    with pytest.raises(ValueError):
+        validate_ast(Or((Not(Term("a")), Term("b"))))  # Not under Or
+    with pytest.raises(ValueError):
+        validate_ast(And((Not(Term("a")),)))  # no positive sibling
+    with pytest.raises(ValueError):
+        validate_ast(And((Term("a"), Not(And((Term("b"), Not(Term("c"))))))))
+
+
+def test_not_json_roundtrip():
+    ast = And((Term("검색"), Not(Or((Term("엔진"), Phrase(("데이터", "처리")))))))
+    assert from_json(to_json(ast)) == ast
+    assert '"not"' in to_json(ast)
+
+
+def test_build_query_ast_exclude_tokens():
+    """exclude tokens become Not clauses; an excluded token's synonym
+    surface forms are excluded too (the Or-group is negated whole);
+    extra_terms are NOT negated."""
+    ast = build_query_ast(
+        [{"term": "노트북"}],
+        exclude_tokens=[
+            {"term": "중고", "synonyms": ["리퍼"], "extra_terms": ["refurb"]}
+        ],
+    )
+    assert ast == And(
+        (Term("노트북"), Not(Or((Term("중고"), Term("리퍼")))))
+    )
+    validate_ast(ast)
+
+
 def test_topk_and_requires_all_terms(env):
     blocks, term_stats, corpus, docs = env
     got = topk_and(blocks, term_stats, corpus["n_docs"], corpus["avgdl"], ["검색", "엔진", "문서"], k=10)
@@ -212,6 +301,15 @@ _ast_st = st.recursive(
     ),
     max_leaves=6,
 )
+# valid must_not placement by construction: an And of 1-2 positive
+# subtrees (which never contain Not) plus 1-2 Not-wrapped Not-free
+# subtrees — exercises negated phrases, negated Or-groups, absent
+# negated terms, and hot-josa exclusions
+_not_ast_st = st.builds(
+    lambda pos, negs: And(tuple(pos) + tuple(Not(n) for n in negs)),
+    st.lists(_ast_st, min_size=1, max_size=2),
+    st.lists(_ast_st, min_size=1, max_size=2),
+)
 
 
 @given(ast=_ast_st)
@@ -231,6 +329,32 @@ def test_random_ast_matches_brute_force(env, ast):
         assert s1 == pytest.approx(s2, abs=1e-9)
     # the count path (Q8 trackTotalHits) must agree with the ground
     # truth's full match set, not just the top-k
+    from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
+
+    all_matches = _brute_force(docs, ast, n_docs, avgdl, k=len(docs))
+    cursors = {
+        c.term: c
+        for c in load_query_cursors(
+            blocks, term_stats, n_docs, avgdl,
+            sorted(ast_terms(ast)), with_positions=True,
+        )
+    }
+    assert count_ast_cursors(ast, cursors) == len(all_matches), to_json(ast)
+
+
+@given(ast=_not_ast_st)
+@settings(max_examples=20, deadline=None)
+def test_random_not_ast_matches_brute_force(env, ast):
+    """Random valid must_not trees vs ground truth: top-k rank/score
+    identity plus full-match-set count agreement (an exclusion bug
+    that only shifts the tail would show up in the count)."""
+    blocks, term_stats, corpus, docs = env
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    expected = _brute_force(docs, ast, n_docs, avgdl, k=10)
+    got = execute_ast(ast, blocks, term_stats, n_docs, avgdl, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], to_json(ast)
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert s1 == pytest.approx(s2, abs=1e-9)
     from mecab_ko_lucene_analyzer_spark.query.ast import ast_terms
 
     all_matches = _brute_force(docs, ast, n_docs, avgdl, k=len(docs))

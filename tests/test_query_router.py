@@ -14,7 +14,7 @@ from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import token_records
 from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
 from mecab_ko_lucene_analyzer_spark.index import build_and_write
 from mecab_ko_lucene_analyzer_spark.query import bm25_oracle
-from mecab_ko_lucene_analyzer_spark.query.ast import And, Or, Phrase, Term
+from mecab_ko_lucene_analyzer_spark.query.ast import And, Not, Or, Phrase, Term
 from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
 from mecab_ko_lucene_analyzer_spark.query.router import (
     ast_routable,
@@ -104,6 +104,16 @@ ASTS = [
             Or((Term("검색"), Phrase(("검색", "엔진")))),
         )
     ),
+    # must_not clauses (session 13): fast plan (term exclusion), hot
+    # josa exclusion, Or-group exclusion, negated phrase (general
+    # plan), and a required-phrase-only positive beside a Not — docs
+    # matching the phrase but carrying NO scoring leaf must surface
+    And((Term("데이터"), Not(Term("검색")))),
+    And((Term("데이터"), Not(Term("는")))),  # excluding the hot josa
+    And((Or((Term("검색"), Term("서치"))), Term("데이터"), Not(Or((Term("엔진"), Term("시스템")))))),
+    And((Term("데이터"), Not(Phrase(("검색", "엔진"))))),
+    And((Phrase(("데이터", "처리")), Not(Term("검색")))),
+    And((Term("시스템"), Phrase(("데이터", "처리")), Not(Term("없는말")))),
 ]
 
 
