@@ -852,6 +852,68 @@ def _ws_index(spark, sf_dir):
     return InvertedIndex(postings, term_stats, doc_stats, corpus)
 
 
+#: multi-term query-rewrite contract (session 13): prefix and fuzzy
+#: retrieval — Lucene PrefixQuery / FuzzyQuery expansion against the
+#: vocabulary, scored as a disjunctive BM25 OR. ``s`` expands to 6
+#: vocabulary terms; ``sor`` within 2 edits hits sort(1)/slow(2)/row(2)
+#: — multiple distances, so the expansion RANKING is what the oracle
+#: locks, not just membership.
+PREFIX_QUERY = "s"
+PREFIX_K = 20
+FUZZY_QUERY = "sor"
+FUZZY_MAX_EDITS = 2
+FUZZY_K = 20
+EXPANSION_CAP = 50
+
+
+def _q_prefix_topk(spark, sf_dir):
+    """Prefix retrieval (Lucene ``PrefixQuery`` top-terms rewrite):
+    ``query/expand.py::prefix_expand_terms`` (df-desc expansion, the
+    bounded vocabulary collect) + the shared disjunctive scorer.
+    Rounding applies before the rank cut, as in ``msm_topk``."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+    from mecab_ko_lucene_analyzer_spark.query.expand import (
+        prefix_expand_terms,
+    )
+
+    idx = _ws_index(spark, sf_dir)
+    terms = prefix_expand_terms(idx.term_stats, PREFIX_QUERY, EXPANSION_CAP)
+    return (
+        bm25_scored(idx, terms)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PREFIX_K)
+    )
+
+
+def _q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy retrieval (Lucene ``FuzzyQuery``): Levenshtein expansion
+    within FUZZY_MAX_EDITS (exact term included at dist 0; ranked dist
+    asc / df desc / term asc, capped at EXPANSION_CAP) through
+    ``query/expand.py::fuzzy_expand_terms``, scored disjunctively."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+    from mecab_ko_lucene_analyzer_spark.query.expand import (
+        fuzzy_expand_terms,
+    )
+
+    idx = _ws_index(spark, sf_dir)
+    terms = [
+        r["term"]
+        for r in fuzzy_expand_terms(
+            idx.term_stats,
+            FUZZY_QUERY,
+            max_edits=FUZZY_MAX_EDITS,
+            max_expansions=EXPANSION_CAP,
+        ).collect()
+    ]
+    return (
+        bm25_scored(idx, terms)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(FUZZY_K)
+    )
+
+
 def _q_msm_topk(spark, sf_dir):
     """Disjunctive BM25 with Elasticsearch's ``minimum_should_match``:
     only docs matching >= MSM_MIN_MATCH distinct query terms score
@@ -1677,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_bm25_topk": _q_boosted_bm25_topk,
         "msm_topk": _q_msm_topk,
         "mlt_topk": _q_mlt_topk,
+        "prefix_topk": _q_prefix_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
         "related_terms": _q_related_terms,
         "suggest_terms": _q_suggest_terms,
         "freshness_boost": _q_freshness_boost,
@@ -2561,6 +2625,59 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= {MSM_MIN_MATCH}
             ORDER BY score DESC, tfs.doc_id ASC
             LIMIT 10
+        """,
+        "prefix_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            stats AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+            exp AS (
+                SELECT term FROM stats
+                WHERE term LIKE '{PREFIX_QUERY}%'
+                ORDER BY df DESC, term ASC
+                LIMIT {EXPANSION_CAP}
+            )
+            SELECT p.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+                       * p.tf / (p.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM posts p
+            JOIN exp ON p.term = exp.term
+            JOIN stats s ON p.term = s.term
+            JOIN dl ON p.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id ASC
+            LIMIT {PREFIX_K}
+        """,
+        "fuzzy_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            stats AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+            exp AS (
+                SELECT term FROM stats
+                WHERE abs(length(term) - length('{FUZZY_QUERY}')) <= {FUZZY_MAX_EDITS}
+                  AND levenshtein(term, '{FUZZY_QUERY}') <= {FUZZY_MAX_EDITS}
+                ORDER BY levenshtein(term, '{FUZZY_QUERY}') ASC, df DESC, term ASC
+                LIMIT {EXPANSION_CAP}
+            )
+            SELECT p.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+                       * p.tf / (p.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM posts p
+            JOIN exp ON p.term = exp.term
+            JOIN stats s ON p.term = s.term
+            JOIN dl ON p.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id ASC
+            LIMIT {FUZZY_K}
         """,
         "mlt_topk": f"""
             WITH toks AS ({_TOKS_SQL}),

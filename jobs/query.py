@@ -53,6 +53,21 @@ def main() -> None:
         "PMI) for TERM instead of searching (engine.related_terms)",
     )
     group.add_argument(
+        "--prefix-query",
+        metavar="PREFIX",
+        help="prefix retrieval (Lucene PrefixQuery): expand PREFIX "
+        "against the vocabulary (df-desc top-terms rewrite, capped at "
+        "--max-expansions) and score disjunctively "
+        "(engine.search_prefix)",
+    )
+    group.add_argument(
+        "--fuzzy-query",
+        metavar="TERM",
+        help="fuzzy retrieval (Lucene FuzzyQuery): vocabulary terms "
+        "within --max-edits Levenshtein edits (exact term included), "
+        "scored disjunctively (engine.search_fuzzy)",
+    )
+    group.add_argument(
         "--suggest",
         metavar="TERM",
         help="did-you-mean: print the top-k vocabulary terms within "
@@ -121,7 +136,14 @@ def main() -> None:
         "--max-edits",
         type=int,
         default=2,
-        help="Levenshtein radius for --suggest",
+        help="Levenshtein radius for --suggest / --fuzzy-query",
+    )
+    ap.add_argument(
+        "--max-expansions",
+        type=int,
+        default=50,
+        help="vocabulary expansion budget for --prefix-query / "
+        "--fuzzy-query (Lucene top-terms rewrite cap)",
     )
     ap.add_argument(
         "--facet-hosts",
@@ -220,6 +242,23 @@ def main() -> None:
                 indent=2,
             )
         )
+    elif args.prefix_query:
+        hits = engine.search_prefix(
+            args.prefix_query,
+            k=args.k,
+            offset=args.offset,
+            max_expansions=args.max_expansions,
+        )
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
+    elif args.fuzzy_query:
+        hits = engine.search_fuzzy(
+            args.fuzzy_query,
+            k=args.k,
+            offset=args.offset,
+            max_edits=args.max_edits,
+            max_expansions=args.max_expansions,
+        )
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
     elif args.ast_json:
         if args.explain:
             from mecab_ko_lucene_analyzer_spark.query.ast import (

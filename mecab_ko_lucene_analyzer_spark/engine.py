@@ -238,8 +238,6 @@ class SearchEngine:
         the same chain, synonyms included) becomes must_not clauses —
         exclusion filters, contributing 0 to every score.
         """
-        from .query.router import bm25_topk_blocks
-
         tokens = self.analyze(text)
         if not tokens:
             return []
@@ -256,24 +254,7 @@ class SearchEngine:
         if conjunctive or any(t.get("synonyms") for t in tokens):
             hits = self._ast_hits(build_query_ast(tokens, excl), fetch)
         else:
-            terms = [t["term"] for t in tokens]
-            dfs = self._dfs(terms)
-            if any(df > self.max_driver_df for df in dfs.values()):
-                self.last_route = "distributed"
-                hits = bm25_topk_blocks(
-                    self.blocks, dfs, self.n_docs, self.avgdl, fetch
-                )
-            else:
-                self.last_route = "driver"
-                cursors = load_query_cursors(
-                    self.blocks,
-                    None,
-                    self.n_docs,
-                    self.avgdl,
-                    terms,
-                    cache=self.block_cache,
-                )
-                hits = wand_topk(cursors, fetch)
+            hits = self._bag_hits([t["term"] for t in tokens], fetch)
         out = self._resolve(hits[offset : offset + k])
         if highlight:
             terms = [t["term"] for t in tokens]
@@ -529,6 +510,73 @@ class SearchEngine:
                 min_df=min_df,
             ).collect()
         ]
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        offset: int = 0,
+        max_expansions: int = 50,
+    ) -> list[dict]:
+        """Prefix retrieval (Lucene ``PrefixQuery``): expand against
+        the vocabulary (df-desc top-terms rewrite, bounded collect),
+        then serve the expansion set disjunctively — hot expansions
+        route to the distributed scorer exactly like :meth:`search`'s
+        disjunctive path (a one-letter prefix matching a josa-class
+        term must never fetch its blocks to the driver)."""
+        from .query.expand import prefix_expand_terms
+
+        terms = prefix_expand_terms(self.term_stats, prefix, max_expansions)
+        return self._resolve(self._bag_hits(terms, offset + k)[offset:])
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        offset: int = 0,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[dict]:
+        """Fuzzy retrieval (Lucene ``FuzzyQuery``): Levenshtein
+        expansion within ``max_edits`` (exact term included at dist 0),
+        served disjunctively with the same hot-term routing as
+        :meth:`search_prefix`."""
+        from .query.expand import fuzzy_expand_terms
+
+        terms = [
+            r["term"]
+            for r in fuzzy_expand_terms(
+                self.term_stats, term, max_edits, prefix_length,
+                max_expansions,
+            ).collect()
+        ]
+        return self._resolve(self._bag_hits(terms, offset + k)[offset:])
+
+    def _bag_hits(self, terms: list[str], fetch: int) -> list[tuple[int, float]]:
+        """Disjunctive bag-of-terms serving with hot-term routing —
+        the one evaluation recipe behind search(conjunctive=False),
+        search_prefix, and search_fuzzy."""
+        from .query.router import bm25_topk_blocks
+
+        if not terms:
+            return []
+        dfs = self._dfs(terms)
+        if any(df > self.max_driver_df for df in dfs.values()):
+            self.last_route = "distributed"
+            return bm25_topk_blocks(
+                self.blocks, dfs, self.n_docs, self.avgdl, fetch
+            )
+        self.last_route = "driver"
+        cursors = load_query_cursors(
+            self.blocks,
+            None,
+            self.n_docs,
+            self.avgdl,
+            terms,
+            cache=self.block_cache,
+        )
+        return wand_topk(cursors, fetch)
 
     def facets(
         self,

@@ -30,7 +30,16 @@ from pyspark.sql import DataFrame
 from ..index.build import InvertedIndex, K1, B
 from .bm25 import bm25_scored
 
-__all__ = ["mlt_topk", "mlt_seed_terms", "related_terms", "suggest_terms"]
+__all__ = [
+    "mlt_topk",
+    "mlt_seed_terms",
+    "related_terms",
+    "suggest_terms",
+    "prefix_expand_terms",
+    "prefix_topk",
+    "fuzzy_expand_terms",
+    "fuzzy_topk",
+]
 
 
 def mlt_seed_terms(
@@ -117,6 +126,117 @@ def suggest_terms(
         .withColumn("dist", F.levenshtein(F.col("term"), lit))
         .filter(F.col("dist") <= int(max_edits))
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def prefix_expand_terms(
+    term_stats: DataFrame, prefix: str, max_expansions: int = 50
+) -> list[str]:
+    """Lucene ``PrefixQuery`` term expansion: vocabulary terms starting
+    with ``prefix``, capped at ``max_expansions`` by df desc (the
+    ES/Lucene top-terms rewrite keeps the most frequent matches when
+    the expansion budget bites), tie-break term asc. One pushed
+    ``StartsWith`` filter over the vocabulary (``term_stats`` — orders
+    of magnitude smaller than postings at 10^12 docs) + TakeOrdered;
+    the collect is ≤ ``max_expansions`` rows, the same
+    bounded-metadata pattern as :func:`mlt_seed_terms`."""
+    ranked = (
+        term_stats.select("term", "df")
+        .filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+    )
+    return [r["term"] for r in ranked.collect()]
+
+
+def prefix_topk(
+    index: InvertedIndex,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Prefix retrieval (Lucene ``PrefixQuery``): expand against the
+    vocabulary, then score the expansion set as a disjunctive BM25 OR
+    — per doc, the SUM of its matching expansion terms' partials (the
+    engine's documented multi-term scoring; Lucene's default
+    constant-score rewrite deliberately flattens scores, but a
+    training-data pipeline wants ranked relevance, so the scoring
+    rewrite is the useful contract). ``(doc_id, score)``, tie-break
+    score desc / doc_id asc."""
+    spark = index.postings.sparkSession
+    terms = prefix_expand_terms(index.term_stats, prefix, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return (
+        bm25_scored(index, terms, k1, b)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def fuzzy_expand_terms(
+    term_stats: DataFrame,
+    term: str,
+    max_edits: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Lucene ``FuzzyQuery`` term expansion: vocabulary terms within
+    ``max_edits`` Levenshtein edits of ``term`` — the queried term
+    itself included at distance 0, unlike :func:`suggest_terms` (a
+    fuzzy MATCH must keep exact hits; a SUGGESTER corrects away from
+    them). ``prefix_length`` pins the first characters exactly
+    (FuzzyQuery's cheap-prefix parameter — at web scale it turns the
+    vocabulary scan into a range probe). Ranked dist asc, df desc,
+    term asc; capped at ``max_expansions`` (FuzzyQuery's top-terms
+    rewrite budget, default 50 in Lucene). Returns
+    ``(term, df, dist)`` — same plan shape as :func:`suggest_terms`:
+    length-band prefilter before the O(|s|·|t|) Levenshtein, integer/
+    string ranking keys only."""
+    lit = F.lit(term)
+    cand = term_stats.select("term", "df").filter(
+        F.abs(F.length("term") - F.length(lit)) <= int(max_edits)
+    )
+    if prefix_length > 0:
+        cand = cand.filter(F.col("term").startswith(term[:prefix_length]))
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("term"), lit))
+        .filter(F.col("dist") <= int(max_edits))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+    )
+
+
+def fuzzy_topk(
+    index: InvertedIndex,
+    term: str,
+    k: int = 10,
+    max_edits: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = 50,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Fuzzy retrieval (Lucene ``FuzzyQuery``): expand within
+    ``max_edits``, score the expansion set as a disjunctive BM25 OR
+    (sum of matching expansion partials per doc — see
+    :func:`prefix_topk` on the scoring-vs-constant-score choice).
+    ``(doc_id, score)``, tie-break score desc / doc_id asc."""
+    spark = index.postings.sparkSession
+    terms = [
+        r["term"]
+        for r in fuzzy_expand_terms(
+            index.term_stats, term, max_edits, prefix_length, max_expansions
+        ).collect()
+    ]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return (
+        bm25_scored(index, terms, k1, b)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
     )
 

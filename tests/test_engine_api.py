@@ -75,6 +75,30 @@ def test_search_ast_json_not_clause(engine):
     assert got
 
 
+def test_search_prefix_and_fuzzy(engine, spark):
+    """Prefix/fuzzy serving: every prefix hit contains a vocabulary
+    term with that prefix; fuzzy of an exact vocabulary term is a
+    superset of (and scores no lower than) the exact disjunctive
+    search; paging slices the same ranking."""
+    hits = engine.search_prefix("검", k=10)
+    assert hits
+    pages = synthesize_webpages(spark, 150, partitions=4)
+    rows = sorted(pages.select("url", "text").collect(), key=lambda r: r["url"])
+    toks = {i: {t["term"] for t in engine.analyze(r["text"])} for i, r in enumerate(rows)}
+    for h in hits:
+        assert any(t.startswith("검") for t in toks[h["doc_id"]])
+    page2 = engine.search_prefix("검", k=5, offset=5)
+    assert [h["doc_id"] for h in page2] == [h["doc_id"] for h in hits[5:10]]
+
+    fz = engine.search_fuzzy("검색", k=150, max_edits=1)
+    exact = engine.search("검색", k=150, conjunctive=False)
+    fz_scores = {h["doc_id"]: h["score"] for h in fz}
+    assert set(h["doc_id"] for h in exact) <= set(fz_scores)
+    for h in exact:
+        assert fz_scores[h["doc_id"]] >= h["score"] - 1e-9
+    assert engine.search_prefix("없는접두어", k=5) == []
+
+
 def test_count_conjunctive_vs_disjunctive(engine):
     c_and = engine.count("검색 엔진", conjunctive=True)
     c_or = engine.count("검색 엔진", conjunctive=False)

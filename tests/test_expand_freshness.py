@@ -20,8 +20,12 @@ from mecab_ko_lucene_analyzer_spark.query.bm25 import (
     bm25_topk,
 )
 from mecab_ko_lucene_analyzer_spark.query.expand import (
+    fuzzy_expand_terms,
+    fuzzy_topk,
     mlt_seed_terms,
     mlt_topk,
+    prefix_expand_terms,
+    prefix_topk,
     related_terms,
     suggest_terms,
 )
@@ -351,3 +355,68 @@ def test_suggest_excludes_self_and_respects_edits_k_mindf(spark):
 def test_suggest_no_candidates(spark):
     idx = _vocab_index(spark)
     assert suggest_terms(idx, "zzzzzzzzzz", k=5, max_edits=2).collect() == []
+
+
+# --------------------------------------------------------------------------
+# prefix / fuzzy multi-term query rewrite (Lucene PrefixQuery/FuzzyQuery)
+# --------------------------------------------------------------------------
+
+
+def test_prefix_expand_df_desc_and_cap(spark):
+    """'spar' expansion: {spark 90, spars 40, sparky 7, sparkle 5} in
+    df-desc order; max_expansions cuts after ranking (the Lucene
+    top-terms rewrite budget keeps the most frequent matches)."""
+    idx = _vocab_index(spark)
+    assert prefix_expand_terms(idx.term_stats, "spar", 50) == [
+        "spark", "spars", "sparky", "sparkle"
+    ]
+    assert prefix_expand_terms(idx.term_stats, "spar", 2) == ["spark", "spars"]
+    assert prefix_expand_terms(idx.term_stats, "zz", 50) == []
+
+
+def test_fuzzy_expand_includes_exact_and_ranks_by_dist(spark):
+    """Unlike the suggester, the fuzzy MATCH keeps the exact term at
+    distance 0; band order is dist asc, then df desc, then term asc."""
+    idx = _vocab_index(spark)
+    rows = fuzzy_expand_terms(idx.term_stats, "spark", max_edits=1).collect()
+    assert [(r.term, r.dist) for r in rows] == [
+        ("spark", 0),
+        ("shark", 1), ("stark", 1), ("spars", 1), ("sparky", 1),
+        ("spork", 1),
+    ]
+    # prefix_length pins the leading chars exactly (vocab range probe)
+    pinned = fuzzy_expand_terms(
+        idx.term_stats, "spark", max_edits=1, prefix_length=2
+    ).collect()
+    assert [r.term for r in pinned] == ["spark", "spars", "sparky", "spork"]
+    # expansion budget cuts after ranking
+    capped = fuzzy_expand_terms(
+        idx.term_stats, "spark", max_edits=1, max_expansions=3
+    ).collect()
+    assert [r.term for r in capped] == ["spark", "shark", "stark"]
+
+
+def test_prefix_and_fuzzy_topk_score_disjunctive_sum(spark):
+    """The rewrite scores as a disjunctive BM25 OR over the expansion
+    set: identical to bm25_scored on the hand-listed expansions, and
+    to the brute-force oracle."""
+    idx = _hand_index(spark)
+    token_lists = {1: ["a", "a", "x", "x"], 2: ["a", "b", "b", "x"],
+                   3: ["a", "b", "c", "c"], 4: ["c", "c", "c", "c"]}
+    # vocabulary {a,b,c}: prefix "" expands to all three (df desc caps
+    # untouched); fuzzy "a" within 1 edit of single-char terms = all
+    got_p = [
+        (r.doc_id, r.score) for r in prefix_topk(idx, "", k=10).collect()
+    ]
+    want = bm25_oracle(token_lists, ["a", "b", "c"], k=10)
+    assert [d for d, _ in got_p] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got_p, want):
+        assert s1 == pytest.approx(s2, rel=1e-12)
+    got_f = [
+        (r.doc_id, r.score)
+        for r in fuzzy_topk(idx, "a", k=10, max_edits=1).collect()
+    ]
+    assert got_f == got_p  # same expansion set -> same ranking
+    # no expansion -> empty result, not an error
+    assert prefix_topk(idx, "zz", k=5).collect() == []
+    assert fuzzy_topk(idx, "zzzzzz", k=5, max_edits=1).collect() == []

@@ -48,6 +48,8 @@ SHUFFLE_CEILING = {
     # projection's single agg-shuffle for the broadcast max-ts scalar
     "msm_topk": 5,
     "mlt_topk": 5,
+    "prefix_topk": 5,
+    "fuzzy_topk": 5,
     "related_terms": 5,
     "suggest_terms": 2,
     "freshness_boost": 1,
