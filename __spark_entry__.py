@@ -1503,6 +1503,44 @@ def _q_not_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "rank int, doc_id long, score double")
 
 
+#: search_after contract (session 13): the SAME page-2 slice the
+#: scroll query gates (ranks 11-25 of the flagship disjunctive query),
+#: but reached through the keyset cursor instead of offset — the
+#: depth-independent deep-paging path (ES deprecated deep ``from`` for
+#: exactly this; at 10^12 docs offset paging collects O(depth) rows,
+#: the keyset filter collects k).
+SEARCH_AFTER_PAGE1_K = 10
+SEARCH_AFTER_K = 15
+
+
+def _q_search_after_page(spark, sf_dir):
+    """ES ``search_after`` under the driver gate: page 1 (top-10) of
+    the disjunctive BM25 ranking yields the ``(score, doc_id)``
+    cursor; ``query/bm25.py::keyset_page`` then fetches the next 15
+    rows strictly after it in the (score desc, doc_id asc) total
+    order. Scores round to 6 BEFORE the cursor/filter on both engines
+    so the keyset comparison is bit-stable across jobs."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import (
+        bm25_scored,
+        keyset_page,
+    )
+
+    idx = _ws_index(spark, sf_dir)
+    scored = bm25_scored(idx, BM25_QUERY).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    page1 = keyset_page(scored, k=SEARCH_AFTER_PAGE1_K).collect()
+    last = page1[-1]
+    page2 = keyset_page(
+        scored, last["score"], last["doc_id"], k=SEARCH_AFTER_K
+    ).collect()
+    rows = [
+        (SEARCH_AFTER_PAGE1_K + i + 1, int(r["doc_id"]), float(r["score"]))
+        for i, r in enumerate(page2)
+    ]
+    return spark.createDataFrame(rows, "rank int, doc_id long, score double")
+
+
 #: Q8 scroll contract: page 2 of the flagship BM25 query (ranks 11-25)
 #: through the serving WAND path — the ``engine.search(offset=...)``
 #: deep-paging shape (``SearchUtil.java:136-150`` scroll equivalent).
@@ -1766,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_phrase_topk": _q_nested_phrase_topk,
         "not_topk": _q_not_topk,
         "scroll_page": _q_scroll_page,
+        "search_after_page": _q_search_after_page,
         "highlight_spans": _q_highlight_spans,
         "streaming_postings_tf": _q_streaming_postings_tf,
         "streaming_dedup": _q_streaming_dedup,
@@ -2473,6 +2512,45 @@ def _scroll_page_sql(offset: int = SCROLL_OFFSET, k: int = SCROLL_PAGE_K) -> str
             FROM scored
         )
         SELECT CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
+        FROM ranked WHERE rank > {offset} AND rank <= {offset + k}
+    """
+
+
+def _search_after_page_sql(
+    offset: int = SEARCH_AFTER_PAGE1_K, k: int = SEARCH_AFTER_K
+) -> str:
+    """Oracle for :func:`_q_search_after_page`: the keyset page equals
+    the rank slice (offset, offset+k] of the ranking over ROUNDED
+    scores — rounding before ranking mirrors the Spark side's
+    round-before-cursor, keeping the keyset comparison bit-stable."""
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+        WITH toks AS ({_TOKS_SQL}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+        corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+        tfs AS (
+            SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+            WHERE term IN ({in_list}) GROUP BY 1, 2
+        ),
+        dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+        scored AS (
+            SELECT tfs.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                       * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY tfs.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, score, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id, score
         FROM ranked WHERE rank > {offset} AND rank <= {offset + k}
     """
 
@@ -3433,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_phrase_topk": _nested_phrase_topk_sql(),
         "not_topk": _not_topk_sql(),
         "scroll_page": _scroll_page_sql(),
+        "search_after_page": _search_after_page_sql(),
         # Q9 char spans: cumulative token lengths over the UNFILTERED
         # split (each empty token from consecutive spaces consumes one
         # separator char, exactly as the Python side counts)

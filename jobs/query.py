@@ -139,6 +139,14 @@ def main() -> None:
         help="Levenshtein radius for --suggest / --fuzzy-query",
     )
     ap.add_argument(
+        "--search-after",
+        metavar="SCORE,DOC_ID",
+        help="keyset deep paging (ES search_after): return the page "
+        "strictly after this cursor — the previous page's last hit's "
+        "score and doc_id — at constant cost regardless of depth "
+        "(engine.search_after; disjunctive scoring)",
+    )
+    ap.add_argument(
         "--max-expansions",
         type=int,
         default=50,
@@ -268,6 +276,12 @@ def main() -> None:
 
             print(to_json(from_json(args.ast_json)))
         hits = engine.search_ast(args.ast_json, k=args.k, offset=args.offset)
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
+    elif args.search_after is not None and args.query:
+        score_s, doc_s = args.search_after.split(",", 1)
+        hits = engine.search_after(
+            args.query, after=(float(score_s), int(doc_s)), k=args.k
+        )
         print(json.dumps(hits, ensure_ascii=False, indent=2))
     else:
         if args.explain:

@@ -455,6 +455,35 @@ class SearchEngine:
                 hit["highlight_terms"] = terms
         return out
 
+    def search_after(
+        self,
+        text: str,
+        after: tuple[float, int] | None = None,
+        k: int = 10,
+        min_should_match: int = 0,
+    ) -> list[dict]:
+        """ES ``search_after`` deep paging: the disjunctive BM25 page
+        strictly after the ``(score, doc_id)`` cursor — pass the last
+        hit's pair back to walk pages at constant cost regardless of
+        depth (``query/bm25.py::keyset_page``; offset paging collects
+        O(depth) rows per page, this collects k). Distributed scorer
+        by construction: the keyset filter sits below the TakeOrdered
+        in the plan."""
+        from .query.bm25 import bm25_search_after
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        self.last_route = "distributed"
+        rows = bm25_search_after(
+            self._body_index(),
+            [t["term"] for t in tokens],
+            after=after,
+            k=k,
+            min_should_match=min_should_match,
+        ).collect()
+        return self._resolve([(r["doc_id"], r["score"]) for r in rows])
+
     def search_more_like_this(
         self,
         doc_id: int,

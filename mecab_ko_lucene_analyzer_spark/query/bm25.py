@@ -33,6 +33,8 @@ from ..index.build import InvertedIndex, K1, B
 __all__ = [
     "bm25_scored",
     "bm25_topk",
+    "bm25_search_after",
+    "keyset_page",
     "boosted_bm25_topk",
     "bm25_oracle",
     "lucene_idf",
@@ -129,6 +131,60 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def keyset_page(
+    scored: DataFrame,
+    after_score: float | None = None,
+    after_doc_id: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Elasticsearch ``search_after`` — keyset pagination over the
+    engine's total order (score desc, doc_id asc) for ANY
+    ``(doc_id, score)`` relation (plain BM25, boosted, BM25F).
+
+    ``after_*`` is the previous page's LAST row; ``None`` means the
+    first page. The page is every row strictly after the cursor in
+    the total order: ``score < s OR (score = s AND doc_id > d)`` —
+    the doc_id tie-break makes the cursor unambiguous even inside a
+    run of equal scores.
+
+    Why this exists next to ``offset`` paging (Q8): offset depth D
+    costs a per-partition top-(D+k) heap and a driver merge of
+    P·(D+k) rows — at 10^12 docs page 10,000 collects millions of
+    rows to return 10. The keyset filter is pushed below the
+    TakeOrdered, so every page costs exactly the first page: a
+    pruned scan + per-partition top-k + a k-row driver merge,
+    depth-independent (the same reason ES deprecated deep
+    ``from`` in favor of ``search_after``)."""
+    if after_score is not None:
+        if after_doc_id is None:
+            raise ValueError("after_doc_id is required with after_score")
+        scored = scored.filter(
+            (F.col("score") < F.lit(float(after_score)))
+            | (
+                (F.col("score") == F.lit(float(after_score)))
+                & (F.col("doc_id") > F.lit(int(after_doc_id)))
+            )
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+
+
+def bm25_search_after(
+    index: InvertedIndex,
+    query_terms: list[str],
+    after: tuple[float, int] | None = None,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """Disjunctive BM25 page AFTER the ``(score, doc_id)`` cursor —
+    :func:`bm25_scored` + :func:`keyset_page`. ``after=None`` is page
+    one (≡ :func:`bm25_topk`)."""
+    scored = bm25_scored(index, query_terms, k1, b, min_should_match)
+    s, d = after if after is not None else (None, None)
+    return keyset_page(scored, s, d, k)
 
 
 def boosted_bm25_topk(

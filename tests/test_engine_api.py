@@ -99,6 +99,20 @@ def test_search_prefix_and_fuzzy(engine, spark):
     assert engine.search_prefix("없는접두어", k=5) == []
 
 
+def test_search_after_walks_the_offset_ranking(engine):
+    """Keyset paging reproduces offset paging's ranking without the
+    O(depth) fetch: cursoring from page 1's last hit returns exactly
+    hits 6-10 of the disjunctive ranking."""
+    full = engine.search("검색 엔진", k=10, conjunctive=False)
+    p1 = engine.search_after("검색 엔진", k=5)
+    assert [(h["doc_id"], round(h["score"], 9)) for h in p1] == [
+        (h["doc_id"], round(h["score"], 9)) for h in full[:5]
+    ]
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = engine.search_after("검색 엔진", after=cursor, k=5)
+    assert [h["doc_id"] for h in p2] == [h["doc_id"] for h in full[5:10]]
+
+
 def test_count_conjunctive_vs_disjunctive(engine):
     c_and = engine.count("검색 엔진", conjunctive=True)
     c_or = engine.count("검색 엔진", conjunctive=False)

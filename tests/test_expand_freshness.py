@@ -17,7 +17,9 @@ from mecab_ko_lucene_analyzer_spark.index.build import InvertedIndex
 from mecab_ko_lucene_analyzer_spark.query.bm25 import (
     bm25_oracle,
     bm25_scored,
+    bm25_search_after,
     bm25_topk,
+    keyset_page,
 )
 from mecab_ko_lucene_analyzer_spark.query.expand import (
     fuzzy_expand_terms,
@@ -358,6 +360,59 @@ def test_suggest_no_candidates(spark):
 
 
 # --------------------------------------------------------------------------
+# search_after keyset pagination
+# --------------------------------------------------------------------------
+
+
+def test_keyset_page_walk_is_gapless_and_tie_safe(spark):
+    """Walking pages of 2 through an explicit tie run reproduces the
+    full ranking with no gap and no duplicate — the doc_id tie-break
+    makes the cursor unambiguous inside equal scores."""
+    scored = spark.createDataFrame(
+        [(1, 2.0), (2, 1.0), (3, 1.0), (4, 1.0), (5, 0.5)],
+        "doc_id long, score double",
+    )
+    pages, cursor = [], None
+    while True:
+        rows = keyset_page(
+            scored, *(cursor or (None, None)), k=2
+        ).collect()
+        if not rows:
+            break
+        pages.append([r.doc_id for r in rows])
+        cursor = (rows[-1].score, rows[-1].doc_id)
+    assert pages == [[1, 2], [3, 4], [5]]
+
+
+def test_keyset_page_requires_full_cursor(spark):
+    scored = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError):
+        keyset_page(scored, 1.0, None, k=2)
+
+
+def test_bm25_search_after_continues_topk(spark):
+    """Page 2 via the cursor == ranks 3-4 of the full ranking; page 1
+    with no cursor == bm25_topk."""
+    idx = _hand_index(spark)
+    full = [
+        (r.doc_id, r.score) for r in bm25_topk(idx, ["a", "c"], k=10).collect()
+    ]
+    p1 = [
+        (r.doc_id, r.score)
+        for r in bm25_search_after(idx, ["a", "c"], k=2).collect()
+    ]
+    assert p1 == full[:2]
+    last_doc, last_score = p1[-1]
+    p2 = [
+        (r.doc_id, r.score)
+        for r in bm25_search_after(
+            idx, ["a", "c"], after=(last_score, last_doc), k=2
+        ).collect()
+    ]
+    assert p2 == full[2:4]
+
+
+# --------------------------------------------------------------------------
 # prefix / fuzzy multi-term query rewrite (Lucene PrefixQuery/FuzzyQuery)
 # --------------------------------------------------------------------------
 
@@ -416,7 +471,11 @@ def test_prefix_and_fuzzy_topk_score_disjunctive_sum(spark):
         (r.doc_id, r.score)
         for r in fuzzy_topk(idx, "a", k=10, max_edits=1).collect()
     ]
-    assert got_f == got_p  # same expansion set -> same ranking
+    # same expansion set -> same ranking (scores approx: the two jobs
+    # may sum partials in different orders, ~1e-16 jitter)
+    assert [d for d, _ in got_f] == [d for d, _ in got_p]
+    for (_, s1), (_, s2) in zip(got_f, got_p):
+        assert s1 == pytest.approx(s2, rel=1e-12)
     # no expansion -> empty result, not an error
     assert prefix_topk(idx, "zz", k=5).collect() == []
     assert fuzzy_topk(idx, "zzzzzz", k=5, max_edits=1).collect() == []

@@ -105,6 +105,7 @@ SHUFFLE_CEILING = {
     "quality_score": 0,
     "repetition_stats": 0,
     "scroll_page": 0,
+    "search_after_page": 0,
     "simhash_candidates": 2,
     "simhash_verified": 2,
     "span_dedup": 2,
