@@ -1132,6 +1132,30 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3)
 
 
+#: k-means contract (session 13): Lloyd over the embeddings table —
+#: deterministic md5-mod init (the IVF-centroid pattern), 2 unrolled
+#: iterations, squared-L2 argmin with round-before-argmin ties. The
+#: oracle replays init + both iterations as chained CTEs (the
+#: unrolled-PageRank pattern).
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _q_kmeans_clusters(spark, sf_dir):
+    """Embedding k-means for curation
+    (``functions/clustering.py::kmeans_fit``): per-iteration plan is
+    one zero-exchange assignment projection + one map-side-combined
+    hash aggregate (k·(dim+1) doubles to the driver); the returned
+    relation is the final zero-exchange assignment pass."""
+    from mecab_ko_lucene_analyzer_spark.functions.clustering import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, assigned = kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITERS)
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
+    )
+
+
 def _q_minhash_near_dup(spark, sf_dir):
     """MinHash+LSH near-dup candidates (md5 + universal-hash family →
     exact oracle)."""
@@ -1792,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_candidates": _q_simhash_candidates,
         "simhash_verified": _q_simhash_verified,
@@ -2633,6 +2658,66 @@ def _ann_ivf_topk_sql(
             )
             SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
         """
+
+
+def _kmeans_clusters_sql(
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    dim: int = 64,
+    sample_mod: int = 16,
+) -> str:
+    """Oracle for :func:`_q_kmeans_clusters`: Lloyd unrolled as chained
+    CTEs (the ``_pagerank_cte_body`` pattern) — c0 = md5-mod init
+    (components rounded, as the Spark side rounds at init), each
+    iteration one argmin-assignment CTE + one per-dim-mean CTE, empty
+    clusters kept via LEFT JOIN COALESCE. Distances are
+    ``‖e‖² − 2·e·c + ‖c‖²`` over DOUBLE lists — the same sequential
+    fold the Spark expressions compute — rounded before the argmin."""
+    d2 = (
+        "round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+        " - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv)"
+        " + list_dot_product(c.cv, c.cv), 6)"
+    )
+    means = ", ".join(
+        f"round(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(dim)
+    )
+    body = f"""
+        c0 AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> round(x, 6)) AS cv
+            FROM (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE {_md5h64_sql("vec_id::VARCHAR")} % {sample_mod} = 0
+                ORDER BY vec_id LIMIT {k}
+            )
+        )"""
+    for i in range(n_iter):
+        body += f""",
+        a{i} AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {d2} ASC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c{i} c
+            ) WHERE rn = 1
+        ),
+        m{i} AS (
+            SELECT cid, [{means}] AS cv FROM a{i} GROUP BY cid
+        ),
+        c{i + 1} AS (
+            SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+            FROM c{i} c LEFT JOIN m{i} m USING (cid)
+        )"""
+    return f"""
+        WITH {body}
+        SELECT vec_id, cid AS cluster, d AS dist FROM (
+            SELECT e.vec_id, c.cid, {d2} AS d,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {d2} ASC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN c{n_iter} c
+        ) WHERE rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3497,6 +3582,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_verified": _simhash_candidates_sql(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_topk_sql(),
         "ann_ivf_topk": _ann_ivf_topk_sql(),
+        "kmeans_clusters": _kmeans_clusters_sql(),
         "emb_near_dup": _emb_near_dup_sql(),
         "batch_bm25_topk": _batch_bm25_topk_sql(),
         # positional phrase retrieval: token adjacency via unnest

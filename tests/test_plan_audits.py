@@ -89,6 +89,7 @@ SHUFFLE_CEILING = {
     "fingerprint": 0,
     "highlight_spans": 0,
     "lang_id": 0,
+    "kmeans_clusters": 0,
     "match_count": 0,
     "minhash_near_dup": 2,
     "multimodal_features": 0,
