@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("action", choices=["ingest", "compact"])
+    ap.add_argument("action", choices=["ingest", "compact", "delete"])
     ap.add_argument("--index", required=True, help="incremental index base path")
     ap.add_argument("--input", help="crawl-drop parquet directory (ingest)")
     ap.add_argument("--checkpoint", help="stream checkpoint dir (ingest)")
@@ -58,9 +58,20 @@ def main() -> None:
     ap.add_argument(
         "--canonicalize-urls",
         action="store_true",
-        help="ingest: canonicalize the url column before indexing so "
-        "re-crawls under tracking-param/port/fragment variants share "
+        help="ingest/delete: canonicalize urls so re-crawls and "
+        "tombstones under tracking-param/port/fragment variants share "
         "one upsert key",
+    )
+    ap.add_argument(
+        "--urls",
+        nargs="+",
+        help="delete: urls to tombstone (folded in at the next "
+        "compact; a later re-crawl of the url resurrects it)",
+    )
+    ap.add_argument(
+        "--url-file",
+        help="delete: file with one url per line (byte-safe for "
+        "non-ASCII urls on non-UTF-8 launcher locales)",
     )
     args = ap.parse_args()
 
@@ -68,10 +79,36 @@ def main() -> None:
     from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
         compact_incremental,
         incremental_index_stream,
+        mark_deleted,
     )
 
     spark = get_spark(app_name=f"ingest-{args.action}")
-    if args.action == "ingest":
+    if args.action == "delete":
+        urls = list(args.urls or [])
+        if args.url_file:
+            urls += [
+                line.strip()
+                for line in Path(args.url_file)
+                .read_text(encoding="utf-8")
+                .splitlines()
+                if line.strip()
+            ]
+        if not urls:
+            ap.error("delete requires --urls and/or --url-file")
+        horizon = mark_deleted(
+            spark, args.index, urls, canonicalize=args.canonicalize_urls
+        )
+        print(
+            json.dumps(
+                {
+                    "status": "deleted",
+                    "index": args.index,
+                    "n_urls": len(urls),
+                    "below_doc_id": horizon,
+                }
+            )
+        )
+    elif args.action == "ingest":
         if not args.input or not args.checkpoint:
             ap.error("--input and --checkpoint required for ingest")
         q = incremental_index_stream(

@@ -32,6 +32,7 @@ __all__ = [
     "read_incremental_postings",
     "compact_incremental",
     "serving_index_path",
+    "mark_deleted",
 ]
 
 
@@ -263,6 +264,60 @@ def serving_index_path(spark: SparkSession, index_path: str) -> str | None:
     return ptr["path"] if ptr else None
 
 
+def mark_deleted(
+    spark: SparkSession,
+    index_path: str,
+    urls,
+    canonicalize: bool = False,
+) -> int:
+    """Delete-by-url tombstones (the ES DELETE-doc API next to the
+    upsert the reference's indexer drives; S8's delete-all is the
+    degenerate whole-index case). Appends ``(url, below_doc_id)`` rows
+    to ``{index_path}/deletes_delta`` — nothing is rewritten on the
+    hot path; the NEXT :func:`compact_incremental` folds tombstones in
+    and the served stats (df/avgdl/n_docs) describe the post-delete
+    corpus.
+
+    ``below_doc_id`` is the doc-base horizon at delete time: the
+    tombstone kills every crawl version that EXISTED when the delete
+    was issued (doc_id < horizon — batch bases increase
+    monotonically), while a re-crawl ingested AFTER the delete gets a
+    doc_id ≥ horizon and resurrects the page — ES's
+    delete-then-reindex ordering semantics, replay-safe because the
+    horizon is captured once, here, not re-derived at compaction.
+
+    ``urls`` is a list of url strings or a DataFrame with a ``url``
+    column; ``canonicalize`` runs the same url canonicalization the
+    ingest path applies, so deletes issued against raw crawl urls key
+    correctly against a ``canonicalize=True`` ingest. Returns the
+    horizon."""
+    state_path = f"{index_path}/_stream_state/doc_base.json"
+    horizon = int(_read_doc_state(spark, state_path)["next_doc_base"])
+    if isinstance(urls, DataFrame):
+        df = urls.select("url")
+    else:
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+    if canonicalize:
+        from ..functions.curation import canonical_url
+
+        df = df.withColumn("url", canonical_url("url"))
+    df.withColumn("below_doc_id", F.lit(horizon)).write.mode(
+        "append"
+    ).parquet(f"{index_path}/deletes_delta")
+    return horizon
+
+
+def _read_deletes(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Tombstone relation, or None when no delete was ever issued —
+    existence-checked through the Hadoop FS API (object-store-safe,
+    like the doc-base state)."""
+    path = f"{index_path}/deletes_delta"
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(path)
+
+
 def compact_incremental(
     spark: SparkSession,
     index_path: str,
@@ -312,6 +367,11 @@ def compact_incremental(
     this maintenance job, nothing on the ingest path. Default False
     preserves append-only semantics (every crawl version served),
     which is also what the from-scratch-equality pin assumes.
+
+    Tombstones from :func:`mark_deleted` (when any exist) always fold
+    in: doc_map rows below their url's delete horizon drop before the
+    upsert window, postings semi-join the surviving doc set, and the
+    recomputed stats describe the post-delete corpus.
     """
     from ..index.blocks import build_blocks
     from ..index.build import _stats_from_postings
@@ -325,6 +385,22 @@ def compact_incremental(
         out = out_path
     postings = read_incremental_postings(spark, index_path)
     doc_map = spark.read.parquet(f"{index_path}/doc_map_delta").drop("batch_id")
+    deletes = _read_deletes(spark, index_path)
+    if deletes is not None:
+        # fold tombstones FIRST: a doc_id below its url's delete
+        # horizon never reaches the upsert window (multiple deletes of
+        # one url collapse to the max horizon — the latest delete wins)
+        tomb = deletes.groupBy("url").agg(
+            F.max("below_doc_id").alias("_below")
+        )
+        doc_map = (
+            doc_map.join(tomb, "url", "left")
+            .filter(
+                F.col("_below").isNull()
+                | (F.col("doc_id") >= F.col("_below"))
+            )
+            .drop("_below")
+        )
     if latest_only:
         from pyspark.sql import Window
 
@@ -337,6 +413,7 @@ def compact_incremental(
             .filter(F.col("doc_id") == F.col("_latest"))
             .drop("_latest")
         )
+    if latest_only or deletes is not None:
         postings = postings.join(doc_map.select("doc_id"), "doc_id", "left_semi")
     term_stats, doc_stats, corpus_stats = _stats_from_postings(postings)
     doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")

@@ -537,3 +537,114 @@ def test_ingest_canonicalize_urls_unifies_recrawl_keys(spark, tmp_path):
     terms = {r["term"] for r in
              spark.read.parquet(f"{out}/term_stats").collect()}
     assert terms and "엔진" not in terms and "시스템" in terms
+
+
+def test_delete_tombstones_fold_at_compaction(spark, tmp_path):
+    """mark_deleted: the ES DELETE-doc semantics — the tombstone kills
+    every crawl version existing at delete time, the served stats
+    describe the post-delete corpus, and a re-crawl AFTER the delete
+    resurrects the url (horizon ordering), all folded in at the next
+    compaction with nothing rewritten on the ingest path."""
+    import datetime
+
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import WEBPAGES_SCHEMA
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        compact_incremental,
+        mark_deleted,
+    )
+
+    B = str(tmp_path)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def drop(rows, mode):
+        spark.createDataFrame(
+            [(u, ts, b"", t, "ko") for u, t in rows], WEBPAGES_SCHEMA
+        ).write.mode(mode).parquet(f"{B}/in")
+
+    drop([("u://a", "검색 엔진"), ("u://b", "데이터 처리")], "overwrite")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+
+    horizon = mark_deleted(spark, f"{B}/idx", ["u://a", "u://missing"])
+    assert horizon == 2  # both batch-1 docs existed at delete time
+
+    out1 = compact_incremental(spark, f"{B}/idx", out_path=f"{B}/c1")
+    urls1 = {r["url"] for r in spark.read.parquet(f"{out1}/doc_map").collect()}
+    assert urls1 == {"u://b"}  # unknown-url tombstone is a no-op
+    terms1 = {r["term"] for r in
+              spark.read.parquet(f"{out1}/term_stats").collect()}
+    assert "엔진" not in terms1 and "데이터" in terms1
+    assert spark.read.parquet(f"{out1}/corpus_stats").first()["n_docs"] == 1
+
+    # a re-crawl AFTER the delete resurrects the url with fresh text —
+    # and the PRE-delete version stays dead even without latest_only
+    drop([("u://a", "검색 시스템")], "append")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None
+    ).awaitTermination(120)
+    out2 = compact_incremental(spark, f"{B}/idx", out_path=f"{B}/c2")
+    doc_map2 = {r["url"]: r["doc_id"] for r in
+                spark.read.parquet(f"{out2}/doc_map").collect()}
+    assert set(doc_map2) == {"u://a", "u://b"}
+    assert doc_map2["u://a"] >= horizon  # the post-delete arrival
+    terms2 = {r["term"] for r in
+              spark.read.parquet(f"{out2}/term_stats").collect()}
+    assert "시스템" in terms2 and "엔진" not in terms2
+    # postings carry no doc_id outside the surviving doc_map
+    alive = set(doc_map2.values())
+    posting_docs = {r["doc_id"] for r in
+                    spark.read.parquet(f"{out2}/postings").collect()}
+    assert posting_docs == alive
+
+    # a second delete of the (re-crawled) url takes the max horizon:
+    # the resurrected version dies at the next compaction too
+    mark_deleted(spark, f"{B}/idx", ["u://a"])
+    out3 = compact_incremental(spark, f"{B}/idx", out_path=f"{B}/c3")
+    urls3 = {r["url"] for r in spark.read.parquet(f"{out3}/doc_map").collect()}
+    assert urls3 == {"u://b"}
+
+
+def test_delete_cli_and_canonicalized_tombstones(spark, tmp_path, capsys, monkeypatch):
+    """jobs/ingest.py delete: tombstones via the CLI, canonicalized so
+    a delete issued against a tracking-param variant kills the
+    canonical key the ingest path indexed."""
+    import datetime
+    import json as _json
+    import sys
+
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import WEBPAGES_SCHEMA
+    from mecab_ko_lucene_analyzer_spark.streaming.incremental import (
+        compact_incremental,
+    )
+
+    B = str(tmp_path)
+    ts = datetime.datetime(2026, 1, 1)
+    spark.createDataFrame(
+        [("https://site.com/p?b=1", ts, b"", "검색 엔진", "ko")],
+        WEBPAGES_SCHEMA,
+    ).write.parquet(f"{B}/in")
+    incremental_index_stream(
+        spark, f"{B}/in", f"{B}/idx", f"{B}/ckpt", lang_filter=None,
+        canonicalize=True,
+    ).awaitTermination(120)
+
+    import jobs.ingest as ingest_job
+
+    monkeypatch.setattr(
+        "mecab_ko_lucene_analyzer_spark.plans.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["ingest.py", "delete", "--index", f"{B}/idx",
+         "--urls", "HTTPS://Site.COM:443/p?utm_source=x&b=1",
+         "--canonicalize-urls"],
+    )
+    ingest_job.main()
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["status"] == "deleted" and status["n_urls"] == 1
+
+    out = compact_incremental(spark, f"{B}/idx", out_path=f"{B}/compact")
+    assert spark.read.parquet(f"{out}/doc_map").count() == 0
+    assert spark.read.parquet(f"{out}/corpus_stats").first()["n_docs"] == 0
