@@ -776,7 +776,9 @@ class SearchEngine:
             cache=self.block_cache,
         )
 
-    def count(self, text: str, conjunctive: bool = True) -> int:
+    def count(
+        self, text: str, conjunctive: bool = True, exclude: str | None = None
+    ) -> int:
         """Match count (Q8 ``trackTotalHits`` equivalent), served from
         the block index — never the row-postings table:
 
@@ -785,12 +787,25 @@ class SearchEngine:
         * multi term: decode the terms' docID arrays from their blocks
           (one term-pruned scan at most) and intersect/union in NumPy.
 
+        ``exclude`` text counts with must_not semantics through the
+        full AST evaluator (:meth:`count_ast` — conjunctive only, the
+        :meth:`search` contract).
+
         Round 1 ran a groupBy over the full row-postings parquet per
         call — an avoidable whole-table scan at serving time."""
         import numpy as np
 
         from .index.codec import decode_varints
 
+        if exclude:
+            if not conjunctive:
+                raise ValueError(
+                    "exclude requires conjunctive=True (the reference's"
+                    " Q1 AND-over-tokens semantics)"
+                )
+            if not self.analyze(text):
+                return 0
+            return self.count_ast(self.build_query(text, exclude))
         tokens = self.analyze(text)
         if not tokens:
             return 0

@@ -59,6 +59,19 @@ def test_search_exclude_must_not(engine, spark):
 def test_search_exclude_requires_conjunctive(engine):
     with pytest.raises(ValueError):
         engine.search("검색 엔진", exclude="문서", conjunctive=False)
+    with pytest.raises(ValueError):
+        engine.count("검색", exclude="문서", conjunctive=False)
+
+
+def test_count_exclude_matches_search_membership(engine):
+    """count(exclude=) == number of hits search(exclude=) returns at
+    full fetch — and equals plain count minus the excluded overlap."""
+    n_plain = engine.count("검색")
+    n_not = engine.count("검색", exclude="엔진")
+    hits = engine.search("검색", k=1000, exclude="엔진")
+    assert n_not == len(hits)
+    n_both = engine.count("검색 엔진")  # conjunctive overlap
+    assert n_not == n_plain - n_both
 
 
 def test_search_ast_json_not_clause(engine):
