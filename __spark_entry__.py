@@ -1007,6 +1007,107 @@ def _q_freshness_boost(spark, sf_dir):
     ).select("doc_id", F.round("boost", 6).alias("boost"))
 
 
+#: hybrid-retrieval contract (session 14): RRF fusion of the lexical
+#: BM25 ranking and the embedding-cosine ranking (query vector =
+#: embeddings row 0, which aligns with doc_id by corpus contract).
+#: Both sides round scores to 6 BEFORE ranking so ranks are
+#: engine-deterministic; k_rrf=60 is the SIGIR'09 / ES default.
+RRF_N_CANDIDATES = 50
+RRF_QUERY_VEC = 0
+#: C4-style word blocklist for the curation contract query: a common
+#: word, the rare planted-dup marker, and a stopword — coverage of
+#: high-df, low-df, and stopword classes in the synthetic vocabulary.
+BLOCKLIST_WORDS = ["slow", "dup", "the"]
+
+
+def _q_rrf_fusion_topk(spark, sf_dir):
+    """Hybrid search (``query/fusion.py::hybrid_bm25_cosine_topk``):
+    Reciprocal Rank Fusion of BM25(BM25_QUERY) over the whitespace
+    index and cosine-to-vector-0 over ``embeddings`` — rank-based
+    combination needs no score calibration between the incomparable
+    scales (Cormack et al., SIGIR 2009; the ES ``rrf`` retriever)."""
+    from mecab_ko_lucene_analyzer_spark.query.fusion import (
+        hybrid_bm25_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hybrid_bm25_cosine_topk(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        emb,
+        RRF_QUERY_VEC,
+        k=10,
+        n_candidates=RRF_N_CANDIDATES,
+    )
+
+
+def _q_explain_score(spark, sf_dir):
+    """Score explanation relation (``query/explain.py::explain_terms``
+    — the ES ``_explain`` / Lucene ``Explanation`` components): every
+    (doc, term) BM25 partial for BM25_QUERY with its inputs
+    ``(tf, df, idf)``. ``groupBy(doc_id).sum(partial)`` reproduces
+    ``bm25_scored`` exactly (pinned in tests); idf and partial round
+    to 6 on both engines."""
+    from mecab_ko_lucene_analyzer_spark.query.explain import explain_terms
+
+    out = explain_terms(_ws_index(spark, sf_dir), BM25_QUERY, round_digits=6)
+    return out.select(
+        "doc_id", "term", "tf", "df", F.round("idf", 6).alias("idf"), "partial"
+    )
+
+
+def _q_collapse_topk(spark, sf_dir):
+    """ES field collapsing (``query/aggs.py::collapse_topk``): top-1
+    doc per ``documents.source`` over the BM25_QUERY ranking, then the
+    top 10 rows — SERP same-site dedup. Scores round to 6 before the
+    per-group window so ranks are engine-deterministic."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import collapse_topk
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+
+    scored = bm25_scored(_ws_index(spark, sf_dir), BM25_QUERY).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    return collapse_topk(
+        scored, _docs(spark, sf_dir).select("doc_id", "source"), "source", k=10
+    )
+
+
+def _q_blocklist_stats(spark, sf_dir):
+    """C4-style word-blocklist measurement
+    (``functions/curation.py::blocklist_stats``): per-doc blocked-token
+    count and fraction against BLOCKLIST_WORDS (token-exact,
+    case-insensitive). Counts cast to BIGINT on both engines."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        blocklist_stats,
+    )
+
+    out = blocklist_stats(_docs(spark, sf_dir), BLOCKLIST_WORDS)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("blocked_tokens").cast("long").alias("blocked_tokens"),
+        "blocked_frac",
+    )
+
+
+def _q_term_vectors(spark, sf_dir):
+    """ES ``_termvectors`` (``functions/text.py::term_vectors``):
+    per-doc (term, tf, positions) — the per-doc view of exactly what
+    the inverted index stores. Positions render as a CSV string for
+    the cross-engine hash (0-based, ascending)."""
+    from mecab_ko_lucene_analyzer_spark.functions.text import term_vectors
+
+    out = term_vectors(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.array_join(
+            F.transform(F.col("positions"), lambda p: p.cast("string")), ","
+        ).alias("positions_csv"),
+    )
+
+
 def _q_facet_terms(spark, sf_dir):
     """ES ``terms`` aggregation (``query/aggs.py::facet_terms``): top
     attribute values (``documents.source``) among the docs matching
@@ -1806,6 +1907,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms": _q_related_terms,
         "suggest_terms": _q_suggest_terms,
         "freshness_boost": _q_freshness_boost,
+        "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "explain_score": _q_explain_score,
+        "collapse_topk": _q_collapse_topk,
+        "blocklist_stats": _q_blocklist_stats,
+        "term_vectors": _q_term_vectors,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -2915,6 +3021,149 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(2.0, -((m.mx - t.s) / 86400.0) / {FRESH_HALF_LIFE_DAYS}), 6)
                        AS boost
             FROM t CROSS JOIN m
+        """,
+        # rrf_fusion_topk: both rankings round scores to 6 BEFORE the
+        # row_number (engine-deterministic ranks); the fused score sums
+        # <=2 exact doubles (commutative in IEEE), rounded to 6.
+        "rrf_fusion_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            bm25 AS (
+                SELECT tfs.doc_id,
+                       round(sum(
+                           ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                       ), 6) AS score
+                FROM tfs
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN corpus
+                GROUP BY tfs.doc_id
+            ),
+            lex AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY score DESC, doc_id ASC) AS rank
+                FROM bm25 QUALIFY rank <= {RRF_N_CANDIDATES}
+            ),
+            qv AS (SELECT embedding AS v FROM embeddings
+                   WHERE vec_id = {RRF_QUERY_VEC}),
+            cos AS (
+                SELECT e.vec_id AS doc_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], qv.v::DOUBLE[]), 6) AS cosine
+                FROM embeddings e CROSS JOIN qv
+                WHERE e.vec_id <> {RRF_QUERY_VEC}
+            ),
+            sem AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY cosine DESC, doc_id ASC) AS rank
+                FROM cos QUALIFY rank <= {RRF_N_CANDIDATES}
+            ),
+            contribs AS (
+                SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM lex
+                UNION ALL
+                SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM sem
+            )
+            SELECT doc_id, round(sum(contrib), 6) AS rrf_score
+            FROM contribs GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "explain_score": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*) AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1)
+            SELECT tfs.doc_id, tfs.term, tfs.tf, dfs.df,
+                   round(ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5)), 6) AS idf,
+                   round(
+                       ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                       * tfs.tf::DOUBLE / (tfs.tf::DOUBLE + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   , 6) AS partial
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        """,
+        "collapse_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            bm25 AS (
+                SELECT tfs.doc_id,
+                       round(sum(
+                           ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                       ), 6) AS score
+                FROM tfs
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN corpus
+                GROUP BY tfs.doc_id
+            ),
+            grouped AS (
+                SELECT d.source AS "group", b.doc_id, b.score,
+                       row_number() OVER (
+                           PARTITION BY coalesce(d.source,
+                                                 ' null ' || b.doc_id)
+                           ORDER BY b.score DESC, b.doc_id ASC) AS rn
+                FROM bm25 b LEFT JOIN documents d USING (doc_id)
+            )
+            SELECT "group", doc_id, score FROM grouped
+            WHERE rn <= 1
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "blocklist_stats": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_filter(toks, x -> lower(x) IN (
+                       {", ".join(f"'{w}'" for w in sorted(set(BLOCKLIST_WORDS)))}
+                   )))::BIGINT AS blocked_tokens,
+                   CASE WHEN len(toks) > 0 THEN round(
+                       len(list_filter(toks, x -> lower(x) IN (
+                           {", ".join(f"'{w}'" for w in sorted(set(BLOCKLIST_WORDS)))}
+                       ))) / len(toks)::DOUBLE, 6)
+                   ELSE 0.0 END AS blocked_frac
+            FROM t
+        """,
+        "term_vectors": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) - 1 AS p
+                FROM t
+            )
+            SELECT doc_id, term, count(*) AS tf,
+                   string_agg(p::VARCHAR, ',' ORDER BY p) AS positions_csv
+            FROM pos GROUP BY doc_id, term
         """,
         "facet_terms": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -72,6 +72,8 @@ def curate(
     max_dup_token_frac: float | None = None,
     max_dup_bigram_frac: float | None = None,
     max_top_token_frac: float | None = None,
+    blocklist: list[str] | None = None,
+    max_blocked_frac: float = 0.0,
     scrub: bool = False,
     eval_docs=None,
     decontam_n: int = 8,
@@ -216,6 +218,17 @@ def curate(
             max_dup_bigram_frac=max_dup_bigram_frac,
             max_top_token_frac=max_top_token_frac,
         )
+    # 4a2. C4-style word blocklist: another zero-shuffle inline
+    #      predicate (token-exact, case-insensitive; frac threshold
+    #      0.0 = drop on any occurrence).
+    if blocklist:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            blocklist_filter,
+        )
+
+        docs = blocklist_filter(
+            docs, blocklist, max_blocked_frac=max_blocked_frac
+        )
     # 4b. benchmark decontamination: drop docs sharing n-gram shingles
     #     with the eval corpus (broadcast eval side, no corpus shuffle).
     #     BEFORE the PII scrub on purpose: scrubbing rewrites training
@@ -291,6 +304,13 @@ def main() -> None:
         help="drop docs whose most-frequent-token share exceeds this",
     )
     ap.add_argument(
+        "--blocklist-file",
+        default="",
+        help="path to a newline-separated word blocklist; docs whose "
+        "blocked-token fraction exceeds --max-blocked-frac are dropped",
+    )
+    ap.add_argument("--max-blocked-frac", type=float, default=0.0)
+    ap.add_argument(
         "--scrub-pii",
         action="store_true",
         help="redact emails / dashed phones / IPv4 in the output text",
@@ -344,6 +364,16 @@ def main() -> None:
         max_dup_token_frac=args.max_dup_token_frac,
         max_dup_bigram_frac=args.max_dup_bigram_frac,
         max_top_token_frac=args.max_top_token_frac,
+        blocklist=(
+            [
+                w.strip()
+                for w in open(args.blocklist_file, encoding="utf-8")
+                if w.strip()
+            ]
+            if args.blocklist_file
+            else None
+        ),
+        max_blocked_frac=args.max_blocked_frac,
         scrub=args.scrub_pii,
         eval_docs=(
             read_table(spark, args.decontam_input)

@@ -169,6 +169,78 @@ class SearchEngine:
     def explain_query(self, text: str) -> str:
         return to_json(self.build_query(text))
 
+    def explain(self, text: str, doc_id: int) -> dict:
+        """Lucene/ES ``_explain``: why does ``doc_id`` score what it
+        scores for ``text``? Returns the nested Explanation tree
+        (value, description, details) over the analyzed term bag.
+
+        Scale contract: NEVER fetches a term's full posting list — for
+        each term one pruned job selects only the single block whose
+        docID range covers ``doc_id`` (``max_by(first_doc)`` under a
+        pushed ``term IN`` + ``first_doc <= doc_id`` filter), so the
+        driver reads O(|terms|) block rows at ANY df, hot josa terms
+        included. The per-term partials come from the SAME cursor
+        arithmetic the serving scorer runs (``TermCursor.score_current``
+        inputs), so the explained total matches the served score
+        bit-for-bit (tested)."""
+        from .query.explain import explanation_tree
+        from .query.wand import TermCursor, _Block, lucene_idf
+
+        tokens = self.analyze(text)
+        terms = sorted({t["term"] for t in tokens})
+        if not terms:
+            return explanation_tree([], doc_id)
+        dfs = self._dfs(terms)
+        cols = [
+            "term", "first_doc", "n_docs", "doc_deltas", "tfs", "doc_lens",
+            "block_max_impact",
+        ]
+        covering = (
+            self.blocks.filter(
+                F.col("term").isin(terms) & (F.col("first_doc") <= doc_id)
+            )
+            .select(*cols)
+            .groupBy("term")
+            .agg(F.max_by(F.struct(*cols[1:]), F.col("first_doc")).alias("b"))
+            .select("term", "b.*")
+            .collect()
+        )
+        per_term = []
+        for r in covering:
+            df = dfs.get(r["term"], 0)
+            if df <= 0:
+                continue
+            cursor = TermCursor(
+                term=r["term"],
+                idf=lucene_idf(self.n_docs, df),
+                blocks=[
+                    _Block(
+                        r["first_doc"],
+                        bytes(r["doc_deltas"]),
+                        bytes(r["tfs"]),
+                        bytes(r["doc_lens"]),
+                        r["block_max_impact"],
+                    )
+                ],
+                avgdl=self.avgdl,
+            )
+            cursor.next_geq(doc_id)
+            if cursor.cur_doc != doc_id:
+                continue  # term does not match this doc
+            per_term.append(
+                {
+                    "term": r["term"],
+                    "tf": int(cursor._tfs[cursor._pos]),
+                    "doc_len": int(cursor._dls[cursor._pos]),
+                    "df": df,
+                    "idf": cursor.idf,
+                    "avgdl": self.avgdl,
+                    "n_docs": self.n_docs,
+                }
+            )
+        per_term.sort(key=lambda c: c["term"])
+        return explanation_tree(per_term, doc_id)
+
     def _route_distributed(self, ast, dfs: dict[str, int]) -> bool:
         """The one routing decision (shared by search and count): hot
         queries — any term's df above ``max_driver_df`` — go

@@ -37,6 +37,8 @@ from .text import whitespace_tokens
 __all__ = [
     "repetition_stats",
     "repetition_filter",
+    "blocklist_stats",
+    "blocklist_filter",
     "domain_stats",
     "host_of",
     "canonical_url",
@@ -147,6 +149,54 @@ def repetition_filter(
         if limit is not None:
             pred = pred & (cols[name] <= limit)
     return docs.filter(pred)
+
+
+def _blocklist_cols(text: str, words: list[str]) -> dict[str, Column]:
+    """Shared blocklist expressions: token-level membership against a
+    lowercased word set (C4's "bad words" filter is word-, not
+    substring-, based — 'class' must not trip on 'ass'). The word list
+    is a query-side literal array: tiny by contract (hundreds of
+    entries), so membership is a codegen'd set probe per token with no
+    join anywhere."""
+    wordset = sorted({w.lower() for w in words})
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    blocked = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(wordset))
+    )
+    return {
+        "n_tokens": n,
+        "blocked_tokens": blocked,
+        "blocked_frac": _safe_frac(blocked, n),
+    }
+
+
+def blocklist_stats(
+    docs: DataFrame, words: list[str], text: str = "text"
+) -> DataFrame:
+    """Per-doc blocklist signals ``(doc_id, n_tokens, blocked_tokens,
+    blocked_frac)`` — the C4-style word-blocklist measurement (Raffel
+    et al. 2020 drop any page containing a listed word; real pipelines
+    usually threshold on the FRACTION instead, which this reports).
+    Case-insensitive exact-token matches; empty docs read 0.0."""
+    cols = _blocklist_cols(text, words)
+    return docs.select(
+        "doc_id", *(expr.alias(name) for name, expr in cols.items())
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    words: list[str],
+    max_blocked_frac: float = 0.0,
+    text: str = "text",
+) -> DataFrame:
+    """Drop docs whose blocklisted-token fraction exceeds
+    ``max_blocked_frac`` (0.0 = C4's any-occurrence drop). Inline
+    predicate over all input columns — zero-shuffle map stage, same
+    shape as :func:`repetition_filter`."""
+    cols = _blocklist_cols(text, words)
+    return docs.filter(cols["blocked_frac"] <= float(max_blocked_frac))
 
 
 def domain_stats(

@@ -19,6 +19,7 @@ __all__ = [
     "predicted_lang",
     "fingerprint",
     "stratified_sample",
+    "term_vectors",
     "EN_STOPWORDS",
 ]
 
@@ -37,6 +38,28 @@ def whitespace_tokens(text: Column | str = "text") -> Column:
     insensitivity."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+
+
+def term_vectors(docs: DataFrame, text: str = "text") -> DataFrame:
+    """ES ``_termvectors``: per-doc ``(doc_id, term, tf, positions)``
+    with 0-based token positions (ascending ``array<int>``).
+
+    The per-doc view of exactly what the inverted index stores per
+    term — the debugging/feature-extraction counterpart of
+    ``postings_tf`` (training pipelines use it for positional features
+    and span labeling). Plan: posexplode + ONE hash aggregate keyed
+    (doc_id, term) — ``sort_array(collect_list(...))`` is safe here
+    because positions within one (doc, term) group are bounded by the
+    doc length, never corpus-scale."""
+    toks = whitespace_tokens(text)
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
 
 
 def token_counts(docs: DataFrame, text: str = "text") -> DataFrame:

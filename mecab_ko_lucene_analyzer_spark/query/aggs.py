@@ -33,7 +33,13 @@ from pyspark.sql import DataFrame
 
 from ..index.build import InvertedIndex
 
-__all__ = ["matching_docs", "facet_terms", "date_histogram", "stats_agg"]
+__all__ = [
+    "matching_docs",
+    "facet_terms",
+    "date_histogram",
+    "stats_agg",
+    "collapse_topk",
+]
 
 # date_trunc units Spark and ANSI SQL agree on (lowercase canonical)
 _INTERVALS = frozenset(
@@ -129,6 +135,60 @@ def stats_agg(
             F.avg(v).alias("avg"),
             F.sum(v).alias("sum"),
         )
+    )
+
+
+def collapse_topk(
+    scored: DataFrame,
+    doc_attrs: DataFrame,
+    group_col: str,
+    k: int = 10,
+    inner_hits: int = 1,
+) -> DataFrame:
+    """ES field collapsing (``collapse`` on ``_search``): keep only the
+    top ``inner_hits`` docs per value of ``group_col`` (host, domain,
+    product family — SERP same-site dedup), then the top ``k`` rows
+    overall. Returns ``(group, doc_id, score)``.
+
+    ``scored`` is any ``(doc_id, score)`` relation (``bm25_scored``,
+    the distributed router relation, a fused hybrid ranking).
+    Cross-engine-deterministic ranking needs a pre-rounded score
+    column (the contract query rounds to 6).
+
+    Semantics notes (ES parity):
+    * the per-group cut happens over the FULL match set, before the
+      global top-k — a group's best doc can surface even when ten
+      better docs share one other group;
+    * docs with a NULL ``group_col`` are NOT collapsed together — each
+      forms its own singleton group (ES treats missing collapse keys
+      as distinct). Implemented by salting NULL keys with doc_id so
+      the window partition stays per-doc — the NULL "group" can never
+      become a skew bomb on a corpus where most urls lack the
+      attribute.
+
+    Plan shape: one doc_id hash join (AQE-decided), one hash exchange
+    on the (salted) group key for the per-group window — grouped top-k
+    is the scalable shape (never a global sort) — then TakeOrdered for
+    the final ``k``.
+    """
+    from pyspark.sql import Window
+
+    joined = scored.join(
+        doc_attrs.select("doc_id", F.col(group_col).alias("group")),
+        "doc_id",
+        "left",
+    )
+    part_key = F.when(
+        F.col("group").isNull(),
+        F.concat(F.lit("\x00null\x00"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("group").cast("string"))
+    w = Window.partitionBy(part_key).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(inner_hits))
+        .select("group", "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
     )
 
 

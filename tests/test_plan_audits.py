@@ -63,6 +63,20 @@ SHUFFLE_CEILING = {
     # stats' 2 = the postings/matched aggs; the global stats row is a
     # partial-combined single-row gather
     "stats_agg": 2,
+    # hybrid RRF: the bm25_scored agg chain (as explain's 4) + the
+    # cosine side's one per-query top-k agg + the fused-contribs agg;
+    # both rank windows run over <= n_candidates rows by contract
+    "rrf_fusion_topk": 6,
+    # explain keeps bm25's un-aggregated per-(doc,term) rows: the 4 =
+    # tokenize→postings agg + doc_stats agg + the idf-side stats agg +
+    # the doc_len join exchange (term-pruned input throughout)
+    "explain_score": 4,
+    # collapse = the bm25_topk scoring chain + the attr join + the ONE
+    # per-group window exchange (grouped top-k, never a global sort)
+    "collapse_topk": 6,
+    "blocklist_stats": 0,
+    # per-doc (doc_id, term) hash agg — one exchange at any scale
+    "term_vectors": 1,
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
     "ann_lsh_topk": 1,
