@@ -1108,6 +1108,118 @@ def _q_term_vectors(spark, sf_dir):
     )
 
 
+#: session-15 search-surface contract constants. The regexp exercises
+#: alternation + classes in the portable RE core (matches slow / scan /
+#: sort / stream in the synthetic vocabulary); the filter/sort/agg
+#: queries all run over the BM25_QUERY match set with ``n_chars`` as
+#: the numeric attribute (the only numeric column on documents).
+REGEXP_PATTERN = "s(low|can|ort)|.*eam"
+FILTER_MIN_CHARS = 300
+HIST_INTERVAL = 50.0
+PCT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _q_regexp_topk(spark, sf_dir):
+    """Regexp retrieval (Lucene ``RegexpQuery``, full-string automaton
+    semantics — ``query/expand.py::regexp_expand_terms``): vocabulary
+    expansion ranked df desc / term asc under the top-terms budget,
+    scored as a disjunctive BM25 OR. Rounding before the rank cut."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+    from mecab_ko_lucene_analyzer_spark.query.expand import (
+        regexp_expand_terms,
+    )
+
+    idx = _ws_index(spark, sf_dir)
+    terms = regexp_expand_terms(idx.term_stats, REGEXP_PATTERN, EXPANSION_CAP)
+    return (
+        bm25_scored(idx, terms)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PREFIX_K)
+    )
+
+
+def _q_filtered_topk(spark, sf_dir):
+    """ES bool FILTER context (``query/bm25.py::filtered_topk``):
+    BM25_QUERY scored hits restricted to docs with ``n_chars >=
+    FILTER_MIN_CHARS`` — the filter matches but never scores, so
+    surviving docs keep the identical unfiltered scores (the law
+    ``tests`` pin). Semi join BEFORE the top-k cut."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import filtered_topk
+
+    flt = (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") >= FILTER_MIN_CHARS)
+        .select("doc_id")
+    )
+    return filtered_topk(
+        _ws_index(spark, sf_dir), BM25_QUERY, flt, k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_sort_by_field(spark, sf_dir):
+    """ES ``sort``-by-field search (``query/aggs.py::sort_topk``): the
+    top 10 BM25_QUERY-matching docs by ``n_chars`` desc (NULLS LAST,
+    doc_id asc tie-break) — scoring skipped entirely, exactly like ES
+    when ``sort`` replaces ``_score``."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import sort_topk
+
+    return sort_topk(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        k=10,
+    ).select("doc_id", F.col("sort_value").cast("long").alias("sort_value"))
+
+
+def _q_percentiles_agg(spark, sf_dir):
+    """ES ``percentiles`` metric aggregation (``query/aggs.py::
+    percentiles_agg``): exact linear-interpolated percentiles (the
+    ANSI percentile_cont law on both engines) of ``n_chars`` over the
+    BM25_QUERY match set, at the ES default percent list."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import percentiles_agg
+
+    return percentiles_agg(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        percents=PCT_PERCENTS,
+    ).select("pct", F.round("value", 6).alias("value"))
+
+
+def _q_cardinality_agg(spark, sf_dir):
+    """ES ``cardinality`` metric aggregation (``query/aggs.py::
+    cardinality_agg``, exact baseline — the HLL++ scale path is the
+    ``exact=False`` branch): distinct ``documents.source`` values
+    among the BM25_QUERY-matching docs."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import cardinality_agg
+
+    return cardinality_agg(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+    )
+
+
+def _q_histogram_agg(spark, sf_dir):
+    """ES numeric ``histogram`` aggregation (``query/aggs.py::
+    histogram_agg``): BM25_QUERY match counts per ``n_chars`` bucket
+    of width HIST_INTERVAL (``floor(v/interval)*interval``), bucket
+    ascending, empty buckets omitted."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import histogram_agg
+
+    return histogram_agg(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        HIST_INTERVAL,
+    )
+
+
 def _q_facet_terms(spark, sf_dir):
     """ES ``terms`` aggregation (``query/aggs.py::facet_terms``): top
     attribute values (``documents.source``) among the docs matching
@@ -1912,6 +2024,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse_topk,
         "blocklist_stats": _q_blocklist_stats,
         "term_vectors": _q_term_vectors,
+        "regexp_topk": _q_regexp_topk,
+        "filtered_topk": _q_filtered_topk,
+        "sort_by_field": _q_sort_by_field,
+        "percentiles_agg": _q_percentiles_agg,
+        "cardinality_agg": _q_cardinality_agg,
+        "histogram_agg": _q_histogram_agg,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -3164,6 +3282,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, count(*) AS tf,
                    string_agg(p::VARCHAR, ',' ORDER BY p) AS positions_csv
             FROM pos GROUP BY doc_id, term
+        """,
+        # regexp_topk replays the expansion RANKING (full-string RE2
+        # match + df desc / term asc cap) before the shared BM25 sum —
+        # the prefix_topk pattern with regexp_full_match as the
+        # vocabulary predicate.
+        "regexp_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            stats AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+            exp AS (
+                SELECT term FROM stats
+                WHERE regexp_full_match(term, '{REGEXP_PATTERN}')
+                ORDER BY df DESC, term ASC
+                LIMIT {EXPANSION_CAP}
+            )
+            SELECT p.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+                       * p.tf / (p.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM posts p
+            JOIN exp ON p.term = exp.term
+            JOIN stats s ON p.term = s.term
+            JOIN dl ON p.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id ASC
+            LIMIT {PREFIX_K}
+        """,
+        # filtered_topk: the filter is a semi join BEFORE the top-k
+        # cut; scores are the unfiltered BM25 values (filter context
+        # never scores).
+        "filtered_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1)
+            SELECT tfs.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                       * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM tfs
+            JOIN dfs ON tfs.term = dfs.term
+            JOIN dl ON tfs.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            WHERE tfs.doc_id IN (
+                SELECT doc_id FROM documents WHERE n_chars >= {FILTER_MIN_CHARS}
+            )
+            GROUP BY tfs.doc_id
+            ORDER BY score DESC, tfs.doc_id ASC
+            LIMIT 10
+        """,
+        "sort_by_field": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT m.doc_id, d.n_chars AS sort_value
+            FROM matched m LEFT JOIN documents d USING (doc_id)
+            ORDER BY sort_value DESC NULLS LAST, m.doc_id ASC
+            LIMIT 10
+        """,
+        "percentiles_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            vals AS (
+                SELECT d.n_chars::DOUBLE AS v
+                FROM matched m JOIN documents d USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            ),
+            q AS (
+                SELECT quantile_cont(v, [{", ".join(str(p / 100.0) for p in PCT_PERCENTS)}]) AS qs
+                FROM vals
+            )
+            SELECT unnest([{", ".join(str(float(p)) for p in PCT_PERCENTS)}]) AS pct,
+                   round(unnest(qs), 6) AS value
+            FROM q
+            ORDER BY pct
+        """,
+        "cardinality_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT count(DISTINCT d.source)::BIGINT AS cardinality
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.source IS NOT NULL
+        """,
+        "histogram_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT floor(d.n_chars::DOUBLE / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+                   count(*) AS doc_count
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.n_chars IS NOT NULL
+            GROUP BY 1
+            ORDER BY bucket ASC
         """,
         "facet_terms": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -68,6 +68,14 @@ def main() -> None:
         "scored disjunctively (engine.search_fuzzy)",
     )
     group.add_argument(
+        "--regexp-query",
+        metavar="PATTERN",
+        help="regexp retrieval (Lucene RegexpQuery): full-string "
+        "pattern match over the vocabulary (df-desc top-terms "
+        "rewrite, capped at --max-expansions), scored disjunctively "
+        "(engine.search_regexp)",
+    )
+    group.add_argument(
         "--suggest",
         metavar="TERM",
         help="did-you-mean: print the top-k vocabulary terms within "
@@ -264,6 +272,14 @@ def main() -> None:
             k=args.k,
             offset=args.offset,
             max_edits=args.max_edits,
+            max_expansions=args.max_expansions,
+        )
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
+    elif args.regexp_query:
+        hits = engine.search_regexp(
+            args.regexp_query,
+            k=args.k,
+            offset=args.offset,
             max_expansions=args.max_expansions,
         )
         print(json.dumps(hits, ensure_ascii=False, indent=2))

@@ -654,6 +654,23 @@ class SearchEngine:
         ]
         return self._resolve(self._bag_hits(terms, offset + k)[offset:])
 
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        offset: int = 0,
+        max_expansions: int = 50,
+    ) -> list[dict]:
+        """Regexp retrieval (Lucene ``RegexpQuery``): full-string
+        automaton match against the vocabulary (df-desc top-terms
+        rewrite, bounded collect), served disjunctively with the same
+        hot-term routing as :meth:`search_prefix` — a pattern matching
+        a josa-class term must never fetch its blocks to the driver."""
+        from .query.expand import regexp_expand_terms
+
+        terms = regexp_expand_terms(self.term_stats, pattern, max_expansions)
+        return self._resolve(self._bag_hits(terms, offset + k)[offset:])
+
     def _bag_hits(self, terms: list[str], fetch: int) -> list[tuple[int, float]]:
         """Disjunctive bag-of-terms serving with hot-term routing —
         the one evaluation recipe behind search(conjunctive=False),

@@ -38,8 +38,15 @@ __all__ = [
     "facet_terms",
     "date_histogram",
     "stats_agg",
+    "percentiles_agg",
+    "cardinality_agg",
+    "histogram_agg",
+    "sort_topk",
     "collapse_topk",
 ]
+
+#: ES ``percentiles`` default percent set
+DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
 # date_trunc units Spark and ANSI SQL agree on (lowercase canonical)
 _INTERVALS = frozenset(
@@ -135,6 +142,137 @@ def stats_agg(
             F.avg(v).alias("avg"),
             F.sum(v).alias("sum"),
         )
+    )
+
+
+def percentiles_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    percents: tuple[float, ...] = DEFAULT_PERCENTS,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``percentiles`` metric aggregation: ``(pct, value)`` rows —
+    the named percentiles of a numeric attribute over the matching
+    docs (latency/size distribution strips). NULL values are excluded;
+    ``pct`` ascends.
+
+    EXACT percentiles with linear interpolation (the ANSI
+    ``percentile_cont`` law both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` implement) — correct and cross-engine-
+    deterministic, but it materializes the matched value multiset per
+    group. ES itself refuses exactness at scale (t-digest); the 10^12
+    serving path is ``F.approx_percentile`` with an error bound, which
+    this function deliberately is NOT — it is the oracle-checkable
+    baseline the approximate path is judged against."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    v = F.col(attr_col).cast("double")
+    fr = [float(p) / 100.0 for p in percents]
+    one = (
+        docs.join(doc_attrs.select("doc_id", attr_col), "doc_id")
+        .filter(v.isNotNull())
+        .agg(F.percentile(v, F.array(*[F.lit(f) for f in fr])).alias("vals"))
+    )
+    pcts = F.array(*[F.lit(float(p)) for p in percents])
+    return (
+        one.select(
+            F.explode(F.arrays_zip(pcts.alias("pct"), F.col("vals").alias("value"))).alias("z")
+        )
+        .select(F.col("z.pct").alias("pct"), F.col("z.value").alias("value"))
+        .orderBy("pct")
+    )
+
+
+def cardinality_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    min_should_match: int = 0,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ES ``cardinality`` metric aggregation: ONE row
+    ``(cardinality)`` — distinct values of ``attr_col`` among matching
+    docs, NULLs excluded (ES collects values, not docs).
+
+    ``exact=True`` is the oracle-checkable baseline (count-distinct =
+    one extra exchange on the value). ``exact=False`` is the ES-parity
+    scale path — ``approx_count_distinct`` (HyperLogLog++, the same
+    sketch family ES uses) with relative error ``rsd``: partial
+    sketches merge map-side, so the final exchange carries one sketch
+    per partition regardless of cardinality — the 10^12-doc shape."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    vals = docs.join(doc_attrs.select("doc_id", attr_col), "doc_id").filter(
+        F.col(attr_col).isNotNull()
+    )
+    agg = (
+        F.count_distinct(F.col(attr_col))
+        if exact
+        else F.approx_count_distinct(F.col(attr_col), rsd)
+    )
+    return vals.agg(agg.cast("long").alias("cardinality"))
+
+
+def histogram_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    interval: float,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES numeric ``histogram`` aggregation: ``(bucket, doc_count)``
+    — matching docs bucketed by ``floor(value / interval) * interval``
+    (the ES bucket law, correct for negatives too), bucket ascending.
+    NULL values get no bucket; empty buckets are omitted (ES
+    ``min_doc_count: 0`` gap-filling is presentation, exactly as
+    :func:`date_histogram` documents). One hash aggregate over the
+    joined match set — the bucket count is bounded by the value range,
+    never by corpus size."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval!r}")
+    docs = matching_docs(index, query_terms, min_should_match)
+    v = F.col(attr_col).cast("double")
+    bucket = F.floor(v / F.lit(float(interval))) * F.lit(float(interval))
+    return (
+        docs.join(doc_attrs.select("doc_id", attr_col), "doc_id")
+        .filter(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
+def sort_topk(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``sort``-by-field search: the top ``k`` MATCHING docs ordered
+    by an attribute instead of by score — ``(doc_id, sort_value)``.
+    Missing/NULL sort values order LAST in either direction (ES's
+    ``missing: _last`` default), tie-break doc_id asc.
+
+    Plan: match set join attrs, then TakeOrdered — never a global
+    sort; the scoring work BM25 would do is skipped entirely, exactly
+    like ES skips scoring when ``sort`` replaces ``_score``."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    v = F.col("sort_value")
+    order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+    return (
+        docs.join(
+            doc_attrs.select("doc_id", F.col(sort_col).alias("sort_value")),
+            "doc_id",
+            "left",
+        )
+        .orderBy(order, F.asc("doc_id"))
+        .limit(int(k))
     )
 
 

@@ -33,6 +33,7 @@ from ..index.build import InvertedIndex, K1, B
 __all__ = [
     "bm25_scored",
     "bm25_topk",
+    "filtered_topk",
     "bm25_search_after",
     "keyset_page",
     "boosted_bm25_topk",
@@ -130,6 +131,38 @@ def bm25_topk(
         bm25_scored(index, query_terms, k1, b, min_should_match)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def filtered_topk(
+    index: InvertedIndex,
+    query_terms: list[str],
+    filter_docs: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES bool FILTER context: BM25-scored ``query_terms`` hits
+    restricted to docs present in ``filter_docs`` (any ``(doc_id)``
+    relation — a pushed range predicate over crawl metadata, a
+    language cut, a quality tier). Filters match but NEVER score
+    (exactly ES: filter clauses contribute 0 and are cacheable), so
+    the surviving docs keep the identical scores the unfiltered query
+    would give them — tested law.
+
+    Plan shape: the score side is :func:`bm25_scored` (term-pruned
+    scan + one hash agg); the filter applies as a LEFT SEMI join on
+    doc_id BEFORE the top-k cut (a post-cut filter would silently
+    return < k rows). At 10^12 docs the filter side is a pushed-down
+    predicate scan of the metadata table — AQE picks broadcast when
+    the filter is selective, hash otherwise; nothing here forces a
+    plan."""
+    scored = bm25_scored(index, query_terms, k1, b, min_should_match)
+    return (
+        scored.join(filter_docs.select("doc_id"), "doc_id", "semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
     )
 
 

@@ -39,6 +39,8 @@ __all__ = [
     "prefix_topk",
     "fuzzy_expand_terms",
     "fuzzy_topk",
+    "regexp_expand_terms",
+    "regexp_topk",
 ]
 
 
@@ -232,6 +234,57 @@ def fuzzy_topk(
             index.term_stats, term, max_edits, prefix_length, max_expansions
         ).collect()
     ]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return (
+        bm25_scored(index, terms, k1, b)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def regexp_expand_terms(
+    term_stats: DataFrame, pattern: str, max_expansions: int = 50
+) -> list[str]:
+    """Lucene ``RegexpQuery`` term expansion: vocabulary terms whose
+    ENTIRE string matches ``pattern`` — Lucene regexps are implicitly
+    anchored (``RegexpQuery`` compiles to an automaton accepting the
+    full term), so the pattern is wrapped ``^(?:...)$`` before the
+    engine's substring-matching ``rlike``. Ranked df desc / term asc,
+    capped at ``max_expansions`` (the top-terms rewrite budget, the
+    same law as :func:`prefix_expand_terms`).
+
+    Plan: ONE filter pass over the vocabulary (``term_stats`` — orders
+    of magnitude smaller than postings at 10^12 docs; Lucene walks its
+    term dictionary with the automaton, the Spark-first analog is a
+    vocabulary scan) + TakeOrdered; the collect is ≤ ``max_expansions``
+    rows. Callers should stick to the portable regex core (character
+    classes, alternation, quantifiers) — Java-only constructs like
+    backreferences won't transfer to other engines."""
+    ranked = (
+        term_stats.select("term", "df")
+        .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+    )
+    return [r["term"] for r in ranked.collect()]
+
+
+def regexp_topk(
+    index: InvertedIndex,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Regexp retrieval (Lucene ``RegexpQuery``): expand against the
+    vocabulary, score the expansion set as a disjunctive BM25 OR (sum
+    of matching expansion partials per doc — see :func:`prefix_topk`
+    on the scoring-vs-constant-score choice). ``(doc_id, score)``,
+    tie-break score desc / doc_id asc."""
+    spark = index.postings.sparkSession
+    terms = regexp_expand_terms(index.term_stats, pattern, max_expansions)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     return (

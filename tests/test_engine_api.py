@@ -112,6 +112,20 @@ def test_search_prefix_and_fuzzy(engine, spark):
     assert engine.search_prefix("없는접두어", k=5) == []
 
 
+def test_search_regexp_anchored_equals_prefix_expansion(engine):
+    """Regexp serving: '검.*' full-string-matches exactly the terms
+    prefix '검' expands to, so both searches serve the identical
+    ranking; a pattern matching no vocabulary term returns []."""
+    rx = engine.search_regexp("검.*", k=10)
+    px = engine.search_prefix("검", k=10)
+    assert [(h["doc_id"], h["score"]) for h in rx] == [
+        (h["doc_id"], h["score"]) for h in px
+    ]
+    # anchoring: a mid-string fragment must NOT match like a substring
+    assert engine.search_regexp("색", k=5) == []
+    assert engine.search_regexp("zz+", k=5) == []
+
+
 def test_search_after_walks_the_offset_ranking(engine):
     """Keyset paging reproduces offset paging's ranking without the
     O(depth) fetch: cursoring from page 1's last hit returns exactly

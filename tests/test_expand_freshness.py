@@ -19,6 +19,7 @@ from mecab_ko_lucene_analyzer_spark.query.bm25 import (
     bm25_scored,
     bm25_search_after,
     bm25_topk,
+    filtered_topk,
     keyset_page,
 )
 from mecab_ko_lucene_analyzer_spark.query.expand import (
@@ -479,3 +480,65 @@ def test_prefix_and_fuzzy_topk_score_disjunctive_sum(spark):
     # no expansion -> empty result, not an error
     assert prefix_topk(idx, "zz", k=5).collect() == []
     assert fuzzy_topk(idx, "zzzzzz", k=5, max_edits=1).collect() == []
+
+
+# --------------------------------------------------------------------------
+# regexp retrieval (Lucene RegexpQuery)
+# --------------------------------------------------------------------------
+
+
+def test_regexp_expand_full_string_anchored(spark):
+    """Lucene regexps are implicitly anchored: 'spark?' matches spar-
+    less terms never — only full-string matches qualify ('spark' and
+    the hypothetical 'spar'), NOT 'sparkle'/'sparky' (substring hits)."""
+    from mecab_ko_lucene_analyzer_spark.query.expand import (
+        regexp_expand_terms,
+    )
+
+    idx = _vocab_index(spark)
+    assert regexp_expand_terms(idx.term_stats, "spark?") == ["spark"]
+    # alternation + class, ranked df desc then term asc
+    assert regexp_expand_terms(idx.term_stats, "s(hark|tark)|sql") == [
+        "sql", "shark", "stark"
+    ]
+    # max_expansions cuts AFTER ranking
+    assert regexp_expand_terms(idx.term_stats, "s.*", 2) == ["sql", "spark"]
+    assert regexp_expand_terms(idx.term_stats, "zz+") == []
+
+
+def test_regexp_topk_scores_expansion_disjunctively(spark):
+    """regexp_topk == bm25_scored over the expansion set, top-k cut."""
+    from mecab_ko_lucene_analyzer_spark.query.expand import regexp_topk
+
+    idx = _hand_index(spark)
+    got = [(r.doc_id, r.score) for r in regexp_topk(idx, "[ab]", k=10).collect()]
+    want = (
+        bm25_scored(idx, ["a", "b"])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    )
+    assert got == [(r.doc_id, r.score) for r in want]
+    assert regexp_topk(idx, "zz+", k=5).collect() == []
+
+
+def test_filtered_topk_keeps_unfiltered_scores(spark):
+    """ES filter context: filters match but never score — surviving
+    docs keep the identical scores the unfiltered query gives them,
+    and the filter applies BEFORE the top-k cut (k rows still fill
+    from deeper ranks)."""
+    idx = _hand_index(spark)
+    flt = spark.createDataFrame([(2,), (3,), (99,)], "doc_id long")
+    got = [(r.doc_id, r.score) for r in filtered_topk(idx, ["a", "b"], flt, k=10).collect()]
+    unfiltered = {
+        r.doc_id: r.score for r in bm25_scored(idx, ["a", "b"]).collect()
+    }
+    assert [d for d, _ in got] == [2, 3]  # rank order preserved
+    for d, s in got:
+        assert s == unfiltered[d]
+    # pre-cut law: k=1 returns the best SURVIVING doc, not an empty cut
+    top1 = filtered_topk(idx, ["a", "b"], flt, k=1).collect()
+    assert [(r.doc_id) for r in top1] == [2]
+    # empty filter side -> no hits; empty query -> empty relation
+    none = spark.createDataFrame([], "doc_id long")
+    assert filtered_topk(idx, ["a", "b"], none, k=5).collect() == []
+    assert filtered_topk(idx, [], flt, k=5).collect() == []

@@ -63,6 +63,20 @@ SHUFFLE_CEILING = {
     # stats' 2 = the postings/matched aggs; the global stats row is a
     # partial-combined single-row gather
     "stats_agg": 2,
+    # regexp/filtered ride the bm25_scored chain (5 = tokenize→postings
+    # agg + stats aggs + per-doc score agg; the regexp's vocabulary
+    # probe and the filter's semi join both broadcast at sf)
+    "regexp_topk": 5,
+    "filtered_topk": 5,
+    # sort-by-field: ONE matched-docs agg, then TakeOrdered (scoring
+    # skipped — no score agg at all); the attr join broadcasts
+    "sort_by_field": 1,
+    # percentiles: matched agg + the single-row exact-percentile
+    # gather (the documented non-scale baseline; HLL/approx is the
+    # scale path); cardinality/histogram add their value agg
+    "percentiles_agg": 2,
+    "cardinality_agg": 3,
+    "histogram_agg": 3,
     # hybrid RRF: the bm25_scored agg chain (as explain's 4) + the
     # cosine side's one per-query top-k agg + the fused-contribs agg;
     # both rank windows run over <= n_candidates rows by contract

@@ -196,3 +196,98 @@ def test_stats_agg_no_matches(spark):
     row = stats_agg(idx, ["zzz"], _nums(spark), "price").collect()[0]
     assert row["count"] == 0
     assert row["min"] is None and row["sum"] is None
+
+
+# --------------------------------------------------------------------------
+# percentiles / cardinality / histogram / sort (session 15)
+# --------------------------------------------------------------------------
+
+
+def _nums2(spark):
+    # doc3 NULL value; doc6 not matched by any query term
+    return spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40), (5, 50), (6, 999)],
+        "doc_id long, n long",
+    )
+
+
+def test_percentiles_linear_interpolation(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import percentiles_agg
+
+    idx = _hand_index(spark)
+    # matched docs for a|b = {1,2,3,5}; values {10,20,50} (doc3 NULL)
+    rows = percentiles_agg(
+        idx, ["a", "b"], _nums2(spark), "n", percents=(0.0, 50.0, 75.0, 100.0)
+    ).collect()
+    got = {r["pct"]: r["value"] for r in rows}
+    # percentile_cont law over sorted [10,20,50]: rank = p*(n-1)
+    assert got[0.0] == 10.0
+    assert got[50.0] == 20.0
+    assert got[75.0] == pytest.approx(35.0)  # 20 + 0.5*(50-20)
+    assert got[100.0] == 50.0
+    assert [r["pct"] for r in rows] == [0.0, 50.0, 75.0, 100.0]
+
+
+def test_cardinality_exact_and_approx(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import cardinality_agg
+
+    idx = _hand_index(spark)
+    attrs = _attrs(spark)  # 1 news, 2 blog, 3 news, 4 shop, 5 NULL
+    [r] = cardinality_agg(idx, ["a", "b"], attrs, "source").collect()
+    assert r["cardinality"] == 2  # news + blog (doc4 unmatched, 5 NULL)
+    # HLL path: tiny sets are exact under the sketch too
+    [ra] = cardinality_agg(
+        idx, ["a", "b"], attrs, "source", exact=False
+    ).collect()
+    assert ra["cardinality"] == 2
+    [empty] = cardinality_agg(idx, [], attrs, "source").collect()
+    assert empty["cardinality"] == 0
+
+
+def test_histogram_bucket_law(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import histogram_agg
+
+    idx = _hand_index(spark)
+    rows = histogram_agg(idx, ["a", "b"], _nums2(spark), "n", 15.0).collect()
+    # values {10,20,50} -> buckets 0, 15, 45; NULL gets none
+    assert [(r["bucket"], r["doc_count"]) for r in rows] == [
+        (0.0, 1), (15.0, 1), (45.0, 1)
+    ]
+    with pytest.raises(ValueError):
+        histogram_agg(idx, ["a"], _nums2(spark), "n", 0)
+
+
+def test_histogram_negative_values_floor(spark):
+    """ES bucket law floor(v/interval)*interval is correct for
+    negatives (rounds toward -inf, not toward zero)."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import histogram_agg
+
+    idx = _hand_index(spark)
+    neg = spark.createDataFrame(
+        [(1, -1), (2, -20), (3, 5), (5, 14)], "doc_id long, n long"
+    )
+    rows = histogram_agg(idx, ["a", "b"], neg, "n", 10.0).collect()
+    assert [(r["bucket"], r["doc_count"]) for r in rows] == [
+        (-20.0, 1), (-10.0, 1), (0.0, 1), (10.0, 1)
+    ]
+
+
+def test_sort_topk_order_nulls_last_and_ties(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import sort_topk
+
+    idx = _hand_index(spark)
+    attrs = spark.createDataFrame(
+        [(1, 20), (2, 20), (3, None), (5, 50)], "doc_id long, n long"
+    )
+    rows = sort_topk(idx, ["a", "b"], attrs, "n", k=10).collect()
+    # desc: 50, then the 20-tie breaks doc_id asc, NULL last
+    assert [(r["doc_id"], r["sort_value"]) for r in rows] == [
+        (5, 50), (1, 20), (2, 20), (3, None)
+    ]
+    up = sort_topk(idx, ["a", "b"], attrs, "n", k=10, ascending=True).collect()
+    assert [r["doc_id"] for r in up] == [1, 2, 5, 3]  # NULL still last
+    # missing attr row behaves like NULL (left join), k cuts
+    rows2 = sort_topk(
+        idx, ["a", "b"], attrs.filter("doc_id != 3"), "n", k=2
+    ).collect()
+    assert [r["doc_id"] for r in rows2] == [5, 1]
