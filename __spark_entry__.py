@@ -1220,6 +1220,81 @@ def _q_histogram_agg(spark, sf_dir):
     )
 
 
+SIGTERMS_K = 10
+TOPHITS_BUCKETS = 5
+TOPHITS_SIZE = 3
+RESCORE_WINDOW = 50
+RESCORE_WEIGHT = 1.0
+
+
+def _q_significant_terms(spark, sf_dir):
+    """ES ``significant_terms`` (``query/aggs.py::significant_terms``,
+    JLH score): the terms most distinctive of the BM25_QUERY match set
+    vs the corpus, query terms excluded. The JLH arithmetic runs in
+    the same expression order on both engines (IEEE-deterministic);
+    the output rounds to 6."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import significant_terms
+
+    return significant_terms(
+        _ws_index(spark, sf_dir), BM25_QUERY, k=SIGTERMS_K
+    ).select("term", "fg_df", "bg_df", F.round("score", 6).alias("score"))
+
+
+def _q_top_hits(spark, sf_dir):
+    """ES ``terms`` + ``top_hits`` sub-aggregation (``query/aggs.py::
+    top_hits_agg``): the top TOPHITS_BUCKETS ``documents.source``
+    buckets by match count, each carrying its TOPHITS_SIZE best hits
+    by (pre-rounded) BM25 score."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import top_hits_agg
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+
+    idx = _ws_index(spark, sf_dir)
+    scored = bm25_scored(idx, BM25_QUERY).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    return top_hits_agg(
+        idx,
+        BM25_QUERY,
+        scored,
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+        k_buckets=TOPHITS_BUCKETS,
+        size=TOPHITS_SIZE,
+    )
+
+
+def _q_rescore_topk(spark, sf_dir):
+    """ES ``rescore`` with a proximity query (``query/rescore.py::
+    proximity_rescore``): the BM25_QUERY top-RESCORE_WINDOW window
+    re-ranked by ``score + 1/(1 + min distinct-term position gap)``
+    (score_mode total). Both engines window on the pre-rounded base
+    score and round the rescored figure to 6."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+    from mecab_ko_lucene_analyzer_spark.query.rescore import (
+        proximity_rescore,
+    )
+
+    idx = _ws_index(spark, sf_dir)
+    scored = bm25_scored(idx, BM25_QUERY).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("pos", "term"),
+    )
+    return proximity_rescore(
+        scored,
+        toks,
+        BM25_QUERY,
+        k=10,
+        window=RESCORE_WINDOW,
+        weight=RESCORE_WEIGHT,
+        round_digits=6,
+    )
+
+
 def _q_facet_terms(spark, sf_dir):
     """ES ``terms`` aggregation (``query/aggs.py::facet_terms``): top
     attribute values (``documents.source``) among the docs matching
@@ -2026,6 +2101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": _q_term_vectors,
         "regexp_topk": _q_regexp_topk,
         "filtered_topk": _q_filtered_topk,
+        "significant_terms": _q_significant_terms,
+        "top_hits": _q_top_hits,
+        "rescore_topk": _q_rescore_topk,
         "sort_by_field": _q_sort_by_field,
         "percentiles_agg": _q_percentiles_agg,
         "cardinality_agg": _q_cardinality_agg,
@@ -3340,6 +3418,143 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY tfs.doc_id
             ORDER BY score DESC, tfs.doc_id ASC
+            LIMIT 10
+        """,
+        # significant_terms: JLH arithmetic in the SAME expression
+        # order as the Spark side ((fg-bg)*(fg/bg), all IEEE doubles
+        # from identical integer inputs) — bit-identical pre-rounding.
+        "significant_terms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT DISTINCT term, doc_id FROM toks),
+            stats AS (SELECT term, count(*) AS df FROM posts GROUP BY 1),
+            corpus AS (
+                SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM toks
+            ),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            fg AS (
+                SELECT p.term, count(*) AS fg_df
+                FROM posts p JOIN matched m USING (doc_id)
+                WHERE p.term NOT IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1
+            ),
+            sizes AS (SELECT count(*)::DOUBLE AS fg_size FROM matched)
+            SELECT fg.term,
+                   fg.fg_df::BIGINT AS fg_df,
+                   s.df::BIGINT AS bg_df,
+                   round(
+                       (fg.fg_df / sizes.fg_size - s.df / corpus.n_docs)
+                       * ((fg.fg_df / sizes.fg_size) / (s.df / corpus.n_docs))
+                   , 6) AS score
+            FROM fg
+            JOIN stats s ON fg.term = s.term
+            CROSS JOIN sizes CROSS JOIN corpus
+            ORDER BY (fg.fg_df / sizes.fg_size - s.df / corpus.n_docs)
+                     * ((fg.fg_df / sizes.fg_size) / (s.df / corpus.n_docs))
+                     DESC, fg.term ASC
+            LIMIT {SIGTERMS_K}
+        """,
+        "top_hits": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            bm25 AS (
+                SELECT tfs.doc_id,
+                       round(sum(
+                           ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                       ), 6) AS score
+                FROM tfs
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN corpus
+                GROUP BY tfs.doc_id
+            ),
+            buckets AS (
+                SELECT d.source AS value, count(*) AS doc_count
+                FROM bm25 b JOIN documents d USING (doc_id)
+                WHERE d.source IS NOT NULL
+                GROUP BY 1
+                ORDER BY doc_count DESC, value ASC
+                LIMIT {TOPHITS_BUCKETS}
+            ),
+            ranked AS (
+                SELECT d.source AS value, b.doc_id, b.score,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY b.score DESC, b.doc_id ASC) AS hit_rank
+                FROM bm25 b JOIN documents d USING (doc_id)
+                WHERE d.source IN (SELECT value FROM buckets)
+            )
+            SELECT r.value, k.doc_count, r.hit_rank, r.doc_id, r.score
+            FROM ranked r JOIN buckets k ON r.value = k.value
+            WHERE r.hit_rank <= {TOPHITS_SIZE}
+            ORDER BY k.doc_count DESC, r.value ASC, r.hit_rank ASC
+        """,
+        # rescore_topk: window on the ROUNDED base score (both engines
+        # agree on the window membership and order), then add the
+        # proximity bonus and round the final figure.
+        "rescore_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            bm25 AS (
+                SELECT tfs.doc_id,
+                       round(sum(
+                           ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                       ), 6) AS score
+                FROM tfs
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN corpus
+                GROUP BY tfs.doc_id
+            ),
+            win AS (
+                SELECT doc_id, score,
+                       row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) AS rn
+                FROM bm25 QUALIFY rn <= {RESCORE_WINDOW}
+            ),
+            pos AS (
+                SELECT t.doc_id, p.term,
+                       p.pos - 1 AS pos
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS term,
+                           generate_subscripts(list_filter(
+                               string_split(text, ' '), x -> x <> ''), 1) AS pos
+                    FROM documents
+                ) p
+                JOIN win t USING (doc_id)
+                WHERE p.term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            dist AS (
+                SELECT l.doc_id, min(abs(l.pos - r.pos)) AS min_dist
+                FROM pos l JOIN pos r
+                  ON l.doc_id = r.doc_id AND l.term < r.term
+                GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   round(w.score + coalesce(
+                       {RESCORE_WEIGHT} / (1.0 + d.min_dist), 0.0), 6) AS score
+            FROM win w LEFT JOIN dist d USING (doc_id)
+            ORDER BY score DESC, w.doc_id ASC
             LIMIT 10
         """,
         "sort_by_field": f"""

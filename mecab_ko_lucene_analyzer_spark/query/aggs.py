@@ -43,6 +43,8 @@ __all__ = [
     "histogram_agg",
     "sort_topk",
     "collapse_topk",
+    "significant_terms",
+    "top_hits_agg",
 ]
 
 #: ES ``percentiles`` default percent set
@@ -360,4 +362,124 @@ def date_histogram(
         .groupBy(F.date_trunc(iv, F.col("_ts")).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy(F.asc("bucket"))
+    )
+
+
+def significant_terms(
+    index: InvertedIndex,
+    query_terms: list[str],
+    k: int = 10,
+    min_doc_count: int = 1,
+    min_should_match: int = 0,
+    exclude_query_terms: bool = True,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation: the vocabulary terms most
+    DISTINCTIVE of the matched doc set vs the whole corpus, scored
+    with ES's JLH heuristic::
+
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        fg_pct = fg_df / |matched docs|,  bg_pct = df / n_docs
+
+    Returns ``(term, fg_df, bg_df, score)`` ranked score desc / term
+    asc — "what words describe THESE results?" (topic mining over a
+    match set; the training-pipeline use is cluster/domain labeling).
+    Terms below ``min_doc_count`` foreground docs are dropped (the ES
+    noise knob); the query terms themselves are excluded by default
+    (they trivially top the ranking — fg_pct is 1.0-ish by
+    construction; pass ``exclude_query_terms=False`` for raw ES
+    behavior, which returns them and lets the client filter).
+
+    Plan shape: ONE semi join of postings against the matched-doc set
+    (AQE broadcasts when the match set is small, hash otherwise) + one
+    term hash aggregate, then a broadcast of the two scalar sizes into
+    the score projection and TakeOrdered. The postings side is NOT
+    term-pruned — significance needs every term in the matched docs —
+    so the scan is proportional to the match set's token volume, never
+    to the corpus; at 10^12 docs ES itself bounds this with shard
+    sampling (``sample`` agg), the same cut a caller applies here by
+    passing a sampled match set."""
+    spark = index.postings.sparkSession
+    matched = matching_docs(index, query_terms, min_should_match)
+    fg_size = matched.count()
+    if fg_size == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+    corpus = index.corpus_stats.first()
+    n_docs = corpus["n_docs"]
+    fg = (
+        index.postings.join(matched, "doc_id", "semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    if min_doc_count > 1:
+        fg = fg.filter(F.col("fg_df") >= int(min_doc_count))
+    if exclude_query_terms and query_terms:
+        fg = fg.filter(~F.col("term").isin(list(set(query_terms))))
+    joined = fg.join(F.broadcast(index.term_stats.select("term", "df")), "term")
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_size))
+    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        joined.select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("bg_df"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def top_hits_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    scored: DataFrame,
+    doc_attrs: DataFrame,
+    attr_col: str,
+    k_buckets: int = 5,
+    size: int = 3,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+    the top ``k_buckets`` attribute values by matching-doc count, each
+    carrying its ``size`` best hits by score. Returns
+    ``(value, doc_count, hit_rank, doc_id, score)`` — bucket order
+    doc_count desc / value asc (the :func:`facet_terms` law), hits
+    within a bucket score desc / doc_id asc, ``hit_rank`` 1-based.
+
+    ``scored`` is any ``(doc_id, score)`` relation for the SAME query
+    (pass a pre-rounded score column for cross-engine-deterministic
+    ranks). Plan shape: the facet's two aggs pick the buckets (tiny —
+    broadcast back), then ONE per-bucket window over the scored match
+    set restricted to those buckets; grouped top-k, never a global
+    sort."""
+    from pyspark.sql import Window
+
+    buckets = facet_terms(
+        index, query_terms, doc_attrs, attr_col, k=k_buckets,
+        min_should_match=min_should_match,
+    )
+    hits = (
+        scored.join(doc_attrs.select("doc_id", attr_col), "doc_id")
+        .join(
+            F.broadcast(buckets.withColumnRenamed("value", attr_col)),
+            attr_col,
+        )
+    )
+    w = Window.partitionBy(attr_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= int(size))
+        .select(
+            F.col(attr_col).alias("value"),
+            "doc_count",
+            "hit_rank",
+            "doc_id",
+            "score",
+        )
+        .orderBy(
+            F.desc("doc_count"), F.asc("value"), F.asc("hit_rank")
+        )
     )

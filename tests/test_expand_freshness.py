@@ -542,3 +542,62 @@ def test_filtered_topk_keeps_unfiltered_scores(spark):
     none = spark.createDataFrame([], "doc_id long")
     assert filtered_topk(idx, ["a", "b"], none, k=5).collect() == []
     assert filtered_topk(idx, [], flt, k=5).collect() == []
+
+
+# --------------------------------------------------------------------------
+# proximity rescore (ES rescore window)
+# --------------------------------------------------------------------------
+
+
+def _rescore_tokens(spark):
+    # doc1: a ... b far apart (gap 3); doc2: a b adjacent (gap 1);
+    # doc3: only a (no pair); doc4: b only
+    return spark.createDataFrame(
+        [
+            (1, 0, "a"), (1, 1, "x"), (1, 2, "x"), (1, 3, "b"),
+            (2, 0, "a"), (2, 1, "b"), (2, 2, "x"),
+            (3, 0, "a"), (3, 1, "x"),
+            (4, 0, "b"),
+        ],
+        "doc_id long, pos int, term string",
+    )
+
+
+def test_min_pair_distance_hand_model(spark):
+    from mecab_ko_lucene_analyzer_spark.query.rescore import (
+        min_pair_distance,
+    )
+
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in min_pair_distance(
+            _rescore_tokens(spark), ["a", "b"]
+        ).collect()
+    }
+    # docs with <2 distinct query terms emit no row
+    assert got == {1: 3, 2: 1}
+
+
+def test_proximity_rescore_reranks_within_window(spark):
+    """doc1 leads on base score but doc2's adjacent pair out-boosts
+    it: 0.5+1/2 > 0.6+1/4. Docs without a pair keep their base score;
+    the window bounds which docs are rescored at all."""
+    from mecab_ko_lucene_analyzer_spark.query.rescore import (
+        proximity_rescore,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 0.6), (2, 0.5), (3, 0.4), (4, 0.3)], "doc_id long, score double"
+    )
+    toks = _rescore_tokens(spark)
+    rows = proximity_rescore(scored, toks, ["a", "b"], k=4, window=4).collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    assert got[0] == (2, pytest.approx(1.0))
+    assert got[1] == (1, pytest.approx(0.85))
+    assert got[2:] == [(3, 0.4), (4, 0.3)]
+    # window=2: docs 3/4 fall outside and are not returned at all
+    win2 = proximity_rescore(scored, toks, ["a", "b"], k=4, window=2).collect()
+    assert [r["doc_id"] for r in win2] == [2, 1]
+    # empty scored relation
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    assert proximity_rescore(empty, toks, ["a", "b"], k=3).collect() == []

@@ -77,6 +77,18 @@ SHUFFLE_CEILING = {
     "percentiles_agg": 2,
     "cardinality_agg": 3,
     "histogram_agg": 3,
+    # significance needs every term in the matched docs: the 5 = the
+    # matched-docs agg + the un-pruned postings agg + the semi join's
+    # exchanges (ES bounds this with shard sampling at scale; callers
+    # pass a sampled match set — see the docstring)
+    "significant_terms": 5,
+    # buckets (facet, tiny, broadcast back) + the scored chain + ONE
+    # per-bucket window exchange — grouped top-k, never a global sort
+    "top_hits": 9,
+    # the rescore window re-enters as a ≤50-row literal relation (the
+    # bounded ES window fetch): the 2 = the windowed scorer's own
+    # TakeOrdered feed + the min-dist pair agg over the id-pruned scan
+    "rescore_topk": 2,
     # hybrid RRF: the bm25_scored agg chain (as explain's 4) + the
     # cosine side's one per-query top-k agg + the fused-contribs agg;
     # both rank windows run over <= n_candidates rows by contract

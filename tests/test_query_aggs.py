@@ -291,3 +291,81 @@ def test_sort_topk_order_nulls_last_and_ties(spark):
         idx, ["a", "b"], attrs.filter("doc_id != 3"), "n", k=2
     ).collect()
     assert [r["doc_id"] for r in rows2] == [5, 1]
+
+
+# --------------------------------------------------------------------------
+# significant_terms / top_hits (session 15)
+# --------------------------------------------------------------------------
+
+
+def _sig_index(spark):
+    """_hand_index plus term d in docs 1,2 (df 2) for significance."""
+    postings = spark.createDataFrame(
+        [
+            ("a", 1, 2), ("a", 2, 1), ("a", 3, 1),
+            ("b", 2, 2), ("b", 3, 1), ("b", 5, 1),
+            ("c", 3, 2), ("c", 4, 4),
+            ("d", 1, 1), ("d", 2, 1),
+        ],
+        "term string, doc_id long, tf long",
+    )
+    term_stats = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 2), ("d", 2)], "term string, df long"
+    )
+    doc_stats = spark.createDataFrame(
+        [(i, 4) for i in (1, 2, 3, 4, 5)], "doc_id long, doc_len long"
+    )
+    corpus = spark.createDataFrame([(5, 4.0)], "n_docs long, avgdl double")
+    return InvertedIndex(postings, term_stats, doc_stats, corpus)
+
+
+def test_significant_terms_jlh_hand_model(spark):
+    """Query 'a' matches {1,2,3}; term d sits in 2/3 foreground vs 2/5
+    corpus -> JLH (2/3-2/5)*(2/3 / 2/5) = 4/9; b scores lower, c is
+    anti-correlated (negative); the query term itself is excluded."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import significant_terms
+
+    idx = _sig_index(spark)
+    rows = significant_terms(idx, ["a"], k=10).collect()
+    got = {r["term"]: r for r in rows}
+    assert set(got) == {"b", "c", "d"}
+    assert got["d"]["score"] == pytest.approx(4.0 / 9.0, rel=1e-12)
+    assert (got["d"]["fg_df"], got["d"]["bg_df"]) == (2, 2)
+    assert got["c"]["score"] < 0 < got["b"]["score"] < got["d"]["score"]
+    assert [r["term"] for r in rows] == ["d", "b", "c"]  # score desc
+    # raw ES behavior keeps the query term (and it ranks first)
+    raw = significant_terms(idx, ["a"], k=10, exclude_query_terms=False)
+    assert raw.first()["term"] == "a"
+    # min_doc_count prunes the foreground tail
+    pruned = significant_terms(idx, ["a"], k=10, min_doc_count=2).collect()
+    assert {r["term"] for r in pruned} == {"b", "d"}
+    # empty match set -> empty relation
+    assert significant_terms(idx, ["zzz"], k=5).collect() == []
+
+
+def test_top_hits_buckets_and_ranks(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import top_hits_agg
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+    import pyspark.sql.functions as F
+
+    idx = _sig_index(spark)
+    attrs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "x")],
+        "doc_id long, source string",
+    )
+    scored = bm25_scored(idx, ["a", "b"]).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    rows = top_hits_agg(
+        idx, ["a", "b"], scored, attrs, "source", k_buckets=2, size=2
+    ).collect()
+    # bucket x: matched {1,2,5} count 3, top-2 hits 2 then 1;
+    # bucket y: matched {3} count 1
+    assert [
+        (r["value"], r["doc_count"], r["hit_rank"], r["doc_id"]) for r in rows
+    ] == [("x", 3, 1, 2), ("x", 3, 2, 1), ("y", 1, 1, 3)]
+    # size=1 cuts within buckets, k_buckets=1 keeps only the top bucket
+    one = top_hits_agg(
+        idx, ["a", "b"], scored, attrs, "source", k_buckets=1, size=1
+    ).collect()
+    assert [(r["value"], r["doc_id"]) for r in one] == [("x", 2)]
