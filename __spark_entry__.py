@@ -1295,6 +1295,79 @@ def _q_rescore_topk(spark, sf_dir):
     )
 
 
+#: percolator stored queries: all-high-df AND, mixed AND (with the
+#: rare planted-dup marker), single-term, and an msm=2 disjunction —
+#: the four match-shape classes.
+PERCOLATE_QUERIES = [
+    (0, ["spark", "query"]),
+    (1, ["dup", "data"]),
+    (2, ["slow"]),
+    (3, ["scan", "merge", "vector"]),
+]
+PERCOLATE_MSM = 2
+CHUNK_MAX_TOKENS = 40
+CHUNK_STRIDE = 30
+WSAMPLE_SCALE = 1000.0
+
+
+def _q_percolate(spark, sf_dir):
+    """Percolator / reverse search (``query/percolate.py``): stored
+    queries 0-2 match conjunctively (ALL terms present), query 3 via
+    ``min_should_match=2`` — both modes unioned, tagged by mode. The
+    stored-query table broadcasts; the doc side is one distinct-token
+    projection + one hash aggregate."""
+    from mecab_ko_lucene_analyzer_spark.query.percolate import percolate
+
+    toks = _tokens(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        PERCOLATE_QUERIES[:3], "query_id long, terms array<string>"
+    )
+    qdf_msm = spark.createDataFrame(
+        PERCOLATE_QUERIES[3:], "query_id long, terms array<string>"
+    )
+    conj = percolate(toks, qdf).withColumn("mode", F.lit("and"))
+    msm = percolate(toks, qdf_msm, min_should_match=PERCOLATE_MSM).withColumn(
+        "mode", F.lit("msm")
+    )
+    return conj.unionByName(msm).select(
+        "doc_id", "query_id", F.col("n_matched").cast("long").alias("n_matched"), "mode"
+    )
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic importance sampling (``functions/text.py::
+    weighted_sample``): keep probability = clamp(n_chars/1000, 0, 1)
+    — longer pages kept proportionally more often; md5-hash acceptance
+    identical on both engines."""
+    from mecab_ko_lucene_analyzer_spark.functions.text import (
+        weighted_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(
+        docs, F.col("n_chars") / WSAMPLE_SCALE
+    ).select("doc_id")
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (``functions/text.py::chunk_documents``):
+    CHUNK_MAX_TOKENS-token windows every CHUNK_STRIDE tokens
+    (overlapping — long-context training prep); final window short,
+    empty docs emit nothing."""
+    from mecab_ko_lucene_analyzer_spark.functions.text import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        _docs(spark, sf_dir), CHUNK_MAX_TOKENS, CHUNK_STRIDE
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
 def _q_facet_terms(spark, sf_dir):
     """ES ``terms`` aggregation (``query/aggs.py::facet_terms``): top
     attribute values (``documents.source``) among the docs matching
@@ -2104,6 +2177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "top_hits": _q_top_hits,
         "rescore_topk": _q_rescore_topk,
+        "percolate": _q_percolate,
+        "weighted_sample": _q_weighted_sample,
+        "chunk_documents": _q_chunk_documents,
         "sort_by_field": _q_sort_by_field,
         "percentiles_agg": _q_percentiles_agg,
         "cardinality_agg": _q_cardinality_agg,
@@ -3873,6 +3949,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_md5h64_sql("'sample-42-' || CAST(doc_id AS VARCHAR)")} % 1000000
                   < CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5
                               ELSE 0.1 END * 1000000
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE {_md5h64_sql("'wsample-42-' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < greatest(least(n_chars / {WSAMPLE_SCALE}, 1.0), 0.0)
+                    * 1000000
+        """,
+        # percolate: conjunctive queries 0-2 (all DISTINCT terms
+        # present) + the msm=2 disjunction for query 3, tagged by mode
+        "percolate": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dtoks AS (SELECT DISTINCT doc_id, term FROM toks),
+            q AS (
+                SELECT * FROM (VALUES
+                    {", ".join(f"({qid}, {sorted(set(ts))!r}, {len(set(ts))}, '{'msm' if qid == 3 else 'and'}')" for qid, ts in PERCOLATE_QUERIES)}
+                ) AS v(query_id, terms, n_terms, mode)
+            ),
+            qterms AS (
+                SELECT query_id, n_terms, mode, unnest(terms) AS term FROM q
+            ),
+            hits AS (
+                SELECT d.doc_id, s.query_id, s.n_terms, s.mode,
+                       count(*) AS n_matched
+                FROM dtoks d JOIN qterms s USING (term)
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_id, query_id::BIGINT AS query_id,
+                   n_matched::BIGINT AS n_matched, mode
+            FROM hits
+            WHERE (mode = 'and' AND n_matched = n_terms)
+               OR (mode = 'msm' AND n_matched >= {PERCOLATE_MSM})
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+                FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   (s // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+                   len(toks[s + 1 : s + {CHUNK_MAX_TOKENS}])::BIGINT AS n_tokens,
+                   array_to_string(toks[s + 1 : s + {CHUNK_MAX_TOKENS}], ' ')
+                       AS chunk_text
+            FROM starts
         """,
         "multimodal_features": """
             SELECT doc_id, 'image' AS media_type,

@@ -19,6 +19,8 @@ __all__ = [
     "predicted_lang",
     "fingerprint",
     "stratified_sample",
+    "weighted_sample",
+    "chunk_documents",
     "term_vectors",
     "EN_STOPWORDS",
 ]
@@ -172,3 +174,74 @@ def stratified_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(stratum) == value, F.lit(f)).otherwise(frac)
     return docs.filter(bucket < frac * 1_000_000)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability ``clamp(weight, 0, 1)`` — the quality-weighted corpus
+    cut of a training pipeline (keep high-quality pages always, noisy
+    pages proportionally; Brown/CCNet-style quality-bucket mixing is
+    this with a bucketed weight expression).
+
+    Same machinery as :func:`stratified_sample`: the keep decision is
+    a pure function of (seed, doc id) via the md5-derived 60-bit hash
+    reduced mod 1e6 — reruns, retries, and repartitionings select the
+    SAME rows, and the oracle replays it exactly. A weight >= 1 keeps
+    the row unconditionally; <= 0 always drops. Narrow filter — zero
+    shuffle at any scale."""
+    from .hashing import md5_h64
+
+    bucket = md5_h64(
+        F.concat(F.lit(f"wsample-{seed}-"), F.col(id_col).cast("string"))
+    ) % F.lit(1_000_000)
+    p = F.greatest(F.least(weight.cast("double"), F.lit(1.0)), F.lit(0.0))
+    return docs.filter(bucket < p * 1_000_000)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    text: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking — the context-window prep step of an
+    LLM training pipeline: split each doc's token sequence into
+    windows of ``max_tokens`` tokens starting every ``stride`` tokens
+    (``stride < max_tokens`` = overlapping windows for long-context
+    training; ``stride == max_tokens``, the default, = disjoint
+    packing). Returns ``(doc_id, chunk_id, n_tokens, chunk_text)``
+    with ``chunk_id`` 0-based per doc; the final window may be short;
+    empty docs emit nothing.
+
+    Plan: one generate+slice projection over the token array and one
+    posexplode — per-row map work, zero shuffle, no Python. At 100 TB
+    this is the shape that matters: chunking must not cost more than
+    the tokenize pass it rides."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens!r}")
+    step = int(stride) if stride is not None else int(max_tokens)
+    if step <= 0:
+        raise ValueError(f"stride must be positive, got {stride!r}")
+    toks = whitespace_tokens(text)
+    # starts 0, step, 2*step, ... strictly below the token count
+    starts = F.sequence(
+        F.lit(0), F.size(toks) - F.lit(1), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + F.lit(1), F.lit(int(max_tokens)))
+    )
+    return (
+        docs.filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "_toks"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_toks").alias("n_tokens"),
+            F.array_join("_toks", " ").alias("chunk_text"),
+        )
+    )

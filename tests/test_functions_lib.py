@@ -568,3 +568,116 @@ def test_curate_null_and_empty_text_docs_all_survive(spark):
         for r in curate(docs, dedup="jaccard", hash_impl="xxhash64").collect()
     }
     assert kept_j == {0, 2, 3, 4, 5, 6}
+
+
+# --------------------------------------------------------------------------
+# weighted_sample / chunk_documents / percolate (session 15)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sample_clamps_and_is_deterministic(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.text import weighted_sample
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate([2.0, 1.0, 0.5, 0.0, -1.0] * 40)],
+        "doc_id long, w double",
+    )
+    kept = weighted_sample(docs, F.col("w"))
+    ids = {r["doc_id"] for r in kept.collect()}
+    # weight >= 1 always kept; <= 0 never
+    assert all(i in ids for i in range(0, 200, 5))       # w=2.0
+    assert all(i in ids for i in range(1, 200, 5))       # w=1.0
+    assert all(i not in ids for i in range(3, 200, 5))   # w=0.0
+    assert all(i not in ids for i in range(4, 200, 5))   # w=-1.0
+    # w=0.5 keeps roughly half, deterministically
+    half = [i for i in ids if i % 5 == 2]
+    assert 5 <= len(half) <= 35
+    again = {r["doc_id"] for r in weighted_sample(docs, F.col("w")).collect()}
+    assert again == ids
+    # a different seed selects a different 0.5-subset
+    other = {
+        r["doc_id"]
+        for r in weighted_sample(docs, F.col("w"), seed=7).collect()
+    }
+    assert {i for i in other if i % 5 in (0, 1)} == {
+        i for i in ids if i % 5 in (0, 1)
+    }
+    assert other != ids
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens
+            (2, "x y"),            # shorter than one window
+            (3, ""),               # empty: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, max_tokens=4, stride=3).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in rows
+    }
+    # doc1 starts at 0,3,6: windows abcd, defg, g
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")
+    assert got[(1, 2)] == (1, "g")
+    assert got[(2, 0)] == (2, "x y")
+    assert not [k for k in got if k[0] == 3]
+    # disjoint packing default: stride == max_tokens
+    dj = chunk_documents(docs, max_tokens=3).collect()
+    dj1 = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in dj if r["doc_id"] == 1
+    )
+    assert dj1 == [(0, "a b c"), (1, "d e f"), (2, "g")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 4, 0)
+
+
+def test_percolate_modes(spark):
+    from mecab_ko_lucene_analyzer_spark.query.percolate import percolate
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query fast"),
+            (2, "spark only here"),
+            (3, "query spark query"),  # dup tokens count once
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    qdf = spark.createDataFrame(
+        [
+            (0, ["spark", "query"]),
+            (1, ["spark", "spark"]),  # repeated stored term: distinct size
+            (2, ["absent"]),
+            (3, []),                  # empty stored query never matches
+        ],
+        "query_id long, terms array<string>",
+    )
+    conj = {
+        (r["doc_id"], r["query_id"]): r["n_matched"]
+        for r in percolate(toks, qdf).collect()
+    }
+    assert conj == {(1, 0): 2, (3, 0): 2, (1, 1): 1, (2, 1): 1, (3, 1): 1}
+    # disjunctive msm=1: any shared term matches
+    msm = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(toks, qdf, min_should_match=1).collect()
+    }
+    assert (2, 0) in msm  # doc2 has 'spark' but not 'query'
+    assert not [q for d, q in msm if q in (2, 3)]

@@ -89,6 +89,13 @@ SHUFFLE_CEILING = {
     # bounded ES window fetch): the 2 = the windowed scorer's own
     # TakeOrdered feed + the min-dist pair agg over the id-pruned scan
     "rescore_topk": 2,
+    # percolate: the doc side's distinct-token agg + the (doc, query)
+    # match agg, x2 for the contract's and/msm union branches; the
+    # stored-query side always broadcasts
+    "percolate": 4,
+    # pure narrow map work — MUST stay at zero at any scale
+    "weighted_sample": 0,
+    "chunk_documents": 0,
     # hybrid RRF: the bm25_scored agg chain (as explain's 4) + the
     # cosine side's one per-query top-k agg + the fused-contribs agg;
     # both rank windows run over <= n_candidates rows by contract
