@@ -68,6 +68,13 @@ def main() -> None:
         "scored disjunctively (engine.search_fuzzy)",
     )
     group.add_argument(
+        "--significant",
+        metavar="QUERY",
+        help="print the top-k significant terms (ES significant_terms, "
+        "JLH score) of QUERY's match set instead of searching "
+        "(engine.significant_terms)",
+    )
+    group.add_argument(
         "--regexp-query",
         metavar="PATTERN",
         help="regexp retrieval (Lucene RegexpQuery): full-string "
@@ -81,6 +88,15 @@ def main() -> None:
         help="did-you-mean: print the top-k vocabulary terms within "
         "--max-edits Levenshtein edits of TERM, ranked dist asc / df "
         "desc (engine.suggest)",
+    )
+    ap.add_argument(
+        "--collapse-hosts",
+        type=int,
+        default=0,
+        metavar="INNER_HITS",
+        help="ES field collapsing on the url host: keep the top "
+        "INNER_HITS docs per host, then the global top-k "
+        "(engine.search_collapsed)",
     )
     ap.add_argument(
         "--out",
@@ -189,7 +205,8 @@ def main() -> None:
     # '?'. The corruption is unrecoverable here, so fail loudly with
     # the fix instead of silently analyzing to zero terms and
     # returning [] (verified against a live spark-submit run).
-    for text in (args.query, args.related, args.suggest, args.ast_json):
+    for text in (args.query, args.related, args.suggest, args.ast_json,
+                 args.significant):
         if text and ("�" in text or ("?" in text and not text.strip("? "))):
             raise SystemExit(
                 "query text reached the driver as replacement characters "
@@ -275,6 +292,14 @@ def main() -> None:
             max_expansions=args.max_expansions,
         )
         print(json.dumps(hits, ensure_ascii=False, indent=2))
+    elif args.significant:
+        print(
+            json.dumps(
+                engine.significant_terms(args.significant, k=args.k),
+                ensure_ascii=False,
+                indent=2,
+            )
+        )
     elif args.regexp_query:
         hits = engine.search_regexp(
             args.regexp_query,
@@ -302,7 +327,11 @@ def main() -> None:
     else:
         if args.explain:
             print(engine.explain_query(args.query))
-        if args.anchor_weight is not None or args.title_weight:
+        if args.collapse_hosts:
+            hits = engine.search_collapsed(
+                args.query, k=args.k, inner_hits=args.collapse_hosts
+            )
+        elif args.anchor_weight is not None or args.title_weight:
             hits = engine.search_fielded(
                 args.query,
                 k=args.k,

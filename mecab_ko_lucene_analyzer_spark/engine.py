@@ -743,6 +743,89 @@ class SearchEngine:
             {"value": r["value"], "doc_count": r["doc_count"]} for r in rows
         ]
 
+    def significant_terms(self, text: str, k: int = 10) -> list[dict]:
+        """ES ``significant_terms`` over the analyzed query's match
+        set (``query/aggs.py::significant_terms``, JLH score, query
+        terms excluded) — "what words describe these results?". Same
+        disjunctive-bag match semantics as :meth:`facets`."""
+        from .query.aggs import significant_terms as sig
+        from .query.ast import ast_terms
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        rows = sig(
+            self._body_index(),
+            sorted(ast_terms(self.build_query(text))),
+            k=k,
+        ).collect()
+        return [
+            {
+                "term": r["term"],
+                "fg_df": r["fg_df"],
+                "bg_df": r["bg_df"],
+                "score": r["score"],
+            }
+            for r in rows
+        ]
+
+    def search_collapsed(
+        self,
+        text: str,
+        k: int = 10,
+        inner_hits: int = 1,
+        attrs=None,
+        attr_col: str = "host",
+    ) -> list[dict]:
+        """ES field collapsing (``query/aggs.py::collapse_topk``) —
+        SERP same-site dedup: the top ``inner_hits`` docs per
+        ``attr_col`` (default: the url host from the doc_map), then
+        the global top ``k``. Scores are the disjunctive-bag BM25 of
+        the analyzed query (the :meth:`facets` match semantics); urls
+        resolve like every other hit list."""
+        from .functions.curation import host_of
+        from .query.aggs import collapse_topk
+        from .query.ast import ast_terms
+        from .query.bm25 import bm25_scored
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return []
+        if attrs is None:
+            attrs = self.doc_map.select(
+                "doc_id", host_of("url").alias(attr_col)
+            )
+        scored = bm25_scored(
+            self._body_index(), sorted(ast_terms(self.build_query(text)))
+        )
+        rows = collapse_topk(
+            scored, attrs, attr_col, k=k, inner_hits=inner_hits
+        ).collect()
+        hits = self._resolve(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        )
+        for hit, r in zip(hits, rows):
+            hit["group"] = r["group"]
+        return hits
+
+    def percolate(
+        self, text: str, stored_queries: dict[int, str]
+    ) -> list[int]:
+        """Percolate ONE document against stored queries — the ES
+        serving shape (``percolate`` is a per-doc request; the bulk
+        relation form is ``query/percolate.py``). Both the doc and
+        every stored query run through the SAME analysis chain;
+        a query matches when all its analyzed terms appear in the
+        doc's analyzed term set (conjunctive ES semantics). Driver-
+        side set arithmetic — no Spark job."""
+        doc_terms = {t["term"] for t in self.analyze(text)}
+        out = []
+        for qid, qtext in stored_queries.items():
+            q_terms = {t["term"] for t in self.analyze(qtext)}
+            if q_terms and q_terms <= doc_terms:
+                out.append(qid)
+        return sorted(out)
+
     def search_ast(
         self,
         query,

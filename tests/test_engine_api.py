@@ -552,3 +552,50 @@ def test_facets_default_host_buckets(engine):
 
 def test_facets_empty_analysis_returns_no_buckets(engine):
     assert engine.facets("...", k=5) == []
+
+
+def test_significant_terms_facade(engine):
+    """JLH list over the match set: scores descend, the query's own
+    analyzed terms are excluded, fg_df <= bg_df always."""
+    rows = engine.significant_terms("검색", k=10)
+    assert rows
+    q_terms = {t["term"] for t in engine.analyze("검색")}
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["term"] not in q_terms
+        assert 1 <= r["fg_df"] <= r["bg_df"]
+    assert engine.significant_terms("", k=5) == []
+
+
+def test_search_collapsed_facade(engine):
+    """Collapse by host: no host appears more than inner_hits times,
+    every kept hit keeps its uncollapsed score, and the groups carry
+    the host value."""
+    collapsed = engine.search_collapsed("검색 엔진", k=10, inner_hits=1)
+    assert collapsed
+    hosts = [h["group"] for h in collapsed]
+    assert len(hosts) == len(set(hosts))  # inner_hits=1: one per host
+    plain = {
+        h["doc_id"]: h["score"]
+        for h in engine.search("검색 엔진", k=150, conjunctive=False)
+    }
+    for h in collapsed:
+        assert h["score"] == pytest.approx(plain[h["doc_id"]], rel=1e-9)
+        assert h["url"].startswith("https://")
+    two = engine.search_collapsed("검색 엔진", k=150, inner_hits=2)
+    from collections import Counter
+
+    assert max(Counter(h["group"] for h in two).values()) <= 2
+    assert engine.search_collapsed("", k=5) == []
+
+
+def test_percolate_facade(engine):
+    """Per-doc percolation through the SAME analysis chain: stored
+    queries whose analyzed terms all appear in the doc match; synonym
+    expansion does not leak extra required terms."""
+    doc = "검색 엔진 문서"
+    stored = {0: "검색", 1: "검색 엔진", 2: "없는용어", 3: ""}
+    got = engine.percolate(doc, stored)
+    assert 0 in got and 1 in got
+    assert 2 not in got and 3 not in got
