@@ -914,6 +914,125 @@ def _q_fuzzy_topk(spark, sf_dir):
     )
 
 
+#: compound-query contract (session 16): ES dis_max / boosting /
+#: constant_score / wildcard / match_phrase_prefix. The dis_max
+#: clauses overlap nothing, but the law under test (max + tb*(sum-max)
+#: over per-clause BM25 sums) is replayed coalesce-for-coalesce in the
+#: oracle. PP_CAP = 4 makes the prefix-expansion budget BINDING ('s'
+#: matches 6 vocabulary terms) so the df-desc top-terms rewrite is
+#: part of what the oracle locks.
+DISMAX_CLAUSES: list[list[str]] = [["spark", "query"], ["data", "join"]]
+DISMAX_TB = 0.3
+DISMAX_K = 15
+BOOSTING_NEG = ["batch"]
+BOOSTING_NB = 0.4
+CONST_TERMS = ["group", "window"]
+CONST_BOOST = 1.5
+WILDCARD_PATTERN = "s?a*"  # translates to s.a.* → {scan, small, spark}
+# the oracle walks the vocabulary with the SAME translated regex the
+# engine uses — imported, not copied, so the translation cannot drift
+from mecab_ko_lucene_analyzer_spark.query.compound import (  # noqa: E402
+    wildcard_to_regexp as _wildcard_to_regexp,
+)
+
+WILDCARD_RE = _wildcard_to_regexp(WILDCARD_PATTERN)
+PP_FIRST = ["big"]
+PP_PREFIX = "s"
+PP_CAP = 4
+
+
+def _q_dis_max_topk(spark, sf_dir):
+    """ES ``dis_max`` (``query/compound.py::dis_max_topk``) — the
+    scoring law under every best_fields ``multi_match`` the reference
+    emits (`DanawaSearchQueryBuilder.java:178`): per clause a BM25 OR
+    sum, per doc ``max + DISMAX_TB * (sum − max)`` over matching
+    clauses, one IN-pruned postings scan + one per-doc aggregate."""
+    from mecab_ko_lucene_analyzer_spark.query.compound import dis_max_scored
+
+    return (
+        dis_max_scored(_ws_index(spark, sf_dir), DISMAX_CLAUSES, DISMAX_TB)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DISMAX_K)
+    )
+
+
+def _q_boosting_topk(spark, sf_dir):
+    """ES ``boosting`` query (``query/compound.py::boosting_topk``):
+    BM25_QUERY-scored docs, demoted ×BOOSTING_NB when they also match
+    a BOOSTING_NEG term — demotion BEFORE the top-k cut, nothing
+    excluded (the contrast with must_not)."""
+    from mecab_ko_lucene_analyzer_spark.query.compound import (
+        boosting_scored,
+    )
+
+    return (
+        boosting_scored(
+            _ws_index(spark, sf_dir), BM25_QUERY, BOOSTING_NEG, BOOSTING_NB
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DISMAX_K)
+    )
+
+
+def _q_constant_score(spark, sf_dir):
+    """ES ``constant_score`` (``query/compound.py::
+    constant_score_docs``): every CONST_TERMS-matching doc scores
+    exactly CONST_BOOST — no stats join, no idf math, the
+    filter-context wrapper Lucene rewrites multi-term queries to."""
+    from mecab_ko_lucene_analyzer_spark.query.compound import (
+        constant_score_docs,
+    )
+
+    return constant_score_docs(
+        _ws_index(spark, sf_dir), CONST_TERMS, CONST_BOOST
+    )
+
+
+def _q_wildcard_topk(spark, sf_dir):
+    """Lucene ``WildcardQuery`` (``query/compound.py::wildcard_topk``):
+    ``*``/``?`` translated to the portable regex core, expanded via the
+    vocabulary automaton walk, scored disjunctively — the same
+    top-terms rewrite law as ``regexp_topk``."""
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+    from mecab_ko_lucene_analyzer_spark.query.compound import (
+        wildcard_expand_terms,
+    )
+
+    idx = _ws_index(spark, sf_dir)
+    terms = wildcard_expand_terms(
+        idx.term_stats, WILDCARD_PATTERN, EXPANSION_CAP
+    )
+    return (
+        bm25_scored(idx, terms)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PREFIX_K)
+    )
+
+
+def _q_phrase_prefix_match(spark, sf_dir):
+    """ES ``match_phrase_prefix`` (``query/compound.py::
+    phrase_prefix_docs``): PP_FIRST followed immediately by a
+    PP_PREFIX-prefixed term, the last position expanded under the
+    BINDING PP_CAP budget (df desc / term asc — the rewrite law).
+    Evaluated on the positions-carrying block index via the shared
+    ``phrase_reach`` DP; phrase score is 0 by contract
+    (`DanawaSearchQueryBuilder.java:287-291`), so the match SET is the
+    result."""
+    from mecab_ko_lucene_analyzer_spark.query.compound import (
+        phrase_prefix_docs,
+    )
+    from mecab_ko_lucene_analyzer_spark.query.expand import (
+        prefix_expand_terms,
+    )
+
+    blocks, term_stats, _n, _avgdl = _ws_block_index(spark, sf_dir)
+    exps = prefix_expand_terms(term_stats, PP_PREFIX, PP_CAP)
+    return phrase_prefix_docs(blocks, PP_FIRST, exps)
+
+
 def _q_msm_topk(spark, sf_dir):
     """Disjunctive BM25 with Elasticsearch's ``minimum_should_match``:
     only docs matching >= MSM_MIN_MATCH distinct query terms score
@@ -2164,6 +2283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": _q_mlt_topk,
         "prefix_topk": _q_prefix_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "dis_max_topk": _q_dis_max_topk,
+        "boosting_topk": _q_boosting_topk,
+        "constant_score": _q_constant_score,
+        "wildcard_topk": _q_wildcard_topk,
+        "phrase_prefix_match": _q_phrase_prefix_match,
         "related_terms": _q_related_terms,
         "suggest_terms": _q_suggest_terms,
         "freshness_boost": _q_freshness_boost,
@@ -3466,6 +3590,136 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_id
             ORDER BY score DESC, p.doc_id ASC
             LIMIT {PREFIX_K}
+        """,
+        # dis_max: per-clause BM25 sums via conditional aggregates,
+        # coalesce-0 on both engines (partials are non-negative, so
+        # the coalesce can't move the max), max + tb*(sum-max).
+        "dis_max_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            stats AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+            cmap(term, clause) AS (VALUES {", ".join(f"('{t}', {ci})" for ci, cl in enumerate(DISMAX_CLAUSES) for t in cl)}),
+            partials AS (
+                SELECT p.doc_id, c.clause,
+                       ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+                       * p.tf / (p.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl)) AS partial
+                FROM posts p
+                JOIN cmap c ON p.term = c.term
+                JOIN stats s ON p.term = s.term
+                JOIN dl ON p.doc_id = dl.doc_id
+                CROSS JOIN corpus
+            ),
+            per AS (
+                SELECT doc_id,
+                       {", ".join(f"coalesce(sum(CASE WHEN clause = {ci} THEN partial END), 0) AS c{ci}" for ci in range(len(DISMAX_CLAUSES)))}
+                FROM partials GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(greatest({", ".join(f"c{ci}" for ci in range(len(DISMAX_CLAUSES)))})
+                         + {DISMAX_TB} * ({" + ".join(f"c{ci}" for ci in range(len(DISMAX_CLAUSES)))}
+                                          - greatest({", ".join(f"c{ci}" for ci in range(len(DISMAX_CLAUSES)))})), 6) AS score
+            FROM per
+            ORDER BY score DESC, doc_id ASC
+            LIMIT {DISMAX_K}
+        """,
+        # boosting: positive BM25 scores, ×NB where the doc also
+        # matches a negative term — demotion before the cut.
+        "boosting_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            pos AS (
+                SELECT tfs.doc_id,
+                       sum(
+                           ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                       ) AS s
+                FROM tfs
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN corpus
+                GROUP BY tfs.doc_id
+            ),
+            neg AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BOOSTING_NEG)})
+            )
+            SELECT pos.doc_id,
+                   round(CASE WHEN neg.doc_id IS NOT NULL
+                              THEN pos.s * {BOOSTING_NB}
+                              ELSE pos.s END, 6) AS score
+            FROM pos LEFT JOIN neg ON pos.doc_id = neg.doc_id
+            ORDER BY score DESC, pos.doc_id ASC
+            LIMIT {DISMAX_K}
+        """,
+        "constant_score": f"""
+            WITH toks AS ({_TOKS_SQL})
+            SELECT DISTINCT doc_id, {CONST_BOOST}::DOUBLE AS score
+            FROM toks
+            WHERE term IN ({", ".join(f"'{t}'" for t in CONST_TERMS)})
+        """,
+        # wildcard: the oracle walks the vocabulary with the SAME
+        # translated full-string regex the engine uses.
+        "wildcard_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            stats AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+            exp AS (
+                SELECT term FROM stats
+                WHERE regexp_full_match(term, '{WILDCARD_RE}')
+                ORDER BY df DESC, term ASC
+                LIMIT {EXPANSION_CAP}
+            )
+            SELECT p.doc_id,
+                   round(sum(
+                       ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+                       * p.tf / (p.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                   ), 6) AS score
+            FROM posts p
+            JOIN exp ON p.term = exp.term
+            JOIN stats s ON p.term = s.term
+            JOIN dl ON p.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id ASC
+            LIMIT {PREFIX_K}
+        """,
+        # match_phrase_prefix: adjacency via unnest ordinality, last
+        # slot joined against the BINDING df-desc expansion budget.
+        "phrase_prefix_match": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+                FROM toks
+            ),
+            stats AS (
+                SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM pos GROUP BY 1
+            ),
+            exp AS (
+                SELECT term FROM stats
+                WHERE term LIKE '{PP_PREFIX}%'
+                ORDER BY df DESC, term ASC
+                LIMIT {PP_CAP}
+            )
+            SELECT DISTINCT t0.doc_id
+            FROM pos t0
+            JOIN pos t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+            JOIN exp ON t1.tok = exp.term
+            WHERE t0.tok = '{PP_FIRST[0]}'
         """,
         # filtered_topk: the filter is a semi join BEFORE the top-k
         # cut; scores are the unfiltered BM25 values (filter context
