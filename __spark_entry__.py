@@ -1339,6 +1339,130 @@ def _q_histogram_agg(spark, sf_dir):
     )
 
 
+#: agg batch 2 (session 16): range / extended_stats / weighted_avg /
+#: composite pagination / filters. RANGE_BOUNDS includes an
+#: impossible tail range so the every-configured-bucket law (count 0)
+#: is under the driver hash; COMPOSITE_SIZE = 5 over 97 (source,
+#: lang) buckets makes page 2 a full, non-trivial page.
+RANGE_BOUNDS: list[tuple[float | None, float | None]] = [
+    (None, 150.0),
+    (150.0, 300.0),
+    (300.0, 450.0),
+    (450.0, None),
+    (600.0, None),
+]
+ESTATS_SIGMA = 2.0
+# bucket keys rendered by the SHARED helper on both sides
+from mecab_ko_lucene_analyzer_spark.query.aggs import (  # noqa: E402
+    range_key as _range_key,
+)
+WAVG_WEIGHT_MOD = 7
+COMPOSITE_SIZE = 5
+FILTERS_SPEC: dict[str, list[str]] = {
+    "compute": ["scan", "join", "agg"],
+    "storage": ["table", "row", "column"],
+    "nohit": ["zzzz"],
+}
+
+
+def _q_range_agg(spark, sf_dir):
+    """ES ``range`` aggregation (``query/aggs.py::range_agg``):
+    BM25_QUERY match counts per half-open ``[from, to)`` n_chars
+    range — every configured range appears (the 600-* bucket is
+    impossible and must surface as 0)."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import range_agg
+
+    return range_agg(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        RANGE_BOUNDS,
+    )
+
+
+def _q_extended_stats_agg(spark, sf_dir):
+    """ES ``extended_stats`` (``query/aggs.py::extended_stats_agg``):
+    population variance = ``sum_of_squares/count − avg²`` in the same
+    IEEE expression order on both engines, bounds ``avg ±
+    ESTATS_SIGMA·std``."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import (
+        extended_stats_agg,
+    )
+
+    return extended_stats_agg(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        sigma=ESTATS_SIGMA,
+    ).select(
+        "count",
+        "min",
+        "max",
+        F.round("avg", 6).alias("avg"),
+        F.round("sum", 6).alias("sum"),
+        F.round("sum_of_squares", 6).alias("sum_of_squares"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+        F.round("upper", 6).alias("upper"),
+        F.round("lower", 6).alias("lower"),
+    )
+
+
+def _q_weighted_avg_agg(spark, sf_dir):
+    """ES ``weighted_avg`` + ``value_count`` (``query/aggs.py::
+    weighted_avg_agg``): Σv·w/Σw of n_chars weighted by the
+    deterministic ``doc_id % WAVG_WEIGHT_MOD + 1`` synthetic weight
+    over the BM25_QUERY match set."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import weighted_avg_agg
+
+    attrs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") % WAVG_WEIGHT_MOD + 1).alias("weight"),
+    )
+    return weighted_avg_agg(
+        _ws_index(spark, sf_dir), BM25_QUERY, attrs, "n_chars", "weight"
+    ).select(
+        "value_count", F.round("weighted_avg", 6).alias("weighted_avg")
+    )
+
+
+def _q_composite_agg(spark, sf_dir):
+    """ES ``composite`` aggregation page 2 (``query/aggs.py::
+    composite_agg``): (source, lang) buckets of the BM25_QUERY match
+    set in composite-key order, COMPOSITE_SIZE per page; the after-key
+    cursor is page 1's last key (a bounded ≤1-row driver fetch — the
+    ``search_after_page`` pattern). The keyset filter applies to the
+    BUCKET space, so page N costs page 1."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import composite_agg
+
+    idx = _ws_index(spark, sf_dir)
+    attrs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    p1 = composite_agg(
+        idx, BM25_QUERY, attrs, ["source", "lang"], size=COMPOSITE_SIZE
+    ).collect()
+    after = (p1[-1]["source"], p1[-1]["lang"])
+    return composite_agg(
+        idx,
+        BM25_QUERY,
+        attrs,
+        ["source", "lang"],
+        size=COMPOSITE_SIZE,
+        after=after,
+    )
+
+
+def _q_filters_agg(spark, sf_dir):
+    """ES ``filters`` aggregation (``query/aggs.py::filters_agg``):
+    three NAMED buckets counting distinct docs per OR term-bag from
+    one IN-pruned postings scan — the impossible bag surfaces as 0."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import filters_agg
+
+    return filters_agg(_ws_index(spark, sf_dir), FILTERS_SPEC)
+
+
 SIGTERMS_K = 10
 TOPHITS_BUCKETS = 5
 TOPHITS_SIZE = 3
@@ -2308,6 +2432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_agg": _q_percentiles_agg,
         "cardinality_agg": _q_cardinality_agg,
         "histogram_agg": _q_histogram_agg,
+        "range_agg": _q_range_agg,
+        "extended_stats_agg": _q_extended_stats_agg,
+        "weighted_avg_agg": _q_weighted_avg_agg,
+        "composite_agg": _q_composite_agg,
+        "filters_agg": _q_filters_agg,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -3940,6 +4069,123 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.n_chars IS NOT NULL
             GROUP BY 1
             ORDER BY bucket ASC
+        """,
+        # range: every configured bucket appears (0 when empty),
+        # half-open [from, to); keys rendered via the SHARED range_key
+        "range_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            vals AS (
+                SELECT d.n_chars::DOUBLE AS v
+                FROM matched m JOIN documents d USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            )
+            {" UNION ALL ".join(
+                "SELECT '" + _range_key(lo, hi) + "' AS key, "
+                + "coalesce(sum(CASE WHEN "
+                + " AND ".join(
+                    ([f"v >= {float(lo)}"] if lo is not None else [])
+                    + ([f"v < {float(hi)}"] if hi is not None else [])
+                    or ["TRUE"]
+                )
+                + " THEN 1 ELSE 0 END), 0)::BIGINT AS doc_count FROM vals"
+                for lo, hi in RANGE_BOUNDS
+            )}
+        """,
+        # extended_stats: population variance sum_sq/n - avg², same
+        # IEEE expression order as the Spark side.
+        "extended_stats_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            vals AS (
+                SELECT d.n_chars::DOUBLE AS v
+                FROM matched m JOIN documents d USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            ),
+            base AS (
+                SELECT count(*)::BIGINT AS count, min(v) AS min,
+                       max(v) AS max, avg(v) AS avg, sum(v) AS sum,
+                       sum(v * v) AS sum_of_squares
+                FROM vals
+            ),
+            ext AS (
+                SELECT *, sum_of_squares / count::DOUBLE - avg * avg AS variance
+                FROM base
+            ),
+            ext2 AS (SELECT *, sqrt(variance) AS std_deviation FROM ext)
+            SELECT count, min, max,
+                   round(avg, 6) AS avg,
+                   round(sum, 6) AS sum,
+                   round(sum_of_squares, 6) AS sum_of_squares,
+                   round(variance, 6) AS variance,
+                   round(std_deviation, 6) AS std_deviation,
+                   round(avg + {ESTATS_SIGMA} * std_deviation, 6) AS upper,
+                   round(avg - {ESTATS_SIGMA} * std_deviation, 6) AS lower
+            FROM ext2
+        """,
+        "weighted_avg_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            vals AS (
+                SELECT d.n_chars::DOUBLE AS v,
+                       (d.doc_id % {WAVG_WEIGHT_MOD} + 1)::DOUBLE AS w
+                FROM matched m JOIN documents d USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            )
+            SELECT count(*)::BIGINT AS value_count,
+                   round(sum(v * w) / sum(w), 6) AS weighted_avg
+            FROM vals
+        """,
+        # composite page 2: the keyset filter pages the BUCKET space;
+        # page 1's last key is the cursor on both engines.
+        "composite_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            buckets AS (
+                SELECT d.source, d.lang, count(*)::BIGINT AS doc_count
+                FROM matched m JOIN documents d USING (doc_id)
+                WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            p1 AS (
+                SELECT source, lang FROM buckets
+                ORDER BY source ASC, lang ASC LIMIT {COMPOSITE_SIZE}
+            ),
+            lastk AS (
+                SELECT source, lang FROM p1
+                ORDER BY source DESC, lang DESC LIMIT 1
+            )
+            SELECT b.source, b.lang, b.doc_count
+            FROM buckets b, lastk l
+            WHERE b.source > l.source
+               OR (b.source = l.source AND b.lang > l.lang)
+            ORDER BY b.source ASC, b.lang ASC
+            LIMIT {COMPOSITE_SIZE}
+        """,
+        # filters: one named row per bag, distinct-doc counts, 0 kept
+        "filters_agg": f"""
+            WITH toks AS ({_TOKS_SQL})
+            SELECT * FROM (
+                {" UNION ALL ".join(
+                    "SELECT '" + name + "' AS bucket, "
+                    + "(SELECT count(DISTINCT doc_id) FROM toks WHERE term IN ("
+                    + ", ".join("'" + t + "'" for t in bag)
+                    + "))::BIGINT AS doc_count"
+                    for name, bag in sorted(FILTERS_SPEC.items())
+                )}
+            ) ORDER BY bucket ASC
         """,
         "facet_terms": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -45,6 +45,13 @@ __all__ = [
     "collapse_topk",
     "significant_terms",
     "top_hits_agg",
+    "range_key",
+    "range_agg",
+    "extended_stats_agg",
+    "value_count_agg",
+    "weighted_avg_agg",
+    "composite_agg",
+    "filters_agg",
 ]
 
 #: ES ``percentiles`` default percent set
@@ -482,4 +489,256 @@ def top_hits_agg(
         .orderBy(
             F.desc("doc_count"), F.asc("value"), F.asc("hit_rank")
         )
+    )
+
+
+def range_key(lo: float | None, hi: float | None) -> str:
+    """ES default ``range``-bucket key: ``from-to`` with ``*`` for an
+    unbounded side, numbers in shortest form (``:g``). Shared by
+    :func:`range_agg` and oracle builders so the rendering cannot
+    drift between engines."""
+    ls = "*" if lo is None else f"{float(lo):g}"
+    hs = "*" if hi is None else f"{float(hi):g}"
+    return f"{ls}-{hs}"
+
+
+def range_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    ranges: list[tuple[float | None, float | None]],
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``range`` bucket aggregation: one row per configured range
+    ``(key, doc_count)``, a value belonging to ``[from, to)`` (ES's
+    half-open law; ``None`` = unbounded side; key rendered
+    ``from-to`` with ``*`` for unbounded, ES's default key format).
+    EVERY configured range appears — empty ranges count 0 (ES returns
+    all requested buckets), and ranges may overlap (a value can land
+    in several, unlike histogram).
+
+    Plan: the range list is query-bounded and tiny, so each range is a
+    conditional-sum column inside ONE aggregate over the joined match
+    set (no per-range scan, no explode), then a literal unpivot —
+    output rows = len(ranges), exchange carries one partial row per
+    partition."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    v = F.col(attr_col).cast("double")
+    joined = docs.join(doc_attrs.select("doc_id", attr_col), "doc_id").filter(
+        v.isNotNull()
+    )
+    _key = range_key
+    conds = []
+    for lo, hi in ranges:
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (v >= F.lit(float(lo)))
+        if hi is not None:
+            c = c & (v < F.lit(float(hi)))
+        conds.append(c)
+    one = joined.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"_r{i}")
+            for i, c in enumerate(conds)
+        ]
+    )
+    pairs = []
+    for i, (lo, hi) in enumerate(ranges):
+        pairs.append(F.lit(_key(lo, hi)))
+        pairs.append(F.col(f"_r{i}").cast("long"))
+    # stack(n, k0, v0, k1, v1, ...) — the literal unpivot
+    return one.select(
+        F.expr(
+            "stack({n}, {args})".format(
+                n=len(ranges),
+                args=", ".join(
+                    f"'{_key(lo, hi)}', _r{i}"
+                    for i, (lo, hi) in enumerate(ranges)
+                ),
+            )
+        ).alias("key", "doc_count")
+    ).select("key", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def extended_stats_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    sigma: float = 2.0,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``extended_stats``: ONE row ``(count, min, max, avg, sum,
+    sum_of_squares, variance, std_deviation, upper, lower)`` over the
+    matching docs' values (NULLs excluded). Variance is ES's
+    POPULATION law computed exactly as ES does —
+    ``sum_of_squares/count − avg²`` — written in the same IEEE
+    expression order on both engines so the contract hash closes;
+    ``upper``/``lower`` are ``avg ± sigma·std``. Same single-aggregate
+    plan as :func:`stats_agg`."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    v = F.col(attr_col).cast("double")
+    base = (
+        docs.join(doc_attrs.select("doc_id", attr_col), "doc_id")
+        .filter(v.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.avg(v).alias("avg"),
+            F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sum_of_squares"),
+        )
+    )
+    var = (
+        F.col("sum_of_squares") / F.col("count").cast("double")
+        - F.col("avg") * F.col("avg")
+    )
+    return (
+        base.withColumn("variance", var)
+        .withColumn("std_deviation", F.sqrt(F.col("variance")))
+        .withColumn(
+            "upper", F.col("avg") + F.lit(float(sigma)) * F.col("std_deviation")
+        )
+        .withColumn(
+            "lower", F.col("avg") - F.lit(float(sigma)) * F.col("std_deviation")
+        )
+    )
+
+
+def value_count_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``value_count``: ONE row ``(value_count)`` — the number of
+    VALUES collected from matching docs (NULLs excluded; the
+    denominator strip ES renders beside avg/weighted_avg)."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    return (
+        docs.join(doc_attrs.select("doc_id", attr_col), "doc_id")
+        .filter(F.col(attr_col).isNotNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("value_count"))
+    )
+
+
+def weighted_avg_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    value_col: str,
+    weight_col: str,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``weighted_avg``: ONE row ``(value_count, weighted_avg)`` =
+    ``Σ v·w / Σ w`` over matching docs. Rows with a NULL value OR a
+    NULL weight are skipped entirely (ES skips docs missing either
+    field unless a ``missing`` default is configured — not modeled).
+    ``value_count`` rides along so the one aggregate also serves the
+    ES ``value_count`` strip for the same field pair."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    return (
+        docs.join(doc_attrs.select("doc_id", value_col, weight_col), "doc_id")
+        .filter(v.isNotNull() & w.isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("value_count"),
+            (F.sum(v * w) / F.sum(w)).alias("weighted_avg"),
+        )
+    )
+
+
+def composite_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    source_cols: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``composite`` aggregation: bucket rows ``(<source_cols...>,
+    doc_count)`` ordered by the composite key ascending, paginated by
+    an ``after`` key — ES's ONLY scalable agg pagination (terms-agg
+    top-k must rank the whole bucket space; composite streams buckets
+    in key order, so every page costs the same bounded work — the
+    10^12-doc shape, exactly the keyset law of
+    ``bm25.keyset_page``). NULL key components get no bucket (ES
+    ``missing_bucket`` is opt-in and not modeled).
+
+    ``after`` is the last page's final key tuple; the next page is
+    every bucket with key strictly greater in lexicographic order —
+    the predicate is an OR-chain over key prefixes, applied AFTER the
+    bucket aggregate (the bucket space, not the doc space, is paged).
+    """
+    if not source_cols:
+        raise ValueError("composite_agg needs at least one source col")
+    docs = matching_docs(index, query_terms, min_should_match)
+    joined = docs.join(doc_attrs.select("doc_id", *source_cols), "doc_id")
+    for c in source_cols:
+        joined = joined.filter(F.col(c).isNotNull())
+    buckets = joined.groupBy(*source_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+    if after is not None:
+        if len(after) != len(source_cols):
+            raise ValueError(
+                f"after key arity {len(after)} != sources {len(source_cols)}"
+            )
+        # lexicographic strictly-greater: OR over prefix-equal chains
+        pred = None
+        for i in range(len(source_cols)):
+            clause = F.col(source_cols[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = clause & (F.col(source_cols[j]) == F.lit(after[j]))
+            pred = clause if pred is None else (pred | clause)
+        buckets = buckets.filter(pred)
+    return buckets.orderBy(
+        *[F.asc(c) for c in source_cols]
+    ).limit(int(size))
+
+
+def filters_agg(
+    index: InvertedIndex,
+    named_filters: dict[str, list[str]],
+) -> DataFrame:
+    """ES ``filters`` bucket aggregation: one row per NAMED bucket
+    ``(bucket, doc_count)`` — each bucket counts docs matching its OR
+    term-bag. Every configured bucket appears (count 0 when nothing
+    matches); buckets may overlap. Output ordered bucket asc.
+
+    Plan: ONE postings scan IN-pruned to the union of all bags; a
+    broadcast (term → bucket) map fans rows into buckets; the
+    distinct-doc count per bucket is one aggregate (a doc matching two
+    terms of the same bag counts once). Zero-count buckets come from a
+    literal frame left join — no second scan."""
+    spark = index.postings.sparkSession
+    names = sorted(named_filters)
+    pairs = sorted(
+        {(t, n) for n, bag in named_filters.items() for t in bag}
+    )
+    all_terms = sorted({t for t, _ in pairs})
+    frame = spark.createDataFrame([(n,) for n in names], "bucket string")
+    if not pairs:
+        return frame.withColumn("doc_count", F.lit(0).cast("long"))
+    tmap = spark.createDataFrame(pairs, "term string, bucket string")
+    counts = (
+        index.postings.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(tmap), "term")
+        .groupBy("bucket")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n"))
+    )
+    return (
+        frame.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("doc_count"),
+        )
+        .orderBy(F.asc("bucket"))
     )
