@@ -1463,6 +1463,87 @@ def _q_filters_agg(spark, sf_dir):
     return filters_agg(_ws_index(spark, sf_dir), FILTERS_SPEC)
 
 
+#: batch 3 (session 16): corpus-curation LM ladder + keyword
+#: extraction + the ES phrase suggester.
+TFIDF_K = 3
+SUGGEST_PHRASE = ["spark", "qurey", "tabel"]
+SUGGEST_PHRASE_MAX_EDITS = 2
+# imported, not copied: the oracle's stopword contains-sum is
+# generated from the SAME list the Spark flag reads
+from mecab_ko_lucene_analyzer_spark.functions.curation import (  # noqa: E402
+    GOPHER_STOPWORDS as _GOPHER_STOPWORDS,
+)
+
+
+def _q_tfidf_keywords(spark, sf_dir):
+    """Per-doc tf-idf keyword extraction (``functions/text.py::
+    tfidf_keywords``): top TFIDF_K terms per doc by ``tf·ln(N/df)``.
+    Ranking runs on the ROUNDED score (term-asc tiebreak) on both
+    engines so the window rank is ulp-immune."""
+    from pyspark.sql import Window
+
+    idx = _ws_index(spark, sf_dir)
+    n_docs = idx.corpus_stats.first()["n_docs"]
+    scored = idx.postings.join(
+        idx.term_stats.select("term", "df"), "term"
+    ).select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (``functions/curation.py::
+    gopher_rules``, Rae et al. 2021): each published rule as a NAMED
+    boolean flag + the conjunctive ``gopher_pass`` — the per-rule
+    ablation columns every corpus paper reports. Pure Catalyst array
+    expressions, zero shuffles."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        gopher_rules,
+    )
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def _q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity proxy (``functions/curation.py::
+    bigram_logprob``): per-doc mean ``ln P(w_i|w_{i-1})`` with
+    add-one smoothing under the corpus's own bigram distribution —
+    the LM-filter rung above ``unigram_logprob`` (word-salad scores
+    low even when its unigrams are common)."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        bigram_logprob,
+    )
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def _q_phrase_suggest(spark, sf_dir):
+    """ES ``phrase`` suggester (``query/expand.py::phrase_suggest``):
+    per-position did-you-mean over SUGGEST_PHRASE — dist asc / df desc
+    / term asc candidate law (the ``suggest_terms`` ranking), in-vocab
+    positions keep themselves at dist 0. One vocabulary pass for all
+    positions."""
+    from mecab_ko_lucene_analyzer_spark.query.expand import phrase_suggest
+
+    return phrase_suggest(
+        _ws_index(spark, sf_dir),
+        SUGGEST_PHRASE,
+        max_edits=SUGGEST_PHRASE_MAX_EDITS,
+    )
+
+
 SIGTERMS_K = 10
 TOPHITS_BUCKETS = 5
 TOPHITS_SIZE = 3
@@ -2437,6 +2518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_agg": _q_weighted_avg_agg,
         "composite_agg": _q_composite_agg,
         "filters_agg": _q_filters_agg,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "gopher_rules": _q_gopher_rules,
+        "bigram_logprob": _q_bigram_logprob,
+        "phrase_suggest": _q_phrase_suggest,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -4186,6 +4271,114 @@ def oracle_sql() -> dict[str, str]:
                     for name, bag in sorted(FILTERS_SPEC.items())
                 )}
             ) ORDER BY bucket ASC
+        """,
+        # tfidf keywords: rank runs on the ROUNDED score both sides
+        "tfidf_keywords": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            stats AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+            corpus AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks),
+            scored AS (
+                SELECT p.doc_id, p.term,
+                       round(p.tf * ln(corpus.n / s.df), 6) AS score
+                FROM posts p JOIN stats s ON p.term = s.term
+                CROSS JOIN corpus
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC
+                ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, score, rank FROM ranked
+            WHERE rank <= {TFIDF_K}
+        """,
+        # gopher rules: the flag battery replayed list-op for list-op;
+        # the stopword count is an explicit contains-sum (distinct
+        # semantics, no reliance on list_intersect dedup behaviour)
+        "gopher_rules": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS words,
+                       list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                    len(words)::DOUBLE AS n_words,
+                    len(lines)::DOUBLE AS n_lines,
+                    coalesce(list_sum(list_transform(words, x -> length(x))), 0)::DOUBLE AS swl,
+                    len(list_filter(words, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…')))::DOUBLE AS n_sym,
+                    len(list_filter(lines, x -> starts_with(trim(x), '•') OR starts_with(trim(x), '-') OR starts_with(trim(x), '*')))::DOUBLE AS n_bul,
+                    len(list_filter(lines, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE AS n_ell,
+                    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS n_alpha,
+                    ({" + ".join(f"(CASE WHEN list_contains(words, '{s}') THEN 1 ELSE 0 END)" for s in _GOPHER_STOPWORDS)}) AS n_stop
+                FROM w
+            )
+            SELECT doc_id,
+                (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+                coalesce(swl / n_words >= 3.0 AND swl / n_words <= 10.0, FALSE) AS rule_mean_word_len,
+                coalesce(n_sym / n_words < 0.1, FALSE) AS rule_symbol_ratio,
+                (CASE WHEN n_lines > 0 THEN n_bul / n_lines <= 0.9 ELSE TRUE END) AS rule_bullet_ratio,
+                (CASE WHEN n_lines > 0 THEN n_ell / n_lines <= 0.3 ELSE TRUE END) AS rule_ellipsis_ratio,
+                coalesce(n_alpha / n_words >= 0.8, FALSE) AS rule_alpha_ratio,
+                (n_stop >= 2) AS rule_stopwords,
+                ((n_words >= 50 AND n_words <= 100000)
+                 AND coalesce(swl / n_words >= 3.0 AND swl / n_words <= 10.0, FALSE)
+                 AND coalesce(n_sym / n_words < 0.1, FALSE)
+                 AND (CASE WHEN n_lines > 0 THEN n_bul / n_lines <= 0.9 ELSE TRUE END)
+                 AND (CASE WHEN n_lines > 0 THEN n_ell / n_lines <= 0.3 ELSE TRUE END)
+                 AND coalesce(n_alpha / n_words >= 0.8, FALSE)
+                 AND (n_stop >= 2)) AS gopher_pass
+            FROM m
+        """,
+        "bigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+                FROM toks
+            ),
+            bi AS (
+                SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                FROM pos a JOIN pos b
+                  ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            ),
+            cb AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM bi GROUP BY 1, 2),
+            cu AS (SELECT tok AS w1, count(*)::DOUBLE AS cu FROM pos GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM pos)
+            SELECT bi.doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(avg(ln((cb.cb + 1) / (cu.cu + v.v))), 6) AS avg_logprob
+            FROM bi
+            JOIN cb USING (w1, w2)
+            JOIN cu USING (w1)
+            CROSS JOIN v
+            GROUP BY bi.doc_id
+        """,
+        # phrase suggester: dist asc / df desc / term asc per position
+        "phrase_suggest": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+            stats AS (SELECT term, count(*)::BIGINT AS df FROM posts GROUP BY 1),
+            inputs(pos, original) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(SUGGEST_PHRASE))}),
+            cands AS (
+                SELECT i.pos, s.term, s.df,
+                       levenshtein(s.term, i.original) AS dist
+                FROM stats s CROSS JOIN inputs i
+            ),
+            best AS (
+                SELECT pos, term, df, dist, row_number() OVER (
+                    PARTITION BY pos ORDER BY dist ASC, df DESC, term ASC
+                ) AS rnk
+                FROM cands WHERE dist <= {SUGGEST_PHRASE_MAX_EDITS}
+            )
+            SELECT i.pos, i.original,
+                   coalesce(b.term, i.original) AS suggestion,
+                   b.dist, b.df
+            FROM inputs i
+            LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b USING (pos)
+            ORDER BY i.pos
         """,
         "facet_terms": f"""
             WITH toks AS ({_TOKS_SQL}),

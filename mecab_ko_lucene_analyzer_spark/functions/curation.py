@@ -651,3 +651,170 @@ def normalize_text(
         return s.str.normalize(form)
 
     return docs.withColumn(text, _norm(F.col(text)))
+
+
+#: Gopher quality-rule stopwords (Rae et al. 2021, §A.1.1 — the
+#: published "must contain at least 2" list)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: Gopher rule thresholds (published constants)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame, text: str = "text") -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 — the filter battery
+    most LLM corpora start from), each as a NAMED boolean flag plus
+    the conjunctive ``gopher_pass``:
+
+    * ``rule_word_count`` — 50 ≤ words ≤ 100 000
+    * ``rule_mean_word_len`` — mean word length in [3, 10]
+    * ``rule_symbol_ratio`` — words containing ``#`` or ``…``/``...``
+      are < 10 % of words
+    * ``rule_bullet_ratio`` — ≤ 90 % of lines start with a bullet
+      (``•``/``-``/``*``)
+    * ``rule_ellipsis_ratio`` — ≤ 30 % of lines end with an ellipsis
+    * ``rule_alpha_ratio`` — ≥ 80 % of words contain a letter
+    * ``rule_stopwords`` — ≥ 2 distinct Gopher stopwords present
+
+    Named flags (not one opaque score — that is
+    :func:`..text.quality_features`'s job) so a pipeline can report
+    WHICH rule killed each doc, the per-rule ablation every corpus
+    paper publishes. Pure Catalyst array expressions over one
+    projection — zero shuffles, zero Python; docs with no words fail
+    the word-count rule and every ratio guards /0 with a NULL-safe
+    fallback."""
+    words = whitespace_tokens(text)
+    lines = F.filter(
+        F.split(F.col(text), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    n_words = F.size(words).cast("double")
+    n_lines = F.size(lines).cast("double")
+    sum_word_len = F.aggregate(
+        words, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    mean_wl = sum_word_len / n_words
+    n_symbol = F.size(
+        F.filter(
+            words,
+            lambda x: x.contains("#")
+            | x.contains("...")
+            | x.contains("…"),
+        )
+    ).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).startswith("•")
+            | F.trim(x).startswith("-")
+            | F.trim(x).startswith("*"),
+        )
+    ).cast("double")
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).endswith("...")
+            | F.trim(x).endswith("…"),
+        )
+    ).cast("double")
+    n_alpha = F.size(
+        F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    r_sym = (n_symbol / n_words) < GOPHER_MAX_SYMBOL_RATIO
+    # line ratios pass vacuously when the doc has no non-empty lines
+    r_bullet = F.when(n_lines > 0, (n_bullet / n_lines) <= GOPHER_MAX_BULLET_RATIO).otherwise(F.lit(True))
+    r_ellipsis = F.when(n_lines > 0, (n_ellipsis / n_lines) <= GOPHER_MAX_ELLIPSIS_RATIO).otherwise(F.lit(True))
+    r_alpha = (n_alpha / n_words) >= GOPHER_MIN_ALPHA_RATIO
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    flags = {
+        "rule_word_count": r_wc,
+        "rule_mean_word_len": F.coalesce(r_mwl, F.lit(False)),
+        "rule_symbol_ratio": F.coalesce(r_sym, F.lit(False)),
+        "rule_bullet_ratio": r_bullet,
+        "rule_ellipsis_ratio": r_ellipsis,
+        "rule_alpha_ratio": F.coalesce(r_alpha, F.lit(False)),
+        "rule_stopwords": r_stop,
+    }
+    out = docs.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()]
+    )
+    gp = None
+    for n in flags:
+        gp = F.col(n) if gp is None else (gp & F.col(n))
+    return out.withColumn("gopher_pass", gp)
+
+
+def bigram_logprob(
+    docs: DataFrame, text: str = "text", min_doc_tokens: int = 2
+) -> DataFrame:
+    """Bigram-LM perplexity proxy — the second rung of the CCNet/
+    Gopher LM-filter ladder above :func:`unigram_logprob`: per-doc
+    mean ``ln P(w_i | w_{i-1})`` under the corpus's own bigram
+    distribution with add-one smoothing,
+
+        P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    (V = unigram vocabulary size). Repetitive boilerplate scores high,
+    shuffled-word salad scores LOW even when its unigrams are common —
+    exactly the gibberish the unigram filter cannot see. Docs with
+    fewer than 2 tokens emit no row (no bigrams to score).
+
+    Plan: bigrams are built per-row with ``zip_with`` over two array
+    slices (no positional self-join); corpus bigram counts are one
+    hash aggregate; the per-doc score joins the exploded bigrams with
+    the counts on the bigram key (both sides key-partitioned — at
+    crawl scale the bigram table cannot broadcast) and the unigram
+    context counts via a bounded vocab broadcast, then one per-doc
+    aggregate. V rides the unigram count as a single driver scalar."""
+    words = whitespace_tokens(text)
+    base = docs.select("doc_id", words.alias("w")).filter(
+        F.size("w") >= int(min_doc_tokens)
+    )
+    n = F.size("w")
+    bigrams = F.zip_with(
+        F.slice("w", 1, n - 1),
+        F.slice("w", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bi = base.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bi_counts = doc_bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    uni = (
+        docs.select(F.explode(words).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    v_size = uni.count()
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    lp = F.log(
+        (F.col("cb").cast("double") + 1.0)
+        / (F.col("cu").cast("double") + F.lit(float(v_size)))
+    )
+    return (
+        doc_bi.join(bi_counts, "bigram")
+        .withColumn("term", w1)
+        .join(F.broadcast(uni), "term")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -245,3 +245,41 @@ def chunk_documents(
             F.array_join("_toks", " ").alias("chunk_text"),
         )
     )
+
+
+def tfidf_keywords(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    k: int = 5,
+) -> DataFrame:
+    """Per-doc keyword extraction: the top ``k`` terms of each doc by
+    classic tf-idf (``tf · ln(N/df)``), tie-break term asc —
+    ``(doc_id, term, score)``. The standard "what is this page about"
+    signal a training-data pipeline attaches before topic bucketing or
+    per-domain sampling.
+
+    Plan at 10^12 docs: postings join term_stats on ``term`` — both
+    relations are term-keyed (the posting store is term-partitioned),
+    so the join is co-located; the per-doc top-k is ONE window (hash
+    repartition by doc_id + in-partition rank, no global sort). The
+    idf uses ln(N/df) (df ≥ 1 always in a real postings table, so no
+    division guard is needed)."""
+    from pyspark.sql import Window
+
+    scored = postings.join(term_stats.select("term", "df"), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("doc_id", "term", "score", "rank")
+    )

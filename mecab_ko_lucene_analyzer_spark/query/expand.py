@@ -41,6 +41,7 @@ __all__ = [
     "fuzzy_topk",
     "regexp_expand_terms",
     "regexp_topk",
+    "phrase_suggest",
 ]
 
 
@@ -354,4 +355,72 @@ def related_terms(
         )
         .orderBy(F.desc("pmi"), F.asc("term"))
         .limit(k)
+    )
+
+
+def phrase_suggest(
+    index: InvertedIndex,
+    terms: list[str],
+    max_edits: int = 2,
+    min_df: int = 1,
+) -> DataFrame:
+    """ES ``phrase`` suggester (did-you-mean over a whole query):
+    each query position gets its best correction — the vocabulary
+    term within ``max_edits`` Levenshtein edits ranked edit-distance
+    asc, then df desc, then term asc (the :func:`suggest_terms` law).
+    A position whose term IS in the vocabulary keeps itself (distance
+    0 beats every correction — ES's default confidence behaviour).
+    Positions with no candidate fall back to the original with NULL
+    df/dist. Output: ``(pos, original, suggestion, dist, df)`` — the
+    corrected phrase is the suggestion column joined in pos order.
+
+    The candidate model is the unigram-df generator (ES's
+    ``direct_generator``); ES's optional bigram-LM rerank is exactly
+    :func:`~..functions.curation.bigram_logprob`'s distribution and
+    can rescore the cross-product when a collation pass is wanted.
+
+    Plan: ONE vocabulary pass for ALL positions — the (pos, original)
+    literal frame broadcast-joins ``term_stats`` under the length-band
+    prefilter, then one tiny window ranks candidates per position.
+    Driver traffic: |terms| rows."""
+    from pyspark.sql import Window
+
+    spark = index.postings.sparkSession
+    inputs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "pos int, original string"
+    )
+    cands = (
+        index.term_stats.select("term", "df")
+        .filter(F.col("df") >= int(min_df))
+        .join(
+            F.broadcast(inputs),
+            F.abs(F.length("term") - F.length("original"))
+            <= int(max_edits),
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("original")))
+        .filter(F.col("dist") <= int(max_edits))
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    best = (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "pos",
+            F.col("term").alias("suggestion"),
+            "dist",
+            "df",
+        )
+    )
+    return (
+        inputs.join(best, "pos", "left")
+        .select(
+            "pos",
+            "original",
+            F.coalesce("suggestion", "original").alias("suggestion"),
+            "dist",
+            "df",
+        )
+        .orderBy("pos")
     )

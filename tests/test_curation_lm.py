@@ -1,0 +1,165 @@
+"""Batch-3 curation/LM operators: Gopher rule flags, bigram LM
+scoring, per-doc tf-idf keywords, phrase (did-you-mean) suggester."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.functions.curation import (
+    GOPHER_STOPWORDS,
+    bigram_logprob,
+    gopher_rules,
+)
+from mecab_ko_lucene_analyzer_spark.functions.text import tfidf_keywords
+from mecab_ko_lucene_analyzer_spark.index.build import InvertedIndex
+from mecab_ko_lucene_analyzer_spark.query.expand import phrase_suggest
+
+
+# ------------------------------------------------------------- gopher
+
+
+def _gdocs(spark):
+    ok = "the data pipeline and cluster have that scan with " + " ".join(
+        f"word{i}" for i in range(45)
+    )  # 55 words, has >= 2 stopwords, all alpha
+    short = "the of tiny"
+    symbols = (
+        "the of "
+        + " ".join(f"w{i}" for i in range(50))
+        + " "
+        + " ".join("#tag" for _ in range(9))
+    )  # 61 words, 9 symbol words -> ratio 0.147 > 0.1
+    bullets = "\n".join("• item " + " ".join(f"x{i}" for i in range(10)) for _ in range(5))
+    return spark.createDataFrame(
+        [(0, ok), (1, short), (2, symbols), (3, bullets)],
+        "doc_id long, text string",
+    )
+
+
+def test_gopher_pass_and_named_flags(spark):
+    rows = {r["doc_id"]: r for r in gopher_rules(_gdocs(spark)).collect()}
+    assert rows[0]["gopher_pass"] is True
+    # short doc: word count is the killer, stopword rule is fine
+    assert rows[1]["rule_word_count"] is False
+    assert rows[1]["gopher_pass"] is False
+    # symbol doc: symbol ratio kills it, word count passes
+    assert rows[2]["rule_word_count"] is True
+    assert rows[2]["rule_symbol_ratio"] is False
+    # bullet doc: 100% bullet lines > 90%
+    assert rows[3]["rule_bullet_ratio"] is False
+
+
+def test_gopher_stopword_rule_needs_two_distinct(spark):
+    docs = spark.createDataFrame(
+        [(0, " ".join(["the"] * 60)), (1, "the of " + " ".join(f"w{i}" for i in range(58)))],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[0]["rule_stopwords"] is False  # one distinct stopword only
+    assert rows[1]["rule_stopwords"] is True
+    assert set(GOPHER_STOPWORDS) >= {"the", "of"}
+
+
+# ------------------------------------------------------------- bigram
+
+
+def test_bigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # corpus: bigrams ab(×2 from doc0, ×1 doc1)=3? doc0: "a b","b a","a b" → ab=2, ba=1; doc1: ab=1? no: "a b","b c" → ab total 3? doc0 has ab twice.
+    # unigrams: a=3, b=3, c=2 → V=3
+    # P(b|a) = (c_ab+1)/(c_a+V); c_ab = 3, c_a = 3 → 4/6
+    # P(a|b) = (c_ba+1)/(c_b+V); c_ba = 1 → 2/6
+    # P(c|b) = (c_bc+1)/(c_b+V); c_bc = 1 → 2/6
+    lp_ab, lp_ba, lp_bc = math.log(4 / 6), math.log(2 / 6), math.log(2 / 6)
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logprob"] == pytest.approx(
+        round((lp_ab + lp_ba + lp_ab) / 3, 6), abs=1e-9
+    )
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_logprob"] == pytest.approx(
+        round((lp_ab + lp_bc) / 2, 6), abs=1e-9
+    )
+    assert 2 not in out  # single-token doc emits no row
+
+
+def test_bigram_penalizes_unseen_transitions(spark):
+    # same unigrams, scrambled order → every transition unseen-ish
+    docs = spark.createDataFrame(
+        [(i, "x y " * 20) for i in range(4)]
+        + [(9, "y x " * 20)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
+    # doc 9's dominant bigram yx is rare relative to xy
+    assert out[9] < out[0]
+
+
+# -------------------------------------------------------------- tfidf
+
+
+def test_tfidf_keywords_topk_and_ties(spark):
+    postings = spark.createDataFrame(
+        [
+            ("rare", 1, 3), ("common", 1, 5), ("mid", 1, 3),
+            ("common", 2, 1), ("mid", 2, 2),
+        ],
+        "term string, doc_id long, tf long",
+    )
+    stats = spark.createDataFrame(
+        [("rare", 1), ("mid", 2), ("common", 2)], "term string, df long"
+    )
+    out = tfidf_keywords(postings, stats, n_docs=2, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    d1 = sorted(by_doc[1])
+    # doc1: rare 3·ln2=2.079 > mid 3·ln1=0? n_docs=2: idf(rare)=ln(2/1), idf(mid)=ln(2/2)=0, idf(common)=0
+    assert d1[0][1] == "rare"
+    assert d1[0][2] == pytest.approx(3 * math.log(2.0))
+    # tie at 0 between common and mid → term asc picks 'common'
+    assert d1[1][1] == "common"
+    assert len(by_doc[1]) == 2  # k cap
+
+
+# ------------------------------------------------------ phrase_suggest
+
+
+def _sindex(spark):
+    term_stats = spark.createDataFrame(
+        [("spark", 50), ("query", 40), ("table", 30), ("stable", 10), ("sort", 20)],
+        "term string, df long",
+    )
+    postings = spark.createDataFrame([], "term string, doc_id long, tf long")
+    doc_stats = spark.createDataFrame([], "doc_id long, doc_len long")
+    corpus = spark.createDataFrame([(100, 10.0)], "n_docs long, avgdl double")
+    return InvertedIndex(postings, term_stats, doc_stats, corpus)
+
+
+def test_phrase_suggest_corrects_typos_keeps_vocab(spark):
+    out = phrase_suggest(
+        _sindex(spark), ["spark", "qurey", "tabel"], max_edits=2
+    ).collect()
+    assert [r["suggestion"] for r in out] == ["spark", "query", "table"]
+    assert out[0]["dist"] == 0  # in-vocab keeps itself
+    # plain Levenshtein (no transposition op): both typos are 2 edits
+    assert out[1]["dist"] == 2 and out[2]["dist"] == 2
+    assert [r["pos"] for r in out] == [0, 1, 2]
+
+
+def test_phrase_suggest_df_breaks_distance_ties(spark):
+    # 'tible' is dist-1 from 'table'(30); 'stable' is dist 2 → table wins
+    out = phrase_suggest(_sindex(spark), ["tible"]).collect()
+    assert out[0]["suggestion"] == "table"
+
+
+def test_phrase_suggest_no_candidate_falls_back(spark):
+    out = phrase_suggest(_sindex(spark), ["zzzzzzzzzz"]).collect()
+    assert out[0]["suggestion"] == "zzzzzzzzzz"
+    assert out[0]["dist"] is None and out[0]["df"] is None
