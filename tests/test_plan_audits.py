@@ -164,6 +164,41 @@ SHUFFLE_CEILING = {
     "term_stats": 2,
     "token_count": 0,
     "unigram_logprob": 2,
+    # compound queries (session 16): dis_max scores every clause from
+    # ONE postings scan (the 5 = the shared _ws_index agg chain + one
+    # per-doc conditional-sum agg — clause count adds columns, never
+    # exchanges); boosting adds the negative match set's distinct agg
+    # to the scored chain; constant_score is matching_docs' single
+    # agg; wildcard rides the bm25_scored chain like regexp
+    "dis_max_topk": 5,
+    "boosting_topk": 6,
+    "constant_score": 1,
+    "wildcard_topk": 5,
+    # block scan → decode → ONE doc_id agg (+ the block build's own
+    # aggs at this sf); expansion fan-in is a label explode, no join
+    "phrase_prefix_match": 4,
+    # agg batch 2: range/extended_stats/weighted_avg are the matched
+    # agg + ONE conditional/global aggregate (range's unpivot is a
+    # literal stack, exchange-free); composite's 2 = matched agg +
+    # bucket agg (the keyset filter is post-aggregate, costless);
+    # filters' 5 = postings agg chain + the per-bucket
+    # distinct-doc agg (count_distinct expands) + the literal-frame
+    # left join's gather
+    "range_agg": 2,
+    "extended_stats_agg": 2,
+    "weighted_avg_agg": 2,
+    "composite_agg": 2,
+    "filters_agg": 5,
+    # curation/LM batch: keywords = postings+stats aggs + the term
+    # join + ONE per-doc window; gopher is pure narrow map work (MUST
+    # stay zero); bigram = bigram agg + unigram agg + per-doc agg
+    # (the count join reuses the bigram partitioning); suggester
+    # exchanges are ALL vocabulary-sized (term_stats is the only
+    # input) + one |terms|-row window
+    "tfidf_keywords": 4,
+    "gopher_rules": 0,
+    "bigram_logprob": 3,
+    "phrase_suggest": 5,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
