@@ -83,6 +83,21 @@ def main() -> None:
         "(engine.search_regexp)",
     )
     group.add_argument(
+        "--wildcard-query",
+        metavar="PATTERN",
+        help="wildcard retrieval (Lucene WildcardQuery): */? glob "
+        "over the vocabulary (translated to the portable regex core, "
+        "df-desc top-terms rewrite, capped at --max-expansions), "
+        "scored disjunctively (engine.search_wildcard)",
+    )
+    group.add_argument(
+        "--suggest-phrase",
+        metavar="QUERY",
+        help="did-you-mean over a whole query (ES phrase suggester): "
+        "per-position best correction within --max-edits "
+        "(engine.suggest_phrase); QUERY is whitespace-split",
+    )
+    group.add_argument(
         "--suggest",
         metavar="TERM",
         help="did-you-mean: print the top-k vocabulary terms within "
@@ -308,6 +323,24 @@ def main() -> None:
             max_expansions=args.max_expansions,
         )
         print(json.dumps(hits, ensure_ascii=False, indent=2))
+    elif args.wildcard_query:
+        hits = engine.search_wildcard(
+            args.wildcard_query,
+            k=args.k,
+            offset=args.offset,
+            max_expansions=args.max_expansions,
+        )
+        print(json.dumps(hits, ensure_ascii=False, indent=2))
+    elif args.suggest_phrase:
+        print(
+            json.dumps(
+                engine.suggest_phrase(
+                    args.suggest_phrase.split(), max_edits=args.max_edits
+                ),
+                ensure_ascii=False,
+                indent=2,
+            )
+        )
     elif args.ast_json:
         if args.explain:
             from mecab_ko_lucene_analyzer_spark.query.ast import (

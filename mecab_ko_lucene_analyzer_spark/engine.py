@@ -671,6 +671,47 @@ class SearchEngine:
         terms = regexp_expand_terms(self.term_stats, pattern, max_expansions)
         return self._resolve(self._bag_hits(terms, offset + k)[offset:])
 
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = 10,
+        offset: int = 0,
+        max_expansions: int = 50,
+    ) -> list[dict]:
+        """Wildcard retrieval (Lucene ``WildcardQuery``): ``*``/``?``
+        translated to the portable regex core
+        (``query/compound.py::wildcard_to_regexp``), expanded via the
+        vocabulary automaton walk, served disjunctively with the same
+        hot-term routing as :meth:`search_prefix` — ``*`` alone
+        matching a josa-class term must never fetch its blocks to the
+        driver."""
+        from .query.compound import wildcard_expand_terms
+
+        terms = wildcard_expand_terms(self.term_stats, pattern, max_expansions)
+        return self._resolve(self._bag_hits(terms, offset + k)[offset:])
+
+    def suggest_phrase(
+        self, terms: list[str], max_edits: int = 2, min_df: int = 1
+    ) -> list[dict]:
+        """Did-you-mean over a whole query (ES ``phrase`` suggester,
+        ``query/expand.py::phrase_suggest``): per-position best
+        correction (dist asc / df desc / term asc), in-vocab terms
+        keep themselves. One vocabulary pass for all positions."""
+        from .query.expand import phrase_suggest
+
+        return [
+            {
+                "pos": r["pos"],
+                "original": r["original"],
+                "suggestion": r["suggestion"],
+                "dist": r["dist"],
+                "df": r["df"],
+            }
+            for r in phrase_suggest(
+                self._body_index(), terms, max_edits=max_edits, min_df=min_df
+            ).collect()
+        ]
+
     def _bag_hits(self, terms: list[str], fetch: int) -> list[tuple[int, float]]:
         """Disjunctive bag-of-terms serving with hot-term routing —
         the one evaluation recipe behind search(conjunctive=False),

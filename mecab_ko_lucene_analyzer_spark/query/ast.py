@@ -31,6 +31,7 @@ __all__ = [
     "Phrase",
     "And",
     "Or",
+    "DisMax",
     "Not",
     "build_query_ast",
     "ast_terms",
@@ -59,6 +60,22 @@ class And:
 @dataclass(frozen=True)
 class Or:
     children: tuple = ()
+
+
+@dataclass(frozen=True)
+class DisMax:
+    """ES ``dis_max`` compound: scores as the best matching child plus
+    ``tie_breaker ×`` the rest — ``max + tb·(Σ matching − max)``.
+    ``tie_breaker=0`` is exactly this engine's :class:`Or` (best-child
+    max, the synonym-group semantics of Q2); ``tie_breaker=1`` is a
+    plain sum. ES compiles every best_fields ``multi_match`` (the
+    shape the reference's builder emits per analyzed term,
+    `DanawaSearchQueryBuilder.java:178`) to this node. Children are
+    positive scoring clauses (no ``Not`` — ES dis_max has no
+    exclusion slot; wrap in a bool/And for that)."""
+
+    children: tuple = ()
+    tie_breaker: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -114,6 +131,11 @@ def validate_ast(node) -> None:
                 else:
                     walk(c)
         elif isinstance(n, Or):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, DisMax):
+            # dis_max has no exclusion slot: every child must be a
+            # positive scoring clause
             for c in n.children:
                 walk(c)
 
@@ -184,6 +206,11 @@ def to_json(node) -> str:
             return {"and": [conv(c) for c in n.children]}
         if isinstance(n, Or):
             return {"or": [conv(c) for c in n.children]}
+        if isinstance(n, DisMax):
+            return {
+                "dis_max": [conv(c) for c in n.children],
+                "tie_breaker": n.tie_breaker,
+            }
         if isinstance(n, Not):
             return {"not": conv(n.child)}
         raise TypeError(type(n))
@@ -208,6 +235,11 @@ def from_json(spec: str | dict):
             return And(tuple(conv(c) for c in n["and"]))
         if "or" in n:
             return Or(tuple(conv(c) for c in n["or"]))
+        if "dis_max" in n:
+            return DisMax(
+                tuple(conv(c) for c in n["dis_max"]),
+                float(n.get("tie_breaker", 0.0)),
+            )
         if "not" in n:
             return Not(conv(n["not"]))
         raise ValueError(f"unknown node: {n}")

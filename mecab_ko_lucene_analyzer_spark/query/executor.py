@@ -15,7 +15,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 
-from .ast import And, Not, Or, Phrase, Term, ast_terms, validate_ast
+from .ast import And, DisMax, Not, Or, Phrase, Term, ast_terms, validate_ast
 from .wand import TermCursor, load_query_cursors
 
 __all__ = ["execute_ast", "execute_ast_cursors", "topk_and", "topk_or"]
@@ -63,6 +63,24 @@ class _OrNode:
     def score(self) -> float:
         d = self.cur_doc
         return max(ch.score() for ch in self.children if ch.cur_doc == d)
+
+
+class _DisMaxNode(_OrNode):
+    """ES dis_max scorer: best matching child + tie_breaker x the
+    rest. Doc alignment is _OrNode's (match = any child matches);
+    only the blend differs. tie_breaker=0 degenerates to _OrNode's
+    max — the engine's Or semantics — and tie_breaker=1 to a plain
+    sum, so the two existing combinators are the node's endpoints."""
+
+    def __init__(self, children, tie_breaker: float = 0.0):
+        super().__init__(children)
+        self.tb = float(tie_breaker)
+
+    def score(self) -> float:
+        d = self.cur_doc
+        scores = [ch.score() for ch in self.children if ch.cur_doc == d]
+        best = max(scores)
+        return best + self.tb * (sum(scores) - best)
 
 
 class _AndNode:
@@ -180,7 +198,7 @@ def _has_phrase(node) -> bool:
         return True
     if isinstance(node, Not):
         return _has_phrase(node.child)
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, DisMax)):
         return any(_has_phrase(c) for c in node.children)
     return False
 
@@ -244,6 +262,8 @@ def _build_tree(node, cursors: dict[str, TermCursor], used: set[str] | None = No
     children = [c for c in children if not isinstance(c, _Empty)]
     if not children:
         return _Empty()
+    if isinstance(node, DisMax):
+        return _DisMaxNode(children, node.tie_breaker)
     return _OrNode(children)
 
 

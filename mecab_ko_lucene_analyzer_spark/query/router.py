@@ -57,7 +57,7 @@ import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame
 
 from ..index.build import B, K1
-from .ast import And, Not, Or, Phrase, Term, validate_ast
+from .ast import And, DisMax, Not, Or, Phrase, Term, validate_ast
 from .bm25 import lucene_idf
 
 __all__ = [
@@ -246,7 +246,7 @@ def _phrase_free(node) -> bool:
         return False
     if isinstance(node, Not):
         return _phrase_free(node.child)
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, DisMax)):
         return all(_phrase_free(c) for c in node.children)
     return True
 
@@ -254,7 +254,7 @@ def _phrase_free(node) -> bool:
 def _has_not(node) -> bool:
     if isinstance(node, Not):
         return True
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, DisMax)):
         return any(_has_not(c) for c in node.children)
     return False
 
@@ -290,7 +290,7 @@ def ast_routable(node) -> bool:
         return True
     if isinstance(node, Not):
         return ast_routable(node.child)
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, DisMax)):
         return all(ast_routable(c) for c in node.children)
     return False
 
@@ -444,6 +444,18 @@ def _ast_expr(node, scores, phrase_flags=None):
         return F.lit(None).cast("double")
     if isinstance(node, Or):
         return F.greatest(*children) if len(children) > 1 else children[0]
+    if isinstance(node, DisMax):
+        # any matching child matches; blend = max + tb*(sum - max).
+        # Non-matching children coalesce to +0.0 — an exact IEEE
+        # identity, so the driver tree (which sums only matching
+        # children) scores bit-for-bit the same.
+        any_m = reduce(lambda a, b: a | b, (c.isNotNull() for c in children))
+        cz = [F.coalesce(c, F.lit(0.0)) for c in children]
+        best = F.greatest(*cz) if len(cz) > 1 else cz[0]
+        total = reduce(lambda a, b: a + b, cz)
+        return F.when(
+            any_m, best + F.lit(float(node.tie_breaker)) * (total - best)
+        )
     matched = reduce(lambda a, b: a & b, (c.isNotNull() for c in children))
     total = reduce(lambda a, b: a + b, children)
     return F.when(matched, total)
@@ -472,7 +484,7 @@ def _term_leaves(node) -> set[str]:
         return {node.term}
     if isinstance(node, Not):
         return _term_leaves(node.child)
-    if isinstance(node, (And, Or)):
+    if isinstance(node, (And, Or, DisMax)):
         out: set[str] = set()
         for c in node.children:
             out |= _term_leaves(c)
@@ -488,7 +500,7 @@ def _collect_phrases(node, out: list) -> None:
             out.append(node)
     elif isinstance(node, Not):
         _collect_phrases(node.child, out)
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, DisMax)):
         for c in node.children:
             _collect_phrases(c, out)
 
@@ -510,7 +522,7 @@ def _required_phrases(node, out: set, required: bool = True) -> None:
     elif isinstance(node, And):
         for c in node.children:
             _required_phrases(c, out, required)
-    elif isinstance(node, Or):
+    elif isinstance(node, (Or, DisMax)):
         for c in node.children:
             _required_phrases(c, out, False)
 

@@ -599,3 +599,43 @@ def test_percolate_facade(engine):
     got = engine.percolate(doc, stored)
     assert 0 in got and 1 in got
     assert 2 not in got and 3 not in got
+
+
+def test_search_wildcard_equals_translated_regexp(engine):
+    """Wildcard serving = regexp serving over the translated pattern
+    (same expansion walk, same bag scorer, same routing)."""
+    got = engine.search_wildcard("검*", k=20)
+    want = engine.search_regexp("검.*", k=20)
+    assert [(h["doc_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["score"]) for h in want
+    ]
+    assert got  # non-trivial
+
+
+def test_suggest_phrase_engine_facade(engine):
+    out = engine.suggest_phrase(["검색", "엔징"], max_edits=1)
+    assert [o["pos"] for o in out] == [0, 1]
+    assert out[0]["suggestion"] == "검색" and out[0]["dist"] == 0
+    assert out[1]["suggestion"] == "엔진" and out[1]["dist"] == 1
+
+
+def test_search_ast_dis_max_json(engine):
+    """DisMax serves through the same AST entry point (JSON and
+    dataclass), ranks deterministically, and tb=0 equals the Or
+    rendering of the same children."""
+    from mecab_ko_lucene_analyzer_spark.query.ast import DisMax
+
+    spec = (
+        '{"dis_max": [{"term": "검색"}, {"term": "엔진"}],'
+        ' "tie_breaker": 0.3}'
+    )
+    got = engine.search_ast(spec, k=15)
+    assert got
+    assert got == engine.search_ast(
+        DisMax((Term("검색"), Term("엔진")), 0.3), k=15
+    )
+    dm0 = engine.search_ast(DisMax((Term("검색"), Term("엔진")), 0.0), k=15)
+    or_ = engine.search_ast(Or((Term("검색"), Term("엔진"))), k=15)
+    assert [(h["doc_id"], h["score"]) for h in dm0] == [
+        (h["doc_id"], h["score"]) for h in or_
+    ]

@@ -366,3 +366,87 @@ def test_random_not_ast_matches_brute_force(env, ast):
         )
     }
     assert count_ast_cursors(ast, cursors) == len(all_matches), to_json(ast)
+
+
+# ---------------------------------------------------------------- DisMax
+
+
+def test_dismax_json_roundtrip():
+    from mecab_ko_lucene_analyzer_spark.query.ast import (
+        And,
+        DisMax,
+        Term,
+        from_json,
+        to_json,
+    )
+
+    node = And((Term("a"), DisMax((Term("b"), Term("c")), 0.3)))
+    assert from_json(to_json(node)) == node
+    # tie_breaker defaults to 0.0 when omitted in the JSON
+    assert from_json('{"dis_max": [{"term": "x"}]}') == DisMax((Term("x"),))
+
+
+def test_dismax_validate_rejects_not_child():
+    import pytest as _pytest
+
+    from mecab_ko_lucene_analyzer_spark.query.ast import (
+        DisMax,
+        Not,
+        Term,
+        validate_ast,
+    )
+
+    with _pytest.raises(ValueError):
+        validate_ast(DisMax((Term("a"), Not(Term("b")))))
+
+
+def test_dismax_tb0_equals_or_and_blend_law(spark):
+    """Driver-cursor semantics: tie_breaker=0 scores exactly like the
+    engine's Or (best child); 0<tb<1 blends max + tb*(sum-max)."""
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.functions.udfs import (
+        encode_positions_udf,
+    )
+    from mecab_ko_lucene_analyzer_spark.index.blocks import build_blocks
+    from mecab_ko_lucene_analyzer_spark.query.ast import DisMax, Or, Term
+    from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c c"), (2, "b c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("position", "term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("parr"),
+        )
+        .withColumn("positions", encode_positions_udf()(F.col("parr")))
+        .drop("parr")
+        .join(dl, "doc_id")
+    )
+    term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    row = dl.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).first()
+    blocks = build_blocks(
+        postings, term_stats, row["n"], float(row["avgdl"]), hot_min_df=10**9
+    )
+    args = (blocks, term_stats, row["n"], float(row["avgdl"]))
+
+    or_hits = dict(execute_ast(Or((Term("a"), Term("c"))), *args, k=10))
+    dm0 = dict(execute_ast(DisMax((Term("a"), Term("c")), 0.0), *args, k=10))
+    assert dm0 == or_hits
+
+    tb = 0.4
+    dm = dict(execute_ast(DisMax((Term("a"), Term("c")), tb), *args, k=10))
+    a_only = dict(execute_ast(Term("a"), *args, k=10))
+    c_only = dict(execute_ast(Term("c"), *args, k=10))
+    for d, s in dm.items():
+        sa, sc = a_only.get(d, 0.0), c_only.get(d, 0.0)
+        best, tot = max(sa, sc), sa + sc
+        assert s == pytest.approx(best + tb * (tot - best), abs=1e-12)

@@ -14,7 +14,7 @@ from mecab_ko_lucene_analyzer_spark.analysis.tokenizer import token_records
 from mecab_ko_lucene_analyzer_spark.engine import SearchEngine
 from mecab_ko_lucene_analyzer_spark.index import build_and_write
 from mecab_ko_lucene_analyzer_spark.query import bm25_oracle
-from mecab_ko_lucene_analyzer_spark.query.ast import And, Not, Or, Phrase, Term
+from mecab_ko_lucene_analyzer_spark.query.ast import And, DisMax, Not, Or, Phrase, Term
 from mecab_ko_lucene_analyzer_spark.query.executor import execute_ast
 from mecab_ko_lucene_analyzer_spark.query.router import (
     ast_routable,
@@ -114,6 +114,13 @@ ASTS = [
     And((Term("데이터"), Not(Phrase(("검색", "엔진"))))),
     And((Phrase(("데이터", "처리")), Not(Term("검색")))),
     And((Term("시스템"), Phrase(("데이터", "처리")), Not(Term("없는말")))),
+    # dis_max (session 16): tie_breaker blends; nested under And;
+    # phrase child (general flag plan); hot-term clause
+    DisMax((Term("데이터"), Term("검색")), tie_breaker=0.3),
+    DisMax((And((Term("데이터"), Term("시스템"))), Term("검색")), tie_breaker=0.5),
+    And((Term("데이터"), DisMax((Term("검색"), Term("엔진")), tie_breaker=0.7))),
+    DisMax((Phrase(("데이터", "처리")), Term("검색")), tie_breaker=0.4),
+    DisMax((Term("는"), Term("데이터")), tie_breaker=0.2),
 ]
 
 
