@@ -1544,6 +1544,61 @@ def _q_phrase_suggest(spark, sf_dir):
     )
 
 
+#: tumbling-window width for the streaming crawl-stats contract query
+WINDOW_SECONDS = 21600  # 6 hours
+
+
+def _q_streaming_window_stats(spark, sf_dir):
+    """Watermarked event-time window aggregation (``streaming/
+    windowed.py::windowed_crawl_stats``): documents replayed as a file
+    stream with the synthetic fetch timestamp (epoch + doc_id hours,
+    the ``freshness_boost``/``date_histogram`` convention), aggregated
+    into 6-hour tumbling windows per source through Structured
+    Streaming's state store (complete mode — the bounded-replay shape;
+    the watermark late-drop law is pinned by
+    ``tests/test_streaming_windowed.py``). Windows align to the epoch
+    origin, so the oracle is pure integer arithmetic."""
+    import shutil
+    import tempfile
+
+    from mecab_ko_lucene_analyzer_spark.streaming.windowed import (
+        windowed_crawl_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="wstats_contract_")
+    try:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.timestamp_seconds(
+                F.lit(FRESH_EPOCH) + F.col("doc_id") * FRESH_STEP_S
+            ).alias("crawl_ts"),
+            "source",
+            "n_chars",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{base}/in")
+        name = "wstats_contract"
+        q = (
+            windowed_crawl_stats(
+                stream, window=f"{WINDOW_SECONDS} seconds", watermark="2 hours"
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "window_start long, source string, doc_count long, sum_chars long",
+    )
+
+
 SIGTERMS_K = 10
 TOPHITS_BUCKETS = 5
 TOPHITS_SIZE = 3
@@ -2522,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "bigram_logprob": _q_bigram_logprob,
         "phrase_suggest": _q_phrase_suggest,
+        "streaming_window_stats": _q_streaming_window_stats,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -4379,6 +4435,17 @@ def oracle_sql() -> dict[str, str]:
             FROM inputs i
             LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b USING (pos)
             ORDER BY i.pos
+        """,
+        # streaming windowed crawl stats: epoch-aligned tumbling
+        # windows -> pure integer window arithmetic
+        "streaming_window_stats": f"""
+            SELECT (({FRESH_EPOCH}::BIGINT + doc_id * {FRESH_STEP_S})
+                        // {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS window_start,
+                   source,
+                   count(*)::BIGINT AS doc_count,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents
+            GROUP BY 1, 2
         """,
         "facet_terms": f"""
             WITH toks AS ({_TOKS_SQL}),

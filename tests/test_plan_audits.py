@@ -199,6 +199,10 @@ SHUFFLE_CEILING = {
     "gopher_rules": 0,
     "bigram_logprob": 3,
     "phrase_suggest": 5,
+    # the returned frame is the memory sink's materialized rows (the
+    # streaming aggregation itself runs inside the micro-batch
+    # executor, like streaming_postings_tf/streaming_dedup)
+    "streaming_window_stats": 0,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")

@@ -1,0 +1,158 @@
+"""Watermarked windowed crawl stats (streaming/windowed.py): window
+arithmetic, batch/stream equivalence, and the watermark actually
+dropping late rows in update mode."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from mecab_ko_lucene_analyzer_spark.streaming.windowed import (
+    windowed_crawl_stats,
+)
+
+
+def _mk(spark):
+    rows = []
+    for i in range(12):
+        rows.append(
+            (
+                i,
+                f"2026-01-01 {i // 2:02d}:{30 * (i % 2):02d}:00",
+                "a" if i % 3 else "b",
+                100 + i,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, source string, n_chars long"
+    )
+    return df.select(
+        "doc_id",
+        F.to_timestamp("ts").alias("crawl_ts"),
+        "source",
+        "n_chars",
+    )
+
+
+def test_batch_window_arithmetic(spark):
+    docs = _mk(spark)
+    out = windowed_crawl_stats(docs, window="1 hour").collect()
+    got = {(r["window_start"], r["source"]): (r["doc_count"], r["sum_chars"]) for r in out}
+    # brute force
+    rows = docs.collect()
+    want = {}
+    for r in rows:
+        ws = int(r["crawl_ts"].timestamp()) // 3600 * 3600
+        k = (ws, r["source"])
+        c, s = want.get(k, (0, 0))
+        want[k] = (c + 1, s + r["n_chars"])
+    assert got == want
+    # two docs per hour → every window has exactly 2 rows total count
+    assert sum(c for c, _ in got.values()) == 12
+
+
+def test_stream_complete_equals_batch(spark):
+    """availableNow file stream in complete mode == the batch run of
+    the SAME function over the same rows (one definition, no
+    backfill/stream drift)."""
+    base = tempfile.mkdtemp(prefix="wstats_")
+    try:
+        docs = _mk(spark)
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{base}/in")
+        q = (
+            windowed_crawl_stats(stream, window="1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("wstats_t")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["window_start"], r["source"]): (r["doc_count"], r["sum_chars"])
+            for r in spark.sql("SELECT * FROM wstats_t").collect()
+        }
+        want = {
+            (r["window_start"], r["source"]): (r["doc_count"], r["sum_chars"])
+            for r in windowed_crawl_stats(docs, window="1 hour").collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows_in_update_mode(spark):
+    """A second micro-batch carrying a row older than (max event time −
+    watermark) must be DROPPED: its window total never updates. This is
+    the bounded-state guarantee — at crawl scale the state store holds
+    only windows newer than the watermark horizon."""
+    base = tempfile.mkdtemp(prefix="wlate_")
+    try:
+        schema = "doc_id long, crawl_ts timestamp, source string, n_chars long"
+
+        def write(rows, mode):
+            spark.createDataFrame(
+                [(d, ts, s, n) for d, ts, s, n in rows],
+                "doc_id long, crawl_ts string, source string, n_chars long",
+            ).select(
+                "doc_id",
+                F.to_timestamp("crawl_ts").alias("crawl_ts"),
+                "source",
+                "n_chars",
+            ).coalesce(1).write.mode(mode).parquet(f"{base}/in")
+
+        # batch 1 advances event time to 10:00 → watermark 09:00
+        write(
+            [
+                (0, "2026-01-01 06:30:00", "a", 100),
+                (1, "2026-01-01 10:00:00", "a", 100),
+            ],
+            "overwrite",
+        )
+        # ONE long-lived query (the memory sink cannot recover a
+        # checkpoint across restarts): drain, drop the late file,
+        # drain again — watermark state carries across micro-batches
+        stream = spark.readStream.schema(schema).parquet(f"{base}/in")
+        q = (
+            windowed_crawl_stats(stream, window="1 hour", watermark="1 hour")
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("wlate_t")
+            .start()
+        )
+        q.processAllAvailable()
+        # batch 2: one admissible row (09:30) and one LATE row (06:45,
+        # before the 09:00 watermark) that must be dropped
+        write(
+            [
+                (2, "2026-01-01 09:30:00", "a", 100),
+                (3, "2026-01-01 06:45:00", "a", 999),
+            ],
+            "append",
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM wlate_t").collect()
+        by_win = {}
+        for r in rows:  # update mode re-emits per batch: keep last
+            by_win[(r["window_start"], r["source"])] = (
+                r["doc_count"],
+                r["sum_chars"],
+            )
+        h6 = int(
+            spark.sql(
+                "SELECT unix_timestamp(to_timestamp('2026-01-01 06:00:00'))"
+            ).first()[0]
+        )
+        h9 = h6 + 3 * 3600
+        # the 06:00 window keeps its batch-1 state — the late doc 3
+        # never lands (sum stays 100, not 1099)
+        assert by_win[(h6, "a")] == (1, 100)
+        assert by_win[(h9, "a")] == (1, 100)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
