@@ -74,6 +74,8 @@ def curate(
     max_top_token_frac: float | None = None,
     blocklist: list[str] | None = None,
     max_blocked_frac: float = 0.0,
+    gopher: bool = False,
+    min_bigram_logprob: float | None = None,
     scrub: bool = False,
     eval_docs=None,
     decontam_n: int = 8,
@@ -86,9 +88,13 @@ def curate(
     Optional post-dedup stages (all off by default): C4-style span
     dedup (``span_window``: text rewritten from surviving spans, docs
     emptied entirely are dropped), Gopher repetition thresholds
-    (``max_dup_token_frac`` / ``max_top_token_frac``), PII scrubbing
-    (``scrub``), and benchmark decontamination (``eval_docs``: drop
-    docs sharing ``decontam_n``-gram shingles with the eval set).
+    (``max_dup_token_frac`` / ``max_top_token_frac``), the full Gopher
+    rule battery (``gopher``: zero-shuffle flag battery, keep
+    ``gopher_pass`` docs only), the bigram-LM perplexity cut
+    (``min_bigram_logprob``: docs scoring below the threshold — or too
+    short to score — are dropped), PII scrubbing (``scrub``), and
+    benchmark decontamination (``eval_docs``: drop docs sharing
+    ``decontam_n``-gram shingles with the eval set).
 
     ``host_ranks`` (a ``jobs/webgraph.py`` ``host_ranks`` table,
     ``(node, rank)``) drops docs whose url host ranks below
@@ -218,6 +224,29 @@ def curate(
             max_dup_bigram_frac=max_dup_bigram_frac,
             max_top_token_frac=max_top_token_frac,
         )
+    # 4a1. Gopher rule battery: zero-shuffle named-flag predicate —
+    #      the published filter most LLM corpora start from.
+    if gopher:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            gopher_rules,
+        )
+
+        keep = gopher_rules(docs).filter("gopher_pass").select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi")
+    # 4a1b. bigram-LM perplexity cut: corpus-trained add-one bigram
+    #       model; docs below the log-prob floor (word salad) drop, as
+    #       do docs too short to score (no bigrams).
+    if min_bigram_logprob is not None:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            bigram_logprob,
+        )
+
+        keep = (
+            bigram_logprob(docs)
+            .filter(F.col("avg_logprob") >= F.lit(float(min_bigram_logprob)))
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
     # 4a2. C4-style word blocklist: another zero-shuffle inline
     #      predicate (token-exact, case-insensitive; frac threshold
     #      0.0 = drop on any occurrence).
@@ -311,6 +340,21 @@ def main() -> None:
     )
     ap.add_argument("--max-blocked-frac", type=float, default=0.0)
     ap.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the full Gopher rule battery (word count, mean "
+        "word length, symbol/bullet/ellipsis ratios, alpha ratio, "
+        "stopword presence); keep only gopher_pass docs",
+    )
+    ap.add_argument(
+        "--min-bigram-logprob",
+        type=float,
+        default=None,
+        help="drop docs whose mean bigram log-prob under the corpus's "
+        "own add-one LM falls below this floor (word-salad cut); "
+        "docs too short to score (<2 tokens) are dropped too",
+    )
+    ap.add_argument(
         "--scrub-pii",
         action="store_true",
         help="redact emails / dashed phones / IPv4 in the output text",
@@ -374,6 +418,8 @@ def main() -> None:
             else None
         ),
         max_blocked_frac=args.max_blocked_frac,
+        gopher=args.gopher,
+        min_bigram_logprob=args.min_bigram_logprob,
         scrub=args.scrub_pii,
         eval_docs=(
             read_table(spark, args.decontam_input)

@@ -72,7 +72,8 @@ def test_bigram_logprob_hand_computed(spark):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
-    # corpus: bigrams ab(×2 from doc0, ×1 doc1)=3? doc0: "a b","b a","a b" → ab=2, ba=1; doc1: ab=1? no: "a b","b c" → ab total 3? doc0 has ab twice.
+    # corpus bigrams: doc0 "a b","b a","a b" + doc1 "a b","b c"
+    #   → c(ab)=3, c(ba)=1, c(bc)=1
     # unigrams: a=3, b=3, c=2 → V=3
     # P(b|a) = (c_ab+1)/(c_a+V); c_ab = 3, c_a = 3 → 4/6
     # P(a|b) = (c_ba+1)/(c_b+V); c_ba = 1 → 2/6
@@ -163,3 +164,34 @@ def test_phrase_suggest_no_candidate_falls_back(spark):
     out = phrase_suggest(_sindex(spark), ["zzzzzzzzzz"]).collect()
     assert out[0]["suggestion"] == "zzzzzzzzzz"
     assert out[0]["dist"] is None and out[0]["df"] is None
+
+
+# ------------------------------------------------- curate pipeline stages
+
+
+def test_curate_gopher_and_lm_stages(spark):
+    """jobs/curate.py composes the Gopher battery and the bigram-LM
+    floor: a passing doc survives both, a word-count failure dies at
+    the battery, a too-short doc dies at the LM cut."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str((Path("jobs")).resolve().parent / "jobs"))
+    from curate import curate
+
+    good = "the data pipeline and cluster have that scan with " + " ".join(
+        f"w{i}" for i in range(45)
+    )
+    rows = [
+        (0, good, "en"),
+        (1, "the of too short", "en"),  # fails gopher word count
+        (2, "solo", "en"),  # <2 tokens: unscorable by the LM
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate(
+        docs, dedup="exact", gopher=True, min_bigram_logprob=-20.0
+    )
+    assert [r["doc_id"] for r in out.collect()] == [0]
+    # LM floor alone: doc 1 survives (no gopher), doc 2 still dies
+    out2 = curate(docs, dedup="exact", min_bigram_logprob=-20.0)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [0, 1]
