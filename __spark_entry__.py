@@ -1547,6 +1547,63 @@ def _q_phrase_suggest(spark, sf_dir):
 #: tumbling-window width for the streaming crawl-stats contract query
 WINDOW_SECONDS = 21600  # 6 hours
 
+#: DSIR importance-resampling contract: target domain = the Korean
+#: slice of the corpus; hashed unigram+bigram buckets
+DSIR_DIM = 1024
+DSIR_TARGET_LANG = "ko"
+DSIR_K = 30
+DSIR_SEED = 7
+
+
+def _q_dsir_logratio(spark, sf_dir):
+    """DSIR importance scores (``functions/curation.py::
+    dsir_logratio``, Xie et al. 2023): per-doc log importance weight
+    under hashed-ngram bag LMs — target = the DSIR_TARGET_LANG slice,
+    raw = the whole corpus. Both LMs are DSIR_DIM-bounded bucket
+    aggregates; the log-prob table broadcasts. The oracle replays the
+    identical md5-bucket hashing and smoothed-log arithmetic."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        dsir_logratio,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dsir_logratio(
+        docs,
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        dim=DSIR_DIM,
+    ).select("doc_id", "n_feats", F.round("logratio", 6).alias("logratio"))
+
+
+def _q_dsir_sample(spark, sf_dir):
+    """DSIR's sampling-without-replacement step (``dsir_gumbel_topk``):
+    top-DSIR_K by Gumbel-perturbed log weight, the Gumbel noise
+    derived deterministically from ``md5(seed|doc_id)`` — selection ∝
+    importance weights, identical on any partitioning / retry /
+    engine. Ranking runs on the ROUNDED key (doc_id tiebreak) so the
+    cut is ulp-immune."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        _H60,
+        dsir_logratio,
+    )
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import md5_h64
+
+    docs = _docs(spark, sf_dir)
+    scores = dsir_logratio(
+        docs, docs.filter(F.col("lang") == DSIR_TARGET_LANG), dim=DSIR_DIM
+    )
+    u = (
+        md5_h64(
+            F.concat_ws("|", F.lit(str(DSIR_SEED)), F.col("doc_id"))
+        ).cast("double")
+        + 0.5
+    ) / F.lit(_H60)
+    key = F.round(F.col("logratio") + (-F.log(-F.log(u))), 6)
+    return (
+        scores.select("doc_id", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )
+
 
 def _q_streaming_window_stats(spark, sf_dir):
     """Watermarked event-time window aggregation (``streaming/
@@ -2578,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "phrase_suggest": _q_phrase_suggest,
         "streaming_window_stats": _q_streaming_window_stats,
+        "dsir_logratio": _q_dsir_logratio,
+        "dsir_sample": _q_dsir_sample,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -3490,6 +3549,53 @@ def _kmeans_clusters_sql(
             FROM embeddings e CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
     """
+
+
+_H60_SQL = float(1 << 60)
+_DSIR_CORE_SQL = """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, lang, unnest(t) AS tok,
+                       generate_subscripts(t, 1) AS p
+                FROM toks
+            ),
+            feats AS (
+                SELECT doc_id, lang, tok AS f FROM pos
+                UNION ALL
+                SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS f
+                FROM pos a JOIN pos b
+                  ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            ),
+            fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % {dim} AS bucket
+                FROM feats
+            ),
+            cr AS (SELECT bucket, count(*)::DOUBLE AS cr FROM fb GROUP BY 1),
+            ct AS (
+                SELECT bucket, count(*)::DOUBLE AS ct FROM fb
+                WHERE lang = '{lang}' GROUP BY 1
+            ),
+            tot AS (
+                SELECT (SELECT sum(cr) FROM cr) AS tr,
+                       (SELECT coalesce(sum(ct), 0) FROM ct) AS tt
+            ),
+            probs AS (
+                SELECT cr.bucket,
+                       ln((coalesce(ct.ct, 0) + 1) / (tot.tt + {dim}))
+                       - ln((cr.cr + 1) / (tot.tr + {dim})) AS lp
+                FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot
+            ),
+            scores AS (
+                SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                       sum(p.lp) AS logratio
+                FROM fb JOIN probs p USING (bucket)
+                GROUP BY 1
+            )
+""".format(dim=DSIR_DIM, lang=DSIR_TARGET_LANG)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4435,6 +4541,23 @@ def oracle_sql() -> dict[str, str]:
             FROM inputs i
             LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b USING (pos)
             ORDER BY i.pos
+        """,
+        # DSIR: md5-bucketed unigram+bigram features; identical
+        # smoothed-log arithmetic on both engines
+        "dsir_logratio": f"""{_DSIR_CORE_SQL}
+            SELECT doc_id, n_feats, round(logratio, 6) AS logratio
+            FROM scores
+        """,
+        "dsir_sample": f"""{_DSIR_CORE_SQL}
+            SELECT doc_id,
+                   round(logratio
+                         + (- ln(- ln(
+                               (('0x' || substr(md5('{DSIR_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5)
+                               / {_H60_SQL}
+                           ))), 6) AS sample_key
+            FROM scores
+            ORDER BY sample_key DESC, doc_id ASC
+            LIMIT {DSIR_K}
         """,
         # streaming windowed crawl stats: epoch-aligned tumbling
         # windows -> pure integer window arithmetic

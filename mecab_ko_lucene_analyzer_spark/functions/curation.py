@@ -818,3 +818,135 @@ def bigram_logprob(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def _hashed_ngram_buckets(text: str, dim: int, hash_impl: str = "md5") -> Column:
+    """Per-row array of hashed word-feature buckets: unigrams + word
+    bigrams (the DSIR feature space), each ``h64 % dim``. Pure
+    Catalyst array expressions — no explode until the caller needs
+    one, no Python."""
+    from .hashing import h64
+
+    words = whitespace_tokens(text)
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(words, bigrams)
+    return F.transform(
+        feats, lambda x: F.pmod(h64(x, hash_impl), F.lit(int(dim)))
+    )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    text: str = "text",
+    dim: int = 4096,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc log importance
+    weight ``Σ_f [ln p_target(f) − ln p_raw(f)]`` over hashed unigram+
+    bigram word features, with add-one smoothing over the ``dim``
+    hashed buckets::
+
+        p(b) = (count(b) + 1) / (total + dim)
+
+    Docs resembling the TARGET domain (the corpus you want more of —
+    a wiki/books sample, a language slice) score high; generic crawl
+    boilerplate scores low. ``(doc_id, n_feats, logratio)``; docs with
+    no tokens emit no row. Feed the scores to
+    :func:`dsir_gumbel_topk` for the paper's sampling-without-
+    replacement step.
+
+    Plan at crawl scale: both LMs are ``dim``-bounded bucket-count
+    aggregates (map-side combined; output ≤ dim rows each), the
+    per-bucket log-prob table BROADCASTS (≤ dim rows regardless of
+    corpus size), and the only big-relation work is one feature
+    explode + one per-doc aggregate. The target corpus is the small
+    curated sample by construction. Totals ride the count tables as
+    two driver scalars."""
+    fb = docs.select(
+        "doc_id",
+        F.explode(_hashed_ngram_buckets(text, dim, hash_impl)).alias(
+            "bucket"
+        ),
+    )
+    tb = target_docs.select(
+        F.explode(_hashed_ngram_buckets(text, dim, hash_impl)).alias(
+            "bucket"
+        )
+    )
+    # dim-bounded count tables: persist so the totals fetch and the
+    # probs join share one aggregation pass each (the corpus-side
+    # feature explode still runs once more for the scoring join —
+    # the same two-pass shape unigram_logprob documents)
+    cr = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")).persist()
+    ct = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")).persist()
+    tr = cr.agg(F.sum("cr")).first()[0] or 0
+    tt = ct.agg(F.sum("ct")).first()[0] or 0
+    # identical IEEE expression order on both engines: difference of
+    # the two smoothed log-probs, NOT ln of the ratio
+    lp = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+        / F.lit(float(tt + dim))
+    ) - F.log((F.col("cr").cast("double") + 1.0) / F.lit(float(tr + dim)))
+    probs = (
+        cr.join(ct, "bucket", "left")
+        .select("bucket", lp.alias("lp"))
+    )
+    return (
+        fb.join(F.broadcast(probs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lp").alias("logratio"),
+        )
+    )
+
+
+#: Gumbel uniform denominator: md5_h64 is 60-bit
+_H60 = float(1 << 60)
+
+
+def dsir_gumbel_topk(
+    scores: DataFrame,
+    k: int,
+    seed: int = 0,
+    score_col: str = "logratio",
+) -> DataFrame:
+    """DSIR's sampling step: top-``k`` by Gumbel-perturbed log weight
+    — EXACTLY sampling-without-replacement proportional to the
+    importance weights (the Gumbel-top-k trick), made deterministic /
+    retry-stable by deriving each doc's Gumbel noise from
+    ``md5(seed|doc_id)`` instead of an RNG::
+
+        u = (h + 0.5) / 2^60          (u ∈ (0,1), never 0 or 1)
+        g = −ln(−ln u)                 (standard Gumbel)
+        keep the k largest  score + g
+
+    ``(doc_id, sample_key)``, ranked key desc / doc_id asc. The same
+    doc set is selected on any partitioning, any retry, and any
+    engine — the property every other sampler in this repo pins
+    (``stratified_sample``, ``weighted_sample``)."""
+    from .hashing import md5_h64
+
+    u = (
+        md5_h64(F.concat_ws("|", F.lit(str(seed)), F.col("doc_id")))
+        .cast("double")
+        + 0.5
+    ) / F.lit(_H60)
+    g = -F.log(-F.log(u))
+    return (
+        scores.select(
+            "doc_id", (F.col(score_col) + g).alias("sample_key")
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -195,3 +195,96 @@ def test_curate_gopher_and_lm_stages(spark):
     # LM floor alone: doc 1 survives (no gopher), doc 2 still dies
     out2 = curate(docs, dedup="exact", min_bigram_logprob=-20.0)
     assert sorted(r["doc_id"] for r in out2.collect()) == [0, 1]
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        dsir_logratio,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (0, "wiki article about physics and math"),
+            (1, "buy cheap pills online now discount"),
+            (2, "wiki article about biology and math"),
+            (3, "click here buy now cheap discount offer"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "wiki article about chemistry and math"),
+            (101, "wiki article about history and physics"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_logratio(raw, target, dim=512).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # wiki-like docs outscore spam under the target LM
+    assert out[0]["logratio"] > out[1]["logratio"]
+    assert out[2]["logratio"] > out[3]["logratio"]
+    # n_feats = unigrams + bigrams = 6 + 5 = 11 for 6-word docs
+    assert out[0]["n_feats"] == 11
+
+
+def test_dsir_logratio_hand_computed_single_word(spark):
+    import math
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        dsir_logratio,
+    )
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import md5_h64
+
+    raw = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    dim = 64
+    out = {
+        r["doc_id"]: r["logratio"]
+        for r in dsir_logratio(raw, target, dim=dim).collect()
+    }
+    # raw totals: 2 features; target totals: 1 feature
+    # alpha: ct=1, cr=1 → ln(2/(1+64)) − ln(2/(2+64))
+    # beta:  ct=0, cr=1 → ln(1/65) − ln(2/66)
+    want_alpha = math.log(2 / 65) - math.log(2 / 66)
+    want_beta = math.log(1 / 65) - math.log(2 / 66)
+    # hash collision between 'alpha' and 'beta' buckets would break the
+    # hand computation — assert they differ first
+    b = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",)], "t string"
+        )
+        .select("t", (md5_h64(F.col("t")) % dim).alias("b"))
+        .collect()
+    }
+    assert b["alpha"] != b["beta"]
+    assert out[0] == pytest.approx(want_alpha, abs=1e-12)
+    assert out[1] == pytest.approx(want_beta, abs=1e-12)
+
+
+def test_dsir_gumbel_topk_deterministic_and_weight_sensitive(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        dsir_gumbel_topk,
+    )
+
+    scores = spark.createDataFrame(
+        [(i, 0.0 if i < 50 else 10.0) for i in range(60)],
+        "doc_id long, logratio double",
+    )
+    a = dsir_gumbel_topk(scores, k=10, seed=1).collect()
+    b = dsir_gumbel_topk(scores, k=10, seed=1).collect()
+    assert [(r["doc_id"], r["sample_key"]) for r in a] == [
+        (r["doc_id"], r["sample_key"]) for r in b
+    ]  # retry-stable
+    # +10 nats importance dominates Gumbel noise almost surely: the
+    # sample is (nearly) all heavy docs
+    heavy = sum(1 for r in a if r["doc_id"] >= 50)
+    assert heavy == 10
+    # different seed → different perturbation (keys change)
+    c = dsir_gumbel_topk(scores, k=10, seed=2).collect()
+    assert [r["sample_key"] for r in a] != [r["sample_key"] for r in c]

@@ -203,6 +203,12 @@ SHUFFLE_CEILING = {
     # streaming aggregation itself runs inside the micro-batch
     # executor, like streaming_postings_tf/streaming_dedup)
     "streaming_window_stats": 0,
+    # DSIR: two dim-bounded bucket-count aggs (raw + target LMs,
+    # persisted) + the per-doc score agg; the log-prob table rides a
+    # BROADCAST join, so the feature explode never shuffles. The
+    # Gumbel sampler adds arithmetic only — same ceiling.
+    "dsir_logratio": 4,
+    "dsir_sample": 4,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
