@@ -76,6 +76,10 @@ def curate(
     max_blocked_frac: float = 0.0,
     gopher: bool = False,
     min_bigram_logprob: float | None = None,
+    dsir_target=None,
+    dsir_keep: int = 0,
+    dsir_dim: int = 4096,
+    dsir_seed: int = 0,
     scrub: bool = False,
     eval_docs=None,
     decontam_n: int = 8,
@@ -94,7 +98,10 @@ def curate(
     (``min_bigram_logprob``: docs scoring below the threshold — or too
     short to score — are dropped), PII scrubbing (``scrub``), and
     benchmark decontamination (``eval_docs``: drop docs sharing
-    ``decontam_n``-gram shingles with the eval set).
+    ``decontam_n``-gram shingles with the eval set), and DSIR
+    importance resampling (``dsir_target`` + ``dsir_keep``:
+    Gumbel-top-k over hashed-ngram LM log-ratios toward the target
+    domain).
 
     ``host_ranks`` (a ``jobs/webgraph.py`` ``host_ranks`` table,
     ``(node, rank)``) drops docs whose url host ranks below
@@ -284,6 +291,24 @@ def curate(
         from mecab_ko_lucene_analyzer_spark.functions.curation import scrub_pii
 
         docs = scrub_pii(docs)
+    # 4d. DSIR importance resampling: score every surviving doc's log
+    #     importance weight against the target-domain LM and keep the
+    #     Gumbel-top-k — selection ∝ importance weights, deterministic
+    #     under the seed. Runs AFTER the drop stages (no point scoring
+    #     docs the filters kill) and BEFORE stratified mixing (the mix
+    #     fractions then apply to the domain-matched pool).
+    if dsir_target is not None and dsir_keep > 0:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            dsir_gumbel_topk,
+            dsir_logratio,
+        )
+
+        keep = dsir_gumbel_topk(
+            dsir_logratio(docs, dsir_target, dim=dsir_dim),
+            k=dsir_keep,
+            seed=dsir_seed,
+        ).select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi")
     # 5. deterministic stratified mixing
     if fractions:
         docs = stratified_sample(docs, fractions, default_fraction=default_fraction)
@@ -346,6 +371,18 @@ def main() -> None:
         "word length, symbol/bullet/ellipsis ratios, alpha ratio, "
         "stopword presence); keep only gopher_pass docs",
     )
+    ap.add_argument(
+        "--dsir-target",
+        default="",
+        help="target-domain documents table (parquet path or catalog "
+        "table): keep the --dsir-keep docs with the highest Gumbel-"
+        "perturbed DSIR log importance weight (importance resampling "
+        "toward the target domain)",
+    )
+    ap.add_argument("--dsir-keep", type=int, default=0)
+    ap.add_argument("--dsir-dim", type=int, default=4096,
+                    help="hashed-ngram bucket count for the DSIR LMs")
+    ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument(
         "--min-bigram-logprob",
         type=float,
@@ -420,6 +457,12 @@ def main() -> None:
         max_blocked_frac=args.max_blocked_frac,
         gopher=args.gopher,
         min_bigram_logprob=args.min_bigram_logprob,
+        dsir_target=(
+            read_table(spark, args.dsir_target) if args.dsir_target else None
+        ),
+        dsir_keep=args.dsir_keep,
+        dsir_dim=args.dsir_dim,
+        dsir_seed=args.dsir_seed,
         scrub=args.scrub_pii,
         eval_docs=(
             read_table(spark, args.decontam_input)

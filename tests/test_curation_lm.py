@@ -288,3 +288,33 @@ def test_dsir_gumbel_topk_deterministic_and_weight_sensitive(spark):
     # different seed → different perturbation (keys change)
     c = dsir_gumbel_topk(scores, k=10, seed=2).collect()
     assert [r["sample_key"] for r in a] != [r["sample_key"] for r in c]
+
+
+def test_curate_dsir_stage(spark):
+    """curate(dsir_target=..., dsir_keep=k) keeps exactly k docs, and
+    the heavy-importance (target-like) docs win."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str((Path("jobs")).resolve().parent / "jobs"))
+    from curate import curate
+
+    raw = spark.createDataFrame(
+        [
+            (0, "wiki article physics math science", "en"),
+            (1, "buy cheap pills online now", "en"),
+            (2, "wiki article biology math science", "en"),
+            (3, "click buy now cheap offer", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    target = spark.createDataFrame(
+        [(9, "wiki article chemistry math science", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = curate(
+        raw, dedup="exact", dsir_target=target, dsir_keep=2, dsir_dim=512
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert len(kept) == 2
+    assert set(kept) <= {0, 2}  # the wiki-like docs dominate
