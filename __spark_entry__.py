@@ -1547,6 +1547,64 @@ def _q_phrase_suggest(spark, sf_dir):
 #: tumbling-window width for the streaming crawl-stats contract query
 WINDOW_SECONDS = 21600  # 6 hours
 
+#: robots.txt politeness contract: per-host robots TEXT (the Spark
+#: side PARSES these with sources/robots.py; the oracle carries the
+#: expected parse as literal rules — parser drift hash-mismatches).
+#: Covers UA-group selection, empty Disallow, a doc-specific deep
+#: allow, and an equal-length tie (allow wins).
+ROBOTS_TXT: dict[str, str] = {
+    "src0.example.com": "User-agent: *\nDisallow: /p\nAllow: /p1\n",
+    "src1.example.com": (
+        "User-agent: megabot\nAllow: /\n\n"
+        "User-agent: *\nDisallow: /\n"
+    ),
+    "src2.example.com": (
+        "User-agent: *\nDisallow: /p3/\nAllow: /p3/page122\nDisallow:\n"
+    ),
+    "src3.example.com": "User-agent: *\nDisallow: /p4\nAllow: /p4\n",
+}
+#: the expected parse of ROBOTS_TXT for UA '*' — the oracle's VALUES
+ROBOTS_RULES: list[tuple[str, str, bool]] = [
+    ("src0.example.com", "/p", False),
+    ("src0.example.com", "/p1", True),
+    ("src1.example.com", "/", False),
+    ("src2.example.com", "/p3/", False),
+    ("src2.example.com", "/p3/page122", True),
+    ("src3.example.com", "/p4", False),
+    ("src3.example.com", "/p4", True),
+]
+
+
+def _q_robots_allowed(spark, sf_dir):
+    """robots.txt politeness (``sources/robots.py``): synthetic urls
+    ``https://src{id%20}.example.com/p{id%7}/page{id}`` decided
+    against PARSED per-host robots.txt (``parse_robots`` → RFC 9309
+    longest-match, ``max(2·len + allow)`` parity law in
+    ``robots_allowed``). The oracle replays the decision over the
+    EXPECTED parse — a parser regression hash-mismatches here, not
+    just in pytest."""
+    from mecab_ko_lucene_analyzer_spark.sources.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        list(ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+    did = F.col("doc_id")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://src"),
+            (did % 20).cast("string"),
+            F.lit(".example.com/p"),
+            (did % 7).cast("string"),
+            F.lit("/page"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    return robots_allowed(urls, parse_robots(robots))
+
 #: DSIR importance-resampling contract: target domain = the Korean
 #: slice of the corpus; hashed unigram+bigram buckets
 DSIR_DIM = 1024
@@ -2637,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_stats": _q_streaming_window_stats,
         "dsir_logratio": _q_dsir_logratio,
         "dsir_sample": _q_dsir_sample,
+        "robots_allowed": _q_robots_allowed,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -4541,6 +4600,33 @@ def oracle_sql() -> dict[str, str]:
             FROM inputs i
             LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b USING (pos)
             ORDER BY i.pos
+        """,
+        # robots.txt: longest-match parity law over the EXPECTED
+        # parse of ROBOTS_TXT (parser drift mismatches here)
+        "robots_allowed": f"""
+            WITH urls AS (
+                SELECT doc_id,
+                       'src' || (doc_id % 20)::VARCHAR || '.example.com' AS host,
+                       '/p' || (doc_id % 7)::VARCHAR || '/page' || doc_id::VARCHAR AS path
+                FROM documents
+            ),
+            rules(host, path_prefix, allow) AS (VALUES {", ".join(
+                "('" + h + "', '" + p_ + "', " + ("TRUE" if a else "FALSE") + ")"
+                for h, p_, a in ROBOTS_RULES
+            )}),
+            matched AS (
+                SELECT u.doc_id,
+                       max(2 * length(r.path_prefix)
+                           + CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+                FROM urls u
+                JOIN rules r
+                  ON u.host = r.host
+                 AND starts_with(u.path, r.path_prefix)
+                GROUP BY 1
+            )
+            SELECT u.doc_id,
+                   coalesce(m.best % 2 = 1, TRUE) AS allowed
+            FROM urls u LEFT JOIN matched m USING (doc_id)
         """,
         # DSIR: md5-bucketed unigram+bigram features; identical
         # smoothed-log arithmetic on both engines

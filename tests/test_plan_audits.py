@@ -209,6 +209,9 @@ SHUFFLE_CEILING = {
     # Gumbel sampler adds arithmetic only — same ceiling.
     "dsir_logratio": 4,
     "dsir_sample": 4,
+    # robots: broadcast rules join + ONE per-doc decision agg + the
+    # no-match left join back (both doc_id-keyed)
+    "robots_allowed": 2,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
