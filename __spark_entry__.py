@@ -1454,6 +1454,43 @@ def _q_composite_agg(spark, sf_dir):
     )
 
 
+#: terms_set per-doc threshold law: doc_id % 3 + 1 over the 3-term
+#: BM25_QUERY — thresholds 1, 2 and 3 all exercised
+TERMS_SET_K = 15
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    """ES ``adjacency_matrix`` (``query/aggs.py::
+    adjacency_matrix_agg``): FILTERS_SPEC's named buckets plus every
+    pair intersection (``a&b`` keys), zero counts kept — distinct
+    (bucket, doc) relation from one IN-pruned scan, pairs via one
+    doc_id-keyed self-join bounded by the match counts."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import (
+        adjacency_matrix_agg,
+    )
+
+    return adjacency_matrix_agg(_ws_index(spark, sf_dir), FILTERS_SPEC)
+
+
+def _q_terms_set_topk(spark, sf_dir):
+    """ES ``terms_set`` query (``query/aggs.py::terms_set_scored``):
+    each doc's own ``minimum_should_match`` threshold
+    (``doc_id % 3 + 1``) gates the disjunctive BM25_QUERY match;
+    surviving docs keep the plain OR-sum scores. Rounding before the
+    rank cut, as in ``msm_topk``."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import terms_set_scored
+
+    req = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 3 + 1).alias("required_matches")
+    )
+    return (
+        terms_set_scored(_ws_index(spark, sf_dir), BM25_QUERY, req)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TERMS_SET_K)
+    )
+
+
 def _q_filters_agg(spark, sf_dir):
     """ES ``filters`` aggregation (``query/aggs.py::filters_agg``):
     three NAMED buckets counting distinct docs per OR term-bag from
@@ -2688,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_agg": _q_weighted_avg_agg,
         "composite_agg": _q_composite_agg,
         "filters_agg": _q_filters_agg,
+        "adjacency_matrix": _q_adjacency_matrix,
+        "terms_set_topk": _q_terms_set_topk,
         "tfidf_keywords": _q_tfidf_keywords,
         "gopher_rules": _q_gopher_rules,
         "bigram_logprob": _q_bigram_logprob,
@@ -3608,6 +3647,30 @@ def _kmeans_clusters_sql(
             FROM embeddings e CROSS JOIN c{n_iter} c
         ) WHERE rn = 1
     """
+
+
+def _am_branches_sql() -> str:
+    """UNION ALL branches for the adjacency_matrix oracle: one per
+    named bucket (distinct doc count) and one per sorted pair
+    (intersection count) — generated from FILTERS_SPEC so the oracle
+    cannot drift from the Spark spec."""
+    names = sorted(FILTERS_SPEC)
+    def bag(n):
+        return ", ".join("'" + t + "'" for t in FILTERS_SPEC[n])
+    branches = [
+        "SELECT '" + n + "' AS bucket, (SELECT count(DISTINCT doc_id) "
+        "FROM toks WHERE term IN (" + bag(n) + "))::BIGINT AS doc_count"
+        for n in names
+    ]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            branches.append(
+                "SELECT '" + a + "&" + b + "' AS bucket, (SELECT count(*) FROM "
+                "(SELECT DISTINCT doc_id FROM toks WHERE term IN (" + bag(a) + ")) x "
+                "JOIN (SELECT DISTINCT doc_id FROM toks WHERE term IN (" + bag(b) + ")) y "
+                "USING (doc_id))::BIGINT AS doc_count"
+            )
+    return " UNION ALL ".join(branches)
 
 
 _H60_SQL = float(1 << 60)
@@ -4655,6 +4718,43 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS sum_chars
             FROM documents
             GROUP BY 1, 2
+        """,
+        # adjacency_matrix: singles + pair intersections, zeros kept
+        "adjacency_matrix": f"""
+            WITH toks AS ({_TOKS_SQL})
+            SELECT * FROM (
+                {_am_branches_sql()}
+            ) ORDER BY bucket ASC
+        """,
+        # terms_set: per-doc minimum_should_match threshold
+        "terms_set_topk": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            scored AS (
+                SELECT tfs.doc_id,
+                       sum(
+                           ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / corpus.avgdl))
+                       ) AS s,
+                       count(*) AS n_matched
+                FROM tfs
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN corpus
+                GROUP BY tfs.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score
+            FROM scored
+            WHERE n_matched >= doc_id % 3 + 1
+            ORDER BY score DESC, doc_id ASC
+            LIMIT {TERMS_SET_K}
         """,
         "facet_terms": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -52,6 +52,9 @@ __all__ = [
     "weighted_avg_agg",
     "composite_agg",
     "filters_agg",
+    "adjacency_matrix_agg",
+    "terms_set_topk",
+    "terms_set_scored",
 ]
 
 #: ES ``percentiles`` default percent set
@@ -741,4 +744,145 @@ def filters_agg(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("doc_count"),
         )
         .orderBy(F.asc("bucket"))
+    )
+
+
+def adjacency_matrix_agg(
+    index: InvertedIndex,
+    named_filters: dict[str, list[str]],
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: one row per NAMED filter
+    and one per pair intersection (key ``a&b``, names sorted — the ES
+    key format): ``(bucket, doc_count)``. Deviation from ES, for
+    cross-engine determinism: EVERY single and EVERY pair appears,
+    zero counts included (ES prunes empty buckets — a presentation
+    concern; a total frame hashes identically everywhere).
+
+    Plan: the distinct (bucket, doc) relation comes from ONE IN-pruned
+    postings scan + broadcast term→bucket fan-out (the
+    :func:`filters_agg` shape); singles are one aggregate over it,
+    pairs one doc_id-keyed self-join bounded by Σ per-bucket match
+    counts (filter count is query-bounded, so the join fan-out per doc
+    is ≤ |filters|²). Zero-count rows ride a literal frame left join."""
+    spark = index.postings.sparkSession
+    names = sorted(named_filters)
+    pairs = sorted(
+        {(t, n) for n, bag in named_filters.items() for t in bag}
+    )
+    keys = list(names) + [
+        f"{a}&{b}" for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    frame = spark.createDataFrame([(k,) for k in keys], "bucket string")
+    if not pairs:
+        return frame.withColumn("doc_count", F.lit(0).cast("long"))
+    tmap = spark.createDataFrame(pairs, "term string, bucket string")
+    bd = (
+        index.postings.filter(
+            F.col("term").isin(sorted({t for t, _ in pairs}))
+        )
+        .join(F.broadcast(tmap), "term")
+        .select("bucket", "doc_id")
+        .distinct()
+    )
+    singles = bd.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    l, r = bd.alias("l"), bd.alias("r")
+    inter = (
+        l.join(r, "doc_id")
+        .filter(F.col("l.bucket") < F.col("r.bucket"))
+        .groupBy(
+            F.concat_ws("&", F.col("l.bucket"), F.col("r.bucket")).alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = singles.unionByName(inter)
+    return (
+        frame.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("doc_count"),
+        )
+        .orderBy(F.asc("bucket"))
+    )
+
+
+def terms_set_topk(
+    index: InvertedIndex,
+    query_terms: list[str],
+    required: DataFrame,
+    k: int = 10,
+    k1: float = None,
+    b: float = None,
+) -> DataFrame:
+    """ES ``terms_set`` query: a doc matches when its DISTINCT
+    query-term match count reaches its OWN per-doc threshold (ES's
+    ``minimum_should_match_field`` — the per-doc generalization of the
+    fixed ``minimum_should_match`` knob). ``required`` is any
+    ``(doc_id, required_matches)`` relation. Matching docs score the
+    plain disjunctive BM25 sum; ``(doc_id, score)``, score desc /
+    doc_id asc, ``k`` rows.
+
+    Plan: the per-doc (score, match-count) aggregate is the
+    ``bm25_scored`` shape; the threshold arrives via ONE doc_id join
+    applied post-aggregate and pre-top-k (a doc's threshold cannot
+    change other docs' scores, so the join commutes with scoring but
+    NOT with the cut)."""
+    return (
+        terms_set_scored(index, query_terms, required, k1, b)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def terms_set_scored(
+    index: InvertedIndex,
+    query_terms: list[str],
+    required: DataFrame,
+    k1: float = None,
+    b: float = None,
+) -> DataFrame:
+    """Pre-top-k ``terms_set`` relation ``(doc_id, score)`` — see
+    :func:`terms_set_topk` for semantics and plan shape."""
+    from ..index.build import B as _B, K1 as _K1
+    from .bm25 import score_expr
+
+    k1 = _K1 if k1 is None else k1
+    b = _B if b is None else b
+    spark = index.postings.sparkSession
+    terms = sorted(set(query_terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    corpus = index.corpus_stats.first()
+    n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    idf_df = (
+        index.term_stats.join(F.broadcast(terms_df), "term")
+        .withColumn(
+            "idf",
+            F.log1p((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .select("term", "idf")
+    )
+    matched = index.postings.filter(F.col("term").isin(terms))
+    if "doc_len" not in matched.columns:
+        matched = matched.join(index.doc_stats, "doc_id")
+    scored = (
+        matched.join(F.broadcast(idf_df), "term")
+        .withColumn("avgdl", F.lit(avgdl))
+        .withColumn("partial", score_expr(k1, b))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("partial").alias("score"),
+            F.count(F.lit(1)).alias("_n_matched"),
+        )
+    )
+    return (
+        scored.join(
+            required.select("doc_id", "required_matches"), "doc_id"
+        )
+        .filter(F.col("_n_matched") >= F.col("required_matches"))
+        .select("doc_id", "score")
     )

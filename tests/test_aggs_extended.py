@@ -187,3 +187,58 @@ def test_filters_agg_named_buckets_with_zero(spark):
 def test_filters_agg_empty_spec(spark):
     idx = _hand_index(spark)
     assert filters_agg(idx, {}).count() == 0
+
+
+# ----------------------------------------------------- adjacency_matrix
+
+
+def test_adjacency_matrix_singles_pairs_and_zeros(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import (
+        adjacency_matrix_agg,
+    )
+
+    idx = _hand_index(spark)
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in adjacency_matrix_agg(
+            idx, {"ab": ["a", "b"], "conly": ["c"], "none": ["zzz"]}
+        ).collect()
+    }
+    # ab → {1,2,3,5}, conly → {3,4}; intersection {3}
+    assert got == {
+        "ab": 4,
+        "conly": 2,
+        "none": 0,
+        "ab&conly": 1,
+        "ab&none": 0,
+        "conly&none": 0,
+    }
+
+
+# ------------------------------------------------------------ terms_set
+
+
+def test_terms_set_per_doc_threshold(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import terms_set_topk
+    from mecab_ko_lucene_analyzer_spark.query.bm25 import bm25_scored
+
+    idx = _hand_index(spark)
+    # doc → distinct matches over {a,b,c}: 1→1, 2→2, 3→3, 4→1, 5→1
+    required = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (4, 2), (5, 1)],
+        "doc_id long, required_matches int",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in terms_set_topk(
+            idx, ["a", "b", "c"], required, k=10
+        ).collect()
+    }
+    # doc2 needs 3 (has 2) → out; doc4 needs 2 (has 1) → out
+    assert set(got) == {1, 3, 5}
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scored(idx, ["a", "b", "c"]).collect()
+    }
+    for d, s in got.items():
+        assert s == pytest.approx(base[d], rel=1e-12)  # scores unchanged

@@ -212,6 +212,15 @@ SHUFFLE_CEILING = {
     # robots: broadcast rules join + ONE per-doc decision agg + the
     # no-match left join back (both doc_id-keyed)
     "robots_allowed": 2,
+    # adjacency_matrix: the (bucket, doc) relation appears in the
+    # singles agg and BOTH self-join sides, each carrying the
+    # tokenize→postings agg chain in the STATIC plan — AQE's
+    # ReusedExchange collapses the repeats at runtime, and every
+    # relation is match-set-bounded (never corpus-wide)
+    "adjacency_matrix": 12,
+    # terms_set rides the bm25_scored chain + the per-doc threshold
+    # join (doc_id-keyed both sides)
+    "terms_set_topk": 5,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
