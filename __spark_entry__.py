@@ -1491,6 +1491,49 @@ def _q_terms_set_topk(spark, sf_dir):
     )
 
 
+#: date_range bounds (epoch seconds, the freshness ts convention);
+#: the +1000 h lower bound is past the corpus -> a mandatory 0 bucket
+DATE_RANGES: list[tuple[int | None, int | None]] = [
+    (None, FRESH_EPOCH + 100 * 3600),
+    (FRESH_EPOCH + 100 * 3600, FRESH_EPOCH + 300 * 3600),
+    (FRESH_EPOCH + 300 * 3600, None),
+    (FRESH_EPOCH + 1000 * 3600, None),
+]
+#: missing-agg law: every 7th doc's source is NULLed
+MISSING_MOD = 7
+
+
+def _q_date_range_agg(spark, sf_dir):
+    """ES ``date_range`` (``query/aggs.py::date_range_agg``): the
+    BM25_QUERY match set bucketed by half-open epoch-second ranges of
+    the synthetic fetch timestamp — every configured range kept (the
+    past-the-corpus bucket must read 0)."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import date_range_agg
+
+    ts = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(FRESH_EPOCH) + F.col("doc_id") * FRESH_STEP_S).alias("ts"),
+    )
+    return date_range_agg(
+        _ws_index(spark, sf_dir), BM25_QUERY, ts, "ts", DATE_RANGES
+    )
+
+
+def _q_missing_agg(spark, sf_dir):
+    """ES ``missing`` aggregation (``query/aggs.py::missing_agg``):
+    matching docs whose (synthetically NULLed — every MISSING_MOD-th
+    doc) source attribute is absent."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import missing_agg
+
+    attrs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % MISSING_MOD != 0, F.col("source")).alias(
+            "source"
+        ),
+    )
+    return missing_agg(_ws_index(spark, sf_dir), BM25_QUERY, attrs, "source")
+
+
 def _q_filters_agg(spark, sf_dir):
     """ES ``filters`` aggregation (``query/aggs.py::filters_agg``):
     three NAMED buckets counting distinct docs per OR term-bag from
@@ -2727,6 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": _q_filters_agg,
         "adjacency_matrix": _q_adjacency_matrix,
         "terms_set_topk": _q_terms_set_topk,
+        "date_range_agg": _q_date_range_agg,
+        "missing_agg": _q_missing_agg,
         "tfidf_keywords": _q_tfidf_keywords,
         "gopher_rules": _q_gopher_rules,
         "bigram_logprob": _q_bigram_logprob,
@@ -4755,6 +4800,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_matched >= doc_id % 3 + 1
             ORDER BY score DESC, doc_id ASC
             LIMIT {TERMS_SET_K}
+        """,
+        "date_range_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            ),
+            vals AS (
+                SELECT ({FRESH_EPOCH}::BIGINT + doc_id * {FRESH_STEP_S})::DOUBLE AS v
+                FROM matched
+            )
+            {" UNION ALL ".join(
+                "SELECT '" + _range_key(lo, hi) + "' AS key, "
+                + "coalesce(sum(CASE WHEN "
+                + " AND ".join(
+                    ([f"v >= {float(lo)}"] if lo is not None else [])
+                    + ([f"v < {float(hi)}"] if hi is not None else [])
+                    or ["TRUE"]
+                )
+                + " THEN 1 ELSE 0 END), 0)::BIGINT AS doc_count FROM vals"
+                for lo, hi in DATE_RANGES
+            )}
+        """,
+        "missing_agg": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT coalesce(sum(
+                       CASE WHEN doc_id % {MISSING_MOD} = 0 THEN 1 ELSE 0 END
+                   ), 0)::BIGINT AS missing_count
+            FROM matched
         """,
         "facet_terms": f"""
             WITH toks AS ({_TOKS_SQL}),

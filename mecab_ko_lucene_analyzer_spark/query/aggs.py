@@ -55,6 +55,8 @@ __all__ = [
     "adjacency_matrix_agg",
     "terms_set_topk",
     "terms_set_scored",
+    "date_range_agg",
+    "missing_agg",
 ]
 
 #: ES ``percentiles`` default percent set
@@ -885,4 +887,61 @@ def terms_set_scored(
         )
         .filter(F.col("_n_matched") >= F.col("required_matches"))
         .select("doc_id", "score")
+    )
+
+
+def date_range_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_ts: DataFrame,
+    ts_col: str,
+    ranges: list[tuple[int | None, int | None]],
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``date_range`` aggregation over epoch-second bounds:
+    ``[from, to)`` half-open like :func:`range_agg` (ES date_range
+    shares the numeric range law; date-math rendering is client
+    sugar), every configured range kept, overlap allowed. ``doc_ts``
+    carries an epoch-seconds BIGINT column — the engine's timestamp
+    convention (``date_histogram`` emits the same), which keeps the
+    cross-engine comparison pure integer arithmetic."""
+    return range_agg(
+        index,
+        query_terms,
+        doc_ts,
+        ts_col,
+        [(float(lo) if lo is not None else None,
+          float(hi) if hi is not None else None) for lo, hi in ranges],
+        min_should_match,
+    )
+
+
+def missing_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    attr_col: str,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``missing`` aggregation: ONE row ``(missing_count)`` — how
+    many MATCHING docs lack a value for ``attr_col`` (NULL attribute
+    or no attrs row at all; both are "missing" in ES's doc-values
+    sense). One left join + one conditional count."""
+    docs = matching_docs(index, query_terms, min_should_match)
+    return (
+        docs.join(
+            doc_attrs.select("doc_id", attr_col), "doc_id", "left"
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(attr_col).isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("missing_count")
+        )
     )

@@ -242,3 +242,36 @@ def test_terms_set_per_doc_threshold(spark):
     }
     for d, s in got.items():
         assert s == pytest.approx(base[d], rel=1e-12)  # scores unchanged
+
+
+# ------------------------------------------------- date_range / missing
+
+
+def test_date_range_shares_the_range_law(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import date_range_agg
+
+    idx = _hand_index(spark)
+    ts = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (4, None), (5, 400)],
+        "doc_id long, ts long",
+    )
+    got = {
+        r["key"]: r["doc_count"]
+        for r in date_range_agg(
+            idx, ["a", "b", "c"], ts, "ts",
+            [(None, 200), (200, 400), (400, None), (1000, None)],
+        ).collect()
+    }
+    assert got == {"*-200": 1, "200-400": 2, "400-*": 1, "1000-*": 0}
+
+
+def test_missing_counts_null_and_absent_rows(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import missing_agg
+
+    idx = _hand_index(spark)
+    attrs = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "doc_id long, a string"
+    )  # docs 4, 5 have NO attrs row at all
+    row = missing_agg(idx, ["a", "b", "c"], attrs, "a").first()
+    # matching docs 1..5: missing = doc2 (NULL) + docs 4, 5 (absent)
+    assert row["missing_count"] == 3

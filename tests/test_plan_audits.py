@@ -221,6 +221,10 @@ SHUFFLE_CEILING = {
     # terms_set rides the bm25_scored chain + the per-doc threshold
     # join (doc_id-keyed both sides)
     "terms_set_topk": 5,
+    # matched agg + one global conditional aggregate each (range_agg
+    # family — the unpivot/count is a literal, exchange-free)
+    "date_range_agg": 2,
+    "missing_agg": 2,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")
