@@ -1685,6 +1685,40 @@ def _q_robots_allowed(spark, sf_dir):
     )
     return robots_allowed(urls, parse_robots(robots))
 
+#: session-window contract: 30-min event steps, 1-h gap → ids 1 and 2
+#: apart merge (the INCLUSIVE gap boundary is part of the law), 3+
+#: apart break; keyed on lang so sessions form nontrivially
+SESSION_STEP_S = 1800
+SESSION_GAP_S = 3600
+
+
+def _q_session_stats(spark, sf_dir):
+    """Gap-based session windows (``streaming/windowed.py::
+    session_crawl_stats``, ``F.session_window``): documents as a
+    per-lang event train (epoch + doc_id·30 min), sessions split on
+    silences strictly longer than 1 h — Spark's inclusive gap
+    boundary (an event at exactly ``prev + gap`` merges) is replayed
+    in the oracle's gaps-and-islands form (``ts − lag(ts) > gap``
+    breaks). Batch mode here; the streaming append-mode equivalence
+    and watermark finalization are pinned by
+    ``tests/test_streaming_windowed.py``."""
+    from mecab_ko_lucene_analyzer_spark.streaming.windowed import (
+        session_crawl_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(FRESH_EPOCH) + F.col("doc_id") * SESSION_STEP_S
+        ).alias("crawl_ts"),
+        "lang",
+        "n_chars",
+    )
+    return session_crawl_stats(
+        docs, key_col="lang", gap=f"{SESSION_GAP_S} seconds"
+    )
+
+
 #: DSIR importance-resampling contract: target domain = the Korean
 #: slice of the corpus; hashed unigram+bigram buckets
 DSIR_DIM = 1024
@@ -2777,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "phrase_suggest": _q_phrase_suggest,
         "streaming_window_stats": _q_streaming_window_stats,
+        "session_stats": _q_session_stats,
         "dsir_logratio": _q_dsir_logratio,
         "dsir_sample": _q_dsir_sample,
         "robots_allowed": _q_robots_allowed,
@@ -4735,6 +4770,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.doc_id,
                    coalesce(m.best % 2 = 1, TRUE) AS allowed
             FROM urls u LEFT JOIN matched m USING (doc_id)
+        """,
+        # session windows: gaps-and-islands with the INCLUSIVE gap
+        # boundary (break strictly greater than gap)
+        "session_stats": f"""
+            WITH t AS (
+                SELECT doc_id, lang, n_chars,
+                       ({FRESH_EPOCH}::BIGINT + doc_id * {SESSION_STEP_S}) AS ts
+                FROM documents
+            ),
+            o AS (
+                SELECT *, lag(ts) OVER (
+                    PARTITION BY lang ORDER BY ts, doc_id
+                ) AS prev
+                FROM t
+            ),
+            m AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR ts - prev > {SESSION_GAP_S}
+                               THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            g AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY lang ORDER BY ts, doc_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS grp
+                FROM m
+            )
+            SELECT min(ts)::BIGINT AS session_start, lang,
+                   count(*)::BIGINT AS doc_count,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM g
+            GROUP BY lang, grp
         """,
         # DSIR: md5-bucketed unigram+bigram features; identical
         # smoothed-log arithmetic on both engines

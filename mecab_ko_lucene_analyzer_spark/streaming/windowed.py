@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["windowed_crawl_stats"]
+__all__ = ["windowed_crawl_stats", "session_crawl_stats"]
 
 
 def windowed_crawl_stats(
@@ -58,6 +58,49 @@ def windowed_crawl_stats(
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            key_col,
+            "doc_count",
+            "sum_chars",
+        )
+    )
+
+
+def session_crawl_stats(
+    stream_docs: DataFrame,
+    ts_col: str = "crawl_ts",
+    key_col: str = "source",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based SESSION windows per ``key_col`` (``F.session_window``
+    — the other Structured Streaming window family): events of one key
+    merge while each arrives within ``gap`` of the previous event
+    (Spark's boundary is INCLUSIVE: an event at exactly
+    ``prev + gap`` still extends the session; only a strictly larger
+    silence starts a new one — pinned by the tests). The shape behind
+    crawl-burst detection, per-host politeness accounting, and
+    user-session rollups.
+
+    ``(session_start, <key_col>, doc_count, sum_chars)``;
+    ``session_start`` is the FIRST event's epoch seconds (BIGINT — the
+    engine's timestamp convention). Batch and streaming share this one
+    definition; in streaming the watermark both bounds state and
+    finalizes sessions, and the sink must be APPEND mode — Spark
+    rejects update and complete for streaming session aggregations
+    (a session emits exactly once, when the watermark passes its
+    end)."""
+    return (
+        stream_docs.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
             key_col,
             "doc_count",
             "sum_chars",

@@ -225,6 +225,9 @@ SHUFFLE_CEILING = {
     # family — the unpivot/count is a literal, exchange-free)
     "date_range_agg": 2,
     "missing_agg": 2,
+    # session windows: ONE key-partitioned exchange (session merge is
+    # a per-partition sort within the aggregate)
+    "session_stats": 1,
 }
 
 _NODE = re.compile(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)")

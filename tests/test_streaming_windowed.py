@@ -156,3 +156,107 @@ def test_watermark_drops_late_rows_in_update_mode(spark):
         assert by_win[(h9, "a")] == (1, 100)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ------------------------------------------------------ session windows
+
+
+def _smk(spark):
+    # per-source event trains with designed gaps (gap = 30 min):
+    #   a: 00:00, 00:10, 00:25 | 01:30, 01:40   (two sessions)
+    #   b: 00:00, 00:30 (exactly the gap → still MERGES: Spark's
+    #      session boundary is inclusive) | 02:00
+    rows = [
+        (0, "2026-01-01 00:00:00", "a", 10),
+        (1, "2026-01-01 00:10:00", "a", 10),
+        (2, "2026-01-01 00:25:00", "a", 10),
+        (3, "2026-01-01 01:30:00", "a", 10),
+        (4, "2026-01-01 01:40:00", "a", 10),
+        (5, "2026-01-01 00:00:00", "b", 20),
+        (6, "2026-01-01 00:30:00", "b", 20),
+        (7, "2026-01-01 02:00:00", "b", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, source string, n_chars long"
+    )
+    return df.select(
+        "doc_id", F.to_timestamp("ts").alias("crawl_ts"), "source", "n_chars"
+    )
+
+
+def _epoch(spark, s):
+    return int(
+        spark.sql(f"SELECT unix_timestamp(to_timestamp('{s}'))").first()[0]
+    )
+
+
+def test_session_windows_batch_gap_law(spark):
+    from mecab_ko_lucene_analyzer_spark.streaming.windowed import (
+        session_crawl_stats,
+    )
+
+    docs = _smk(spark)
+    got = {
+        (r["session_start"], r["source"]): (r["doc_count"], r["sum_chars"])
+        for r in session_crawl_stats(docs, gap="30 minutes").collect()
+    }
+    t = lambda s: _epoch(spark, s)
+    assert got == {
+        (t("2026-01-01 00:00:00"), "a"): (3, 30),
+        (t("2026-01-01 01:30:00"), "a"): (2, 20),
+        # b's 00:30 event lands EXACTLY at 00:00+gap → inclusive
+        # boundary merges it into the first session
+        (t("2026-01-01 00:00:00"), "b"): (2, 40),
+        (t("2026-01-01 02:00:00"), "b"): (1, 20),
+    }
+
+
+def test_session_windows_stream_append_equals_batch(spark):
+    """Streaming session windows run in APPEND mode only: a session
+    row emits exactly once, when the watermark passes its end. Two
+    far-future sentinel batches advance the watermark (emission uses
+    the PREVIOUS batch's watermark) so every real session finalizes;
+    the appended rows must equal the batch run of the same
+    definition."""
+    from mecab_ko_lucene_analyzer_spark.streaming.windowed import (
+        session_crawl_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="sess_")
+    try:
+        docs = _smk(spark)
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{base}/in")
+        q = (
+            session_crawl_stats(stream, gap="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_t")
+            .start()
+        )
+        q.processAllAvailable()
+        for i, day in enumerate(("02", "03")):
+            spark.createDataFrame(
+                [(100 + i, f"2026-01-{day} 00:00:00", "zz", 0)],
+                "doc_id long, ts string, source string, n_chars long",
+            ).select(
+                "doc_id",
+                F.to_timestamp("ts").alias("crawl_ts"),
+                "source",
+                "n_chars",
+            ).coalesce(1).write.mode("append").parquet(f"{base}/in")
+            q.processAllAvailable()
+        q.stop()
+        emitted = {
+            (r["session_start"], r["source"]): (r["doc_count"], r["sum_chars"])
+            for r in spark.sql(
+                "SELECT * FROM sess_t WHERE source <> 'zz'"
+            ).collect()
+        }
+        want = {
+            (r["session_start"], r["source"]): (r["doc_count"], r["sum_chars"])
+            for r in session_crawl_stats(docs, gap="30 minutes").collect()
+        }
+        assert emitted == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
