@@ -114,6 +114,14 @@ def main() -> None:
         "(engine.search_collapsed)",
     )
     ap.add_argument(
+        "--aggs",
+        default="",
+        metavar="JSON",
+        help="ES aggregations body (JSON object) evaluated over the "
+        "query's match set via engine.aggregate — e.g. "
+        '\'{"hosts": {"terms": {"field": "host"}}}\'',
+    )
+    ap.add_argument(
         "--out",
         help="parquet output path for --bulk results (default: print "
         "JSON lines)",
@@ -360,6 +368,15 @@ def main() -> None:
     else:
         if args.explain:
             print(engine.explain_query(args.query))
+        if args.aggs:
+            print(
+                json.dumps(
+                    engine.aggregate(args.query, json.loads(args.aggs)),
+                    ensure_ascii=False,
+                    indent=2,
+                    default=str,
+                )
+            )
         if args.collapse_hosts:
             hits = engine.search_collapsed(
                 args.query, k=args.k, inner_hits=args.collapse_hosts

@@ -784,6 +784,163 @@ class SearchEngine:
             {"value": r["value"], "doc_count": r["doc_count"]} for r in rows
         ]
 
+    def aggregate(self, text: str, aggs: dict, attrs=None) -> dict:
+        """ES ``aggregations`` body over the analyzed query's match
+        set — one named entry per agg, dispatching to the
+        ``query/aggs.py`` implementations::
+
+            engine.aggregate("검색 엔진", {
+                "hosts":  {"terms": {"field": "host", "size": 5}},
+                "length": {"stats": {"field": "doc_len"}},
+                "bands":  {"range": {"field": "doc_len",
+                                     "ranges": [{"to": 50}, {"from": 50}]}},
+            })
+
+        Supported kinds: ``terms``, ``stats``, ``extended_stats``,
+        ``percentiles``, ``cardinality``, ``value_count``,
+        ``weighted_avg``, ``histogram``, ``range``, ``missing``,
+        ``filters``, ``adjacency_matrix``, ``significant_terms``.
+        Fields resolve against ``attrs`` when given (any ``(doc_id,
+        ...)`` DataFrame), else the built-ins: ``host`` (url host from
+        the doc_map) and ``doc_len`` (from doc_stats). Aggs evaluate
+        independently (one job each — the facade favours clarity; a
+        caller needing one-pass fan-out can compose the underlying
+        functions over a cached match set). Same disjunctive-bag match
+        semantics as :meth:`facets`."""
+        from .functions.curation import host_of
+        from .query import aggs as A
+        from .query.ast import ast_terms
+
+        tokens = self.analyze(text)
+        if not tokens:
+            return {name: None for name in aggs}
+        terms = sorted(ast_terms(self.build_query(text)))
+        idx = self._body_index()
+
+        def rel_for(field):
+            if attrs is not None and field in attrs.columns:
+                return attrs
+            if field == "host":
+                return self.doc_map.select(
+                    "doc_id", host_of("url").alias("host")
+                )
+            if field == "doc_len":
+                return idx.doc_stats.select("doc_id", "doc_len")
+            raise ValueError(
+                f"unknown field {field!r}: pass an attrs DataFrame "
+                "carrying it, or use a built-in (host, doc_len)"
+            )
+
+        out: dict = {}
+        for name, spec in aggs.items():
+            ((kind, body),) = spec.items()
+            field = body.get("field")
+            if kind == "terms":
+                rows = A.facet_terms(
+                    idx, terms, rel_for(field), field,
+                    k=int(body.get("size", 10)),
+                ).collect()
+                out[name] = [
+                    {"value": r["value"], "doc_count": r["doc_count"]}
+                    for r in rows
+                ]
+            elif kind == "stats":
+                out[name] = A.stats_agg(
+                    idx, terms, rel_for(field), field
+                ).first().asDict()
+            elif kind == "extended_stats":
+                out[name] = A.extended_stats_agg(
+                    idx, terms, rel_for(field), field,
+                    sigma=float(body.get("sigma", 2.0)),
+                ).first().asDict()
+            elif kind == "percentiles":
+                pcts = tuple(body.get("percents", A.DEFAULT_PERCENTS))
+                rows = A.percentiles_agg(
+                    idx, terms, rel_for(field), field, percents=pcts
+                ).collect()
+                out[name] = {str(r["pct"]): r["value"] for r in rows}
+            elif kind == "cardinality":
+                out[name] = A.cardinality_agg(
+                    idx, terms, rel_for(field), field,
+                    exact=bool(body.get("exact", True)),
+                ).first()["cardinality"]
+            elif kind == "value_count":
+                out[name] = A.value_count_agg(
+                    idx, terms, rel_for(field), field
+                ).first()["value_count"]
+            elif kind == "weighted_avg":
+                v, w = body["value"]["field"], body["weight"]["field"]
+                rel = rel_for(v)
+                if w not in rel.columns:
+                    rel = rel.join(rel_for(w), "doc_id")
+                out[name] = A.weighted_avg_agg(
+                    idx, terms, rel, v, w
+                ).first().asDict()
+            elif kind == "histogram":
+                rows = A.histogram_agg(
+                    idx, terms, rel_for(field), field,
+                    float(body["interval"]),
+                ).collect()
+                out[name] = [
+                    {"key": r["bucket"], "doc_count": r["doc_count"]}
+                    for r in rows
+                ]
+            elif kind == "range":
+                ranges = [
+                    (b.get("from"), b.get("to")) for b in body["ranges"]
+                ]
+                rows = A.range_agg(
+                    idx, terms, rel_for(field), field, ranges
+                ).collect()
+                out[name] = [
+                    {"key": r["key"], "doc_count": r["doc_count"]}
+                    for r in rows
+                ]
+            elif kind == "missing":
+                out[name] = A.missing_agg(
+                    idx, terms, rel_for(field), field
+                ).first()["missing_count"]
+            elif kind == "filters":
+                bags = {
+                    n: [
+                        t["term"]
+                        for t in self.analyze(q.get("match", ""))
+                    ] or q.get("terms", [])
+                    for n, q in body["filters"].items()
+                }
+                rows = A.filters_agg(idx, bags).collect()
+                out[name] = {
+                    r["bucket"]: r["doc_count"] for r in rows
+                }
+            elif kind == "adjacency_matrix":
+                bags = {
+                    n: [
+                        t["term"]
+                        for t in self.analyze(q.get("match", ""))
+                    ] or q.get("terms", [])
+                    for n, q in body["filters"].items()
+                }
+                rows = A.adjacency_matrix_agg(idx, bags).collect()
+                out[name] = {
+                    r["bucket"]: r["doc_count"] for r in rows
+                }
+            elif kind == "significant_terms":
+                rows = A.significant_terms(
+                    idx, terms, k=int(body.get("size", 10))
+                ).collect()
+                out[name] = [
+                    {
+                        "term": r["term"],
+                        "fg_df": r["fg_df"],
+                        "bg_df": r["bg_df"],
+                        "score": r["score"],
+                    }
+                    for r in rows
+                ]
+            else:
+                raise ValueError(f"unsupported aggregation kind {kind!r}")
+        return out
+
     def significant_terms(self, text: str, k: int = 10) -> list[dict]:
         """ES ``significant_terms`` over the analyzed query's match
         set (``query/aggs.py::significant_terms``, JLH score, query

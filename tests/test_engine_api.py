@@ -639,3 +639,46 @@ def test_search_ast_dis_max_json(engine):
     assert [(h["doc_id"], h["score"]) for h in dm0] == [
         (h["doc_id"], h["score"]) for h in or_
     ]
+
+
+def test_engine_aggregate_dispatcher(engine):
+    """The ES aggregations-body facade dispatches each named agg to
+    the query/aggs implementation over one shared match set."""
+    out = engine.aggregate(
+        "검색 엔진",
+        {
+            "hosts": {"terms": {"field": "host", "size": 5}},
+            "length": {"stats": {"field": "doc_len"}},
+            "bands": {
+                "range": {
+                    "field": "doc_len",
+                    "ranges": [{"to": 50.0}, {"from": 50.0}],
+                }
+            },
+            "nhosts": {"cardinality": {"field": "host"}},
+            "present": {"value_count": {"field": "doc_len"}},
+            "nohost": {"missing": {"field": "host"}},
+            "vocab": {"filters": {"filters": {
+                "search": {"terms": ["검색", "서치"]},
+                "nothing": {"terms": ["zzzz없는말"]},
+            }}},
+        },
+    )
+    # terms == the facets facade, value for value
+    assert out["hosts"] == engine.facets("검색 엔진", k=5)
+    st = out["length"]
+    assert st["count"] > 0 and st["min"] <= st["avg"] <= st["max"]
+    assert out["present"] == st["count"]
+    # the two half-open bands partition the matched value set
+    bands = {b["key"]: b["doc_count"] for b in out["bands"]}
+    assert sum(bands.values()) == st["count"]
+    assert out["nhosts"] >= 1
+    assert out["nohost"] == 0  # every doc has a url host
+    assert out["vocab"]["nothing"] == 0 and out["vocab"]["search"] > 0
+
+
+def test_engine_aggregate_unknown_field_raises(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.aggregate("검색", {"x": {"stats": {"field": "nope"}}})
