@@ -288,3 +288,31 @@ def test_phrase_prefix_slop(spark, ws_blocks):
 
 def test_phrase_prefix_empty_expansions(spark, ws_blocks):
     assert phrase_prefix_docs(ws_blocks, ["spark"], []).count() == 0
+
+
+# --------------------------------------------- wildcard property tests
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_wildcard_translation_matches_fnmatch(seed):
+    """Property: for bracket-free patterns, the translated regex
+    full-matches a string iff fnmatch's own translation does (the
+    reference semantics for * and ? globs)."""
+    import fnmatch
+    import random
+    import re as _re
+
+    rng = random.Random(seed)
+    alphabet = "abcxyz.*?"
+    for _ in range(200):
+        pattern = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 6))
+        )
+        candidate = "".join(
+            rng.choice("abcxyz.") for _ in range(rng.randint(0, 6))
+        )
+        ours = bool(_re.fullmatch(wildcard_to_regexp(pattern), candidate))
+        theirs = bool(
+            _re.match(fnmatch.translate(pattern), candidate)
+        )
+        assert ours == theirs, (pattern, candidate)
