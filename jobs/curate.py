@@ -75,6 +75,7 @@ def curate(
     blocklist: list[str] | None = None,
     max_blocked_frac: float = 0.0,
     gopher: bool = False,
+    gopher_lang: str = "en",
     min_bigram_logprob: float | None = None,
     dsir_target=None,
     dsir_keep: int = 0,
@@ -94,7 +95,13 @@ def curate(
     emptied entirely are dropped), Gopher repetition thresholds
     (``max_dup_token_frac`` / ``max_top_token_frac``), the full Gopher
     rule battery (``gopher``: zero-shuffle flag battery, keep
-    ``gopher_pass`` docs only), the bigram-LM perplexity cut
+    ``gopher_pass`` docs only; ``gopher_lang`` picks the letter class
+    and stopword list — ``en`` is Rae et al.'s English battery, ``ko``
+    swaps in the Unicode letter class + Korean function words, ``any``
+    uses the Unicode letter class and disables the stopword rule; the
+    English default applied to a pure-Korean slice drops EVERY doc via
+    the alpha/stopword rules, so pick deliberately), the bigram-LM
+    perplexity cut
     (``min_bigram_logprob``: docs scoring below the threshold — or too
     short to score — are dropped), PII scrubbing (``scrub``), and
     benchmark decontamination (``eval_docs``: drop docs sharing
@@ -235,10 +242,32 @@ def curate(
     #      the published filter most LLM corpora start from.
     if gopher:
         from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            GOPHER_LETTERS_UNICODE,
+            GOPHER_STOPWORDS_KO,
             gopher_rules,
         )
 
-        keep = gopher_rules(docs).filter("gopher_pass").select("doc_id")
+        if gopher_lang == "en":
+            gopher_kw = {}
+        elif gopher_lang == "ko":
+            gopher_kw = {
+                "letter_pattern": GOPHER_LETTERS_UNICODE,
+                "stopwords": GOPHER_STOPWORDS_KO,
+            }
+        elif gopher_lang == "any":
+            gopher_kw = {
+                "letter_pattern": GOPHER_LETTERS_UNICODE,
+                "stopwords": [],
+            }
+        else:
+            raise ValueError(
+                f"gopher_lang must be en|ko|any, got {gopher_lang!r}"
+            )
+        keep = (
+            gopher_rules(docs, **gopher_kw)
+            .filter("gopher_pass")
+            .select("doc_id")
+        )
         docs = docs.join(keep, "doc_id", "left_semi")
     # 4a1b. bigram-LM perplexity cut: corpus-trained add-one bigram
     #       model; docs below the log-prob floor (word salad) drop, as
@@ -369,7 +398,17 @@ def main() -> None:
         action="store_true",
         help="apply the full Gopher rule battery (word count, mean "
         "word length, symbol/bullet/ellipsis ratios, alpha ratio, "
-        "stopword presence); keep only gopher_pass docs",
+        "stopword presence); keep only gopher_pass docs. The default "
+        "battery is ENGLISH (Rae et al.) — on a Korean slice pass "
+        "--gopher-lang ko or it drops every Korean doc",
+    )
+    ap.add_argument(
+        "--gopher-lang",
+        choices=("en", "ko", "any"),
+        default="en",
+        help="letter class + stopword list for --gopher: en = Rae et "
+        "al.'s English battery; ko = Unicode letters + Korean "
+        "function words; any = Unicode letters, stopword rule off",
     )
     ap.add_argument(
         "--dsir-target",
@@ -456,6 +495,7 @@ def main() -> None:
         ),
         max_blocked_frac=args.max_blocked_frac,
         gopher=args.gopher,
+        gopher_lang=args.gopher_lang,
         min_bigram_logprob=args.min_bigram_logprob,
         dsir_target=(
             read_table(spark, args.dsir_target) if args.dsir_target else None

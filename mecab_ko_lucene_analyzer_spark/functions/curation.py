@@ -583,12 +583,15 @@ def unigram_logprob(
 
     Tokens rarer than ``min_count`` fall out of the vocabulary and
     score at the OOV floor ``ln(1/total)`` — exactly how a finite-vocab
-    LM treats them, and what keeps the broadcast side bounded: the
-    pruned vocab (~10^6-10^7 terms at crawl scale) broadcasts, so the
-    exploded corpus side reaches its join map-side with NO shuffle.
-    The only exchanges are the vocab count aggregation and the per-doc
-    mean (both map-side-combined). Docs with zero tokens emit no row
-    (an LM score over nothing is undefined; filter them on length
+    LM treats them. The vocab side is corpus-derived and therefore
+    unbounded (min_count pruning helps but does not cap it — a 10^12-doc
+    crawl's vocabulary is billions of terms even pruned), so it is NOT
+    force-broadcast: the token→vocab lookup is a plain equi-join on
+    term, which AQE turns into a broadcast join only when the pruned
+    vocab actually fits, and a shuffle hash join otherwise. Exchanges:
+    the vocab count aggregation, the term-keyed lookup join, and the
+    per-doc mean (all map-side-combined). Docs with zero tokens emit no
+    row (an LM score over nothing is undefined; filter them on length
     first).
     """
     toks = whitespace_tokens(text)
@@ -616,7 +619,7 @@ def unigram_logprob(
     )
     oov = F.lit(-math.log(total))
     return (
-        toks_tbl.join(F.broadcast(vocab), "term", "left")
+        toks_tbl.join(vocab, "term", "left")
         .select("doc_id", F.coalesce("lp", oov).alias("lp"))
         .groupBy("doc_id")
         .agg(
@@ -657,6 +660,18 @@ def normalize_text(
 #: published "must contain at least 2" list)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+#: letter classes for the alpha-ratio rule: Rae et al.'s battery is
+#: English ([A-Za-z]); a Korean/multilingual corpus must use the
+#: Unicode letter class or every pure-Korean doc fails the rule
+GOPHER_LETTERS_EN = "[A-Za-z]"
+GOPHER_LETTERS_UNICODE = r"\p{L}"  # Java regex: any Unicode letter
+
+#: Korean analog of the stopword-presence rule: high-frequency Korean
+#: function/formal words that appear as standalone whitespace tokens
+#: (josa attach to their hosts, so the English "the/of/and" trick
+#: needs bound nouns + conjunctions instead)
+GOPHER_STOPWORDS_KO = ["수", "것", "등", "및", "그", "이", "있다", "있는", "하는", "그리고"]
+
 #: Gopher rule thresholds (published constants)
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
@@ -669,7 +684,12 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
-def gopher_rules(docs: DataFrame, text: str = "text") -> DataFrame:
+def gopher_rules(
+    docs: DataFrame,
+    text: str = "text",
+    letter_pattern: str = GOPHER_LETTERS_EN,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
     """The Gopher quality rules (Rae et al. 2021 — the filter battery
     most LLM corpora start from), each as a NAMED boolean flag plus
     the conjunctive ``gopher_pass``:
@@ -682,7 +702,17 @@ def gopher_rules(docs: DataFrame, text: str = "text") -> DataFrame:
       (``•``/``-``/``*``)
     * ``rule_ellipsis_ratio`` — ≤ 30 % of lines end with an ellipsis
     * ``rule_alpha_ratio`` — ≥ 80 % of words contain a letter
-    * ``rule_stopwords`` — ≥ 2 distinct Gopher stopwords present
+      (``letter_pattern``)
+    * ``rule_stopwords`` — ≥ 2 distinct ``stopwords`` present
+
+    The published battery is ENGLISH: the default ``letter_pattern``
+    ``[A-Za-z]`` and stopword list ("the", "of", ...) fail every
+    pure-Korean document. For a Korean (or mixed) slice pass
+    ``letter_pattern=GOPHER_LETTERS_UNICODE`` (any Unicode letter) and
+    ``stopwords=GOPHER_STOPWORDS_KO`` — or ``stopwords=[]`` to disable
+    the stopword rule entirely (it then passes vacuously). The
+    defaults stay faithful to Rae et al. so English-corpus ablations
+    reproduce the paper.
 
     Named flags (not one opaque score — that is
     :func:`..text.quality_features`'s job) so a pipeline can report
@@ -691,6 +721,8 @@ def gopher_rules(docs: DataFrame, text: str = "text") -> DataFrame:
     projection — zero shuffles, zero Python; docs with no words fail
     the word-count rule and every ratio guards /0 with a NULL-safe
     fallback."""
+    if stopwords is None:
+        stopwords = GOPHER_STOPWORDS
     words = whitespace_tokens(text)
     lines = F.filter(
         F.split(F.col(text), "\n"), lambda x: F.trim(x) != F.lit("")
@@ -725,11 +757,11 @@ def gopher_rules(docs: DataFrame, text: str = "text") -> DataFrame:
         )
     ).cast("double")
     n_alpha = F.size(
-        F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+        F.filter(words, lambda x: x.rlike(letter_pattern))
     ).cast("double")
     n_stop = F.size(
         F.array_intersect(
-            words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+            words, F.array(*[F.lit(s) for s in stopwords])
         )
     )
     r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
@@ -741,7 +773,11 @@ def gopher_rules(docs: DataFrame, text: str = "text") -> DataFrame:
     r_bullet = F.when(n_lines > 0, (n_bullet / n_lines) <= GOPHER_MAX_BULLET_RATIO).otherwise(F.lit(True))
     r_ellipsis = F.when(n_lines > 0, (n_ellipsis / n_lines) <= GOPHER_MAX_ELLIPSIS_RATIO).otherwise(F.lit(True))
     r_alpha = (n_alpha / n_words) >= GOPHER_MIN_ALPHA_RATIO
-    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    # empty stopword list disables the rule (vacuous pass), not a
+    # guaranteed fail via `0 >= 2`
+    r_stop = (
+        n_stop >= GOPHER_MIN_STOPWORDS if stopwords else F.lit(True)
+    )
     flags = {
         "rule_word_count": r_wc,
         "rule_mean_word_len": F.coalesce(r_mwl, F.lit(False)),
@@ -780,8 +816,11 @@ def bigram_logprob(
     hash aggregate; the per-doc score joins the exploded bigrams with
     the counts on the bigram key (both sides key-partitioned — at
     crawl scale the bigram table cannot broadcast) and the unigram
-    context counts via a bounded vocab broadcast, then one per-doc
-    aggregate. V rides the unigram count as a single driver scalar."""
+    context counts via a plain term-keyed equi-join (the unigram table
+    is corpus vocabulary — unbounded like the bigram table, so it is
+    never force-broadcast; AQE broadcasts it only when it actually
+    fits), then one per-doc aggregate. V rides the unigram count as a
+    single driver scalar."""
     words = whitespace_tokens(text)
     base = docs.select("doc_id", words.alias("w")).filter(
         F.size("w") >= int(min_doc_tokens)
@@ -810,7 +849,7 @@ def bigram_logprob(
     return (
         doc_bi.join(bi_counts, "bigram")
         .withColumn("term", w1)
-        .join(F.broadcast(uni), "term")
+        .join(uni, "term")
         .select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")
         .agg(

@@ -244,6 +244,13 @@ def host_graph(
     )
 
 
+#: out-degree above which a source node's edge rows are salted across
+#: the rank join (2^20 distinct out-neighbors — only true mega-hubs)
+HOT_OUT_DEGREE = 1 << 20
+#: salt fan-out for hot sources (each hot src's edges split S ways)
+PAGERANK_SALTS = 32
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src_host",
@@ -253,6 +260,8 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 3,
+    hot_out_degree: int = HOT_OUT_DEGREE,
+    n_salts: int = PAGERANK_SALTS,
 ) -> DataFrame:
     """PageRank over an edge list → ``(node, rank)``.
 
@@ -271,6 +280,18 @@ def pagerank(
     every ``checkpoint_every`` rounds (reliable when
     ``checkpoint_dir`` is set, else local truncation via persist) —
     the ``dedup_clusters`` discipline.
+
+    Out-degree skew (the josa of URLs — a blogspot-class hub linking
+    10^7 distinct hosts): when any source's out-degree exceeds
+    ``hot_out_degree``, hot sources' edge rows are salted
+    ``hash(dst) % n_salts`` and the frac relation partitions on
+    ``(src, salt)``, splitting a mega-hub's edges across ``n_salts``
+    tasks; the rank row fans out to hot sources' salts through a
+    precomputed ``(src, salt)`` relation (|srcs| + S·|hot| rows — rank
+    replication, never edge replication). Graphs with no hot source
+    keep the exact unsalted plan — the salted variant costs one extra
+    |nodes|-sized join per iteration only when engaged, and the rank
+    VALUES are identical either way (same sum, different grouping).
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
@@ -281,14 +302,53 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # one partitioning, reused by every iteration's join
-    frac = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
-        .repartition(F.col("src"))
-        .persist()
+    out_w = e.groupBy("src").agg(
+        F.sum("w").alias("out_w"), F.count(F.lit(1)).alias("deg")
     )
+    # hot-source probe: one scalar over the |srcs|-sized degree table
+    max_deg = out_w.agg(F.max("deg").alias("m")).first()["m"] or 0
+    salted = max_deg > int(hot_out_degree)
+    if salted:
+        salt = F.when(
+            F.col("deg") > int(hot_out_degree),
+            F.pmod(F.xxhash64("dst"), F.lit(int(n_salts))),
+        ).otherwise(F.lit(0))
+        frac = (
+            e.join(out_w, "src")
+            .select(
+                "src",
+                "dst",
+                (F.col("w") / F.col("out_w")).alias("frac"),
+                salt.alias("salt"),
+            )
+            .repartition(F.col("src"), F.col("salt"))
+            .persist()
+        )
+        # every salt a hot src MIGHT hash into (superset is harmless:
+        # unmatched (src, salt) rank rows join nothing)
+        src_salts = (
+            out_w.select(
+                "src",
+                F.explode(
+                    F.when(
+                        F.col("deg") > int(hot_out_degree),
+                        F.sequence(F.lit(0), F.lit(int(n_salts) - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ).alias("salt"),
+            )
+            .repartition(F.col("src"))
+            .persist()
+        )
+    else:
+        # one partitioning, reused by every iteration's join
+        frac = (
+            e.join(out_w, "src")
+            .select(
+                "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
+            )
+            .repartition(F.col("src"))
+            .persist()
+        )
     n_nodes = nodes.count()  # also materializes the node set
     teleport = (1.0 - damping) / n_nodes
     spark = edges.sparkSession
@@ -296,11 +356,20 @@ def pagerank(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iters):
-        contrib = (
-            frac.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("frac") * F.col("rank")).alias("in_rank"))
-        )
+        r_src = ranks.withColumnRenamed("node", "src")
+        if salted:
+            r_src = src_salts.join(r_src, "src")
+            contrib = (
+                frac.join(r_src, ["src", "salt"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("frac") * F.col("rank")).alias("in_rank"))
+            )
+        else:
+            contrib = (
+                frac.join(r_src, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("frac") * F.col("rank")).alias("in_rank"))
+            )
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(

@@ -428,7 +428,13 @@ def significant_terms(
         fg = fg.filter(F.col("fg_df") >= int(min_doc_count))
     if exclude_query_terms and query_terms:
         fg = fg.filter(~F.col("term").isin(list(set(query_terms))))
-    joined = fg.join(F.broadcast(index.term_stats.select("term", "df")), "term")
+    # The background side (term_stats) is the FULL corpus vocabulary —
+    # billions of terms at 10^12 docs — so it must never be forced to
+    # broadcast. Plain equi-join on term: AQE broadcasts whichever side
+    # is actually small at runtime (usually fg, the match-set vocab,
+    # when the caller passes a sampled match set) and falls back to a
+    # shuffle hash join otherwise.
+    joined = fg.join(index.term_stats.select("term", "df"), "term")
     fg_pct = F.col("fg_df").cast("double") / F.lit(float(fg_size))
     bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
     score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
@@ -528,6 +534,11 @@ def range_agg(
     set (no per-range scan, no explode), then a literal unpivot —
     output rows = len(ranges), exchange carries one partial row per
     partition."""
+    if not ranges:
+        # a zero-range request would otherwise build agg() with no
+        # expressions and a malformed stack(0) — fail loudly instead
+        # (reachable from engine.aggregate via {"range": {"ranges": []}})
+        raise ValueError("range_agg needs at least one range")
     docs = matching_docs(index, query_terms, min_should_match)
     v = F.col(attr_col).cast("double")
     joined = docs.join(doc_attrs.select("doc_id", attr_col), "doc_id").filter(

@@ -108,7 +108,11 @@ def validate_ast(node) -> None:
     def no_not(n):
         if isinstance(n, Not):
             raise ValueError("nested Not is not supported")
-        if isinstance(n, (And, Or)):
+        # DisMax included: a Not smuggled under a DisMax inside a
+        # negated subtree must fail validation here, not diverge
+        # between the cursor tree (build-time crash) and the
+        # distributed scorer (silent evaluation)
+        if isinstance(n, (And, Or, DisMax)):
             for c in n.children:
                 no_not(c)
 

@@ -70,6 +70,14 @@ def test_range_agg_half_open_and_empty_buckets(spark):
     assert len(out) == 4  # every configured range appears
 
 
+def test_range_agg_empty_ranges_rejected(spark):
+    """{"range": {"ranges": []}} via engine.aggregate must fail loudly
+    (ValueError), not crash with a malformed stack(0) analysis error."""
+    idx = _hand_index(spark)
+    with pytest.raises(ValueError, match="at least one range"):
+        range_agg(idx, ["a"], _nums(spark), "v", [])
+
+
 def test_range_agg_overlapping_ranges_double_count(spark):
     idx = _hand_index(spark)
     got = {

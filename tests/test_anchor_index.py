@@ -101,6 +101,29 @@ def test_fielded_weight0_matches_body_wand(anchor_engine):
         assert fh["score"] == pytest.approx(bh["score"], rel=1e-9)
 
 
+def test_fielded_never_fetches_driver_blocks(anchor_engine, monkeypatch):
+    """Round-5 router-coverage pin: BM25F serving is ALWAYS the
+    distributed postings scorer — whatever the terms' df (the body
+    path's hot-routing concern doesn't arise because there is no
+    driver-cursor tier to fall into). A driver block fetch appearing
+    here would be the 10^12-doc scale regression."""
+    engine, noun, _ = anchor_engine
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("fielded search collected blocks driver-side")
+
+    monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+    hits = engine.search_fielded(noun, k=5, anchor_weight=2.0)
+    assert hits and hits[0]["doc_id"] == 0
+    assert engine.last_route == "distributed"
+    # body+anchor blend over a body query too (multi-term, mixed dfs)
+    text = generate_text(3).split(".")[0]
+    blended = engine.search_fielded(text, k=10, anchor_weight=1.5)
+    assert blended
+    assert engine.last_route == "distributed"
+
+
 def test_fielded_requires_anchor_build(spark, tmp_path):
     pages = synthesize_webpages(spark, 12, partitions=2)
     engine = SearchEngine.build(

@@ -125,6 +125,25 @@ def test_host_ranks_build_writes_doc_boosts(boosted_engine, spark):
     assert max(some_even) == pytest.approx(math.log1p(0.01 * 30), rel=1e-12)
 
 
+def test_boosted_never_fetches_driver_blocks(boosted_engine, monkeypatch):
+    """Round-5 router-coverage pin: the centrality blend applies
+    BEFORE the top-k cut, so search_boosted is always the distributed
+    postings scorer — no driver block fetch at any df."""
+    engine, _ = boosted_engine
+    from mecab_ko_lucene_analyzer_spark.sources.webpages import generate_text
+
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("boosted search collected blocks driver-side")
+
+    monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+    text = generate_text(2).split(".")[0]
+    hits = engine.search_boosted(text, k=10, w_boost=0.5)
+    assert hits
+    assert engine.last_route == "distributed"
+
+
 def test_search_boosted_weight0_matches_body_wand(boosted_engine):
     engine, _ = boosted_engine
     from mecab_ko_lucene_analyzer_spark.sources.webpages import generate_text

@@ -91,6 +91,42 @@ def test_domain_stats(spark):
     assert rows["short.example"]["n_short"] == 1
 
 
+def test_domain_stats_mega_host_partial_aggregation(spark):
+    """Round-5 skew guard: a planted mega-host (50k docs on one
+    domain, crossing many input partitions) is handled by MAP-SIDE
+    partial aggregation — the shuffle carries one row per (partition,
+    domain), so a single host can never exceed a partition. Pinned:
+    exact values under skew + the partial_ HashAggregate pair in the
+    plan (one Exchange only)."""
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    n_mega, n_rest = 50_000, 500
+    df = (
+        spark.range(n_mega + n_rest, numPartitions=16)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc text nr "), F.col("id")).alias("text"),
+            F.when(F.col("id") < n_mega, F.lit("mega.example"))
+            .otherwise(
+                F.concat(F.lit("h"), (F.col("id") % 97).cast("string"))
+            )
+            .alias("source"),
+        )
+    )
+    out = domain_stats(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    nodes = _re.findall(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)", plan)
+    assert nodes.count("Exchange") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    rows = {r["domain"]: r.asDict() for r in out.collect()}
+    assert rows["mega.example"]["n_docs"] == n_mega
+    assert len(rows) == 1 + 97
+
+
 def test_domain_stats_over_cc_shaped_corpus(spark):
     """domain_stats accepts a host EXPRESSION over the (url, warc_ts,
     html, text, lang) corpus shape — the CC-scale usage."""

@@ -52,6 +52,44 @@ def test_gopher_pass_and_named_flags(spark):
     assert rows[3]["rule_bullet_ratio"] is False
 
 
+def test_gopher_korean_battery_keeps_korean_docs(spark):
+    """The default battery is English — a pure-Korean doc fails the
+    alpha/stopword rules (the ADVICE silent-corpus-drop bug). With the
+    Korean letter class + stopwords it passes; stopwords=[] disables
+    the stopword rule entirely."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        GOPHER_LETTERS_UNICODE,
+        GOPHER_STOPWORDS_KO,
+    )
+
+    # ≥3-char words so the (unparameterized, paper-faithful)
+    # mean-word-length rule [3,10] also passes
+    ko_words = ["데이터", "처리하기", "분석하는", "문서들의", "검색엔진", "시스템"]
+    ko_text = " ".join(
+        ["수", "것", *(ko_words[i % len(ko_words)] for i in range(58))]
+    )
+    docs = spark.createDataFrame(
+        [(0, ko_text)], "doc_id long, text string"
+    )
+    en = gopher_rules(docs).first()
+    assert en["rule_alpha_ratio"] is False
+    assert en["rule_stopwords"] is False
+    assert en["gopher_pass"] is False
+    ko = gopher_rules(
+        docs,
+        letter_pattern=GOPHER_LETTERS_UNICODE,
+        stopwords=GOPHER_STOPWORDS_KO,
+    ).first()
+    assert ko["rule_alpha_ratio"] is True
+    assert ko["rule_stopwords"] is True
+    assert ko["gopher_pass"] is True
+    # empty stopword list = rule off (vacuous pass), not auto-fail
+    anylang = gopher_rules(
+        docs, letter_pattern=GOPHER_LETTERS_UNICODE, stopwords=[]
+    ).first()
+    assert anylang["rule_stopwords"] is True
+
+
 def test_gopher_stopword_rule_needs_two_distinct(spark):
     docs = spark.createDataFrame(
         [(0, " ".join(["the"] * 60)), (1, "the of " + " ".join(f"w{i}" for i in range(58)))],

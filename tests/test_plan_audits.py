@@ -209,8 +209,10 @@ SHUFFLE_CEILING = {
     # Gumbel sampler adds arithmetic only — same ceiling.
     "dsir_logratio": 4,
     "dsir_sample": 4,
-    # robots: broadcast rules join + ONE per-doc decision agg + the
-    # no-match left join back (both doc_id-keyed)
+    # robots: plain host-keyed rules join (Catalyst broadcasts from
+    # SIZE STATS at sf — never a forced hint; shuffle join at scale) +
+    # ONE per-doc decision agg + the no-match left join back (both
+    # doc_id-keyed)
     "robots_allowed": 2,
     # adjacency_matrix: the (bucket, doc) relation appears in the
     # singles agg and BOTH self-join sides, each carrying the
@@ -322,6 +324,33 @@ def test_postings_scan_prunes_to_used_columns(plans):
     assert m, "no parquet ReadSchema in the postings_tf plan"
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols <= {"doc_id", "text"}, cols
+
+
+def test_no_forced_broadcast_of_corpus_unbounded_relations(spark):
+    """Round-4 verdict's four 100×-scale-killers, pinned fixed: the
+    significant_terms background vocabulary (term_stats), the
+    unigram/bigram LM vocab tables, and the robots per-host rules are
+    all corpus-unbounded — none may carry a compile-time broadcast
+    hint. Catalyst/AQE may still *choose* broadcast at small scale
+    from real size stats (fine — that adapts); a ResolvedHint in the
+    optimized logical plan is the forced version that OOMs at 10^12
+    docs."""
+    import __spark_entry__ as em
+
+    for name in (
+        "significant_terms",
+        "unigram_logprob",
+        "bigram_logprob",
+        "robots_allowed",
+    ):
+        lp = (
+            em.queries()[name](spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "ResolvedHint" not in lp, name
+        assert "UnresolvedHint" not in lp, name
 
 
 def test_exact_dedup_is_one_hash_shuffle(plans):

@@ -239,6 +239,15 @@ def test_validate_ast_rejects_malformed_not():
         validate_ast(And((Not(Term("a")),)))  # no positive sibling
     with pytest.raises(ValueError):
         validate_ast(And((Term("a"), Not(And((Term("b"), Not(Term("c"))))))))
+    # a Not smuggled under a DisMax inside the negated subtree must be
+    # rejected here too — otherwise the driver cursor tree crashes at
+    # build time while the distributed router silently evaluates it
+    from mecab_ko_lucene_analyzer_spark.query.ast import DisMax
+
+    with pytest.raises(ValueError):
+        validate_ast(
+            And((Term("a"), Not(DisMax((Not(Term("b")),)))))
+        )
 
 
 def test_not_json_roundtrip():

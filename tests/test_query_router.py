@@ -370,6 +370,46 @@ def test_hot_multiword_synonym_routes_distributed(engines, monkeypatch):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
 
 
+def test_hot_expansion_queries_route_distributed(engines, monkeypatch):
+    """Round-5: the multi-term REWRITE family (prefix / fuzzy /
+    wildcard / regexp) expands against the vocabulary then serves the
+    expansion set through ``_bag_hits`` — when ANY expanded term is
+    hot (a one-char prefix or ``는*`` hits the josa class), the hot
+    engine must answer fully distributed (no driver block fetch) with
+    exactly the cold engine's ranked hits."""
+    cold, hot = engines
+
+    cases = [
+        ("prefix", lambda e: e.search_prefix("는", k=10)),
+        ("fuzzy", lambda e: e.search_fuzzy("는", k=10, max_edits=1)),
+        ("wildcard", lambda e: e.search_wildcard("는*", k=10)),
+        ("regexp", lambda e: e.search_regexp("는.*", k=10)),
+    ]
+    import mecab_ko_lucene_analyzer_spark.query.wand as wand_mod
+
+    for name, run in cases:
+        want = run(cold)
+        assert want, f"{name}: expansion must match something"
+        assert cold.last_route == "driver", name
+
+        def _forbidden(*a, **kw):
+            raise AssertionError(
+                f"hot {name} expansion collected blocks to the driver"
+            )
+
+        monkeypatch.setattr(wand_mod, "fetch_term_blocks", _forbidden)
+        try:
+            got = run(hot)
+        finally:
+            monkeypatch.undo()
+        assert hot.last_route == "distributed", name
+        assert [h["doc_id"] for h in got] == [
+            h["doc_id"] for h in want
+        ], name
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
 # ---------- hypothesis: random trees, distributed vs driver ---------------
 
 from hypothesis import given, settings

@@ -200,6 +200,32 @@ def test_curate_host_rank_filter(spark):
     assert kept == [1, 3, 4]
 
 
+def test_pagerank_mega_hub_salted_identical(spark):
+    """Round-5 skew guard: a planted mega-hub (one src linking every
+    other host — the josa of URLs) trips the out-degree salting path;
+    the salted run's ranks must be EXACTLY the unsalted run's (same
+    sums, different grouping) against the driver reference."""
+    n = 60
+    edges = [("mega", f"h{i}") for i in range(n)]  # the hub
+    edges += [(f"h{i}", f"h{(i * 3 + 1) % n}") for i in range(n)]
+    edges += [(f"h{i}", "mega") for i in range(0, n, 7)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    # hot_out_degree=10 << 60 engages salting; unsalted = huge threshold
+    hot = {
+        r.node: r.rank
+        for r in pagerank(
+            df, iters=4, hot_out_degree=10, n_salts=4
+        ).collect()
+    }
+    cold = {r.node: r.rank for r in pagerank(df, iters=4).collect()}
+    want = _pagerank_reference(edges, 4)
+    assert set(hot) == set(cold) == set(want)
+    for v in want:
+        assert hot[v] == pytest.approx(want[v], abs=1e-12), v
+        assert hot[v] == pytest.approx(cold[v], abs=1e-12), v
+
+
 def test_pagerank_rank_mass_bounds(spark):
     """Ranks stay in (0, 1] and total mass never exceeds 1 (dangling
     mass leaks, it must never be created)."""
