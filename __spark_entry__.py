@@ -1685,6 +1685,39 @@ def _q_robots_allowed(spark, sf_dir):
     )
     return robots_allowed(urls, parse_robots(robots))
 
+#: per-host quota for the host_cap contract query (over-cap hosts trim
+#: to this many docs; the synthetic mega-host h0 holds half the corpus)
+HOST_CAP = 40
+
+
+def _q_host_cap(spark, sf_dir):
+    """Per-host document quota (``functions/curation.py::
+    cap_per_host`` — C4's "no host dominates the corpus" stage):
+    synthetic urls put HALF the corpus on mega-host ``h0`` and spread
+    the rest over ``h1..h9``; every over-cap host keeps its
+    ``HOST_CAP`` smallest ``md5(hostcap-42-id)`` docs (ties by id),
+    under-cap hosts pass untouched. The oracle replays the
+    ``row_number`` law with the identical hash, so the partition-local
+    pre-cut + window machinery is value-pinned by the driver."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        cap_per_host,
+    )
+
+    did = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            F.when(did % 2 == 0, F.lit("0")).otherwise(
+                ((did % 9) + 1).cast("string")
+            ),
+            F.lit(".example/p"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    return cap_per_host(docs, HOST_CAP)
+
+
 #: session-window contract: 30-min event steps, 1-h gap → ids 1 and 2
 #: apart merge (the INCLUSIVE gap boundary is part of the law), 3+
 #: apart break; keyed on lang so sessions form nontrivially
@@ -2815,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logratio": _q_dsir_logratio,
         "dsir_sample": _q_dsir_sample,
         "robots_allowed": _q_robots_allowed,
+        "host_cap": _q_host_cap,
         "facet_terms": _q_facet_terms,
         "date_histogram": _q_date_histogram,
         "stats_agg": _q_stats_agg,
@@ -4770,6 +4804,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.doc_id,
                    coalesce(m.best % 2 = 1, TRUE) AS allowed
             FROM urls u LEFT JOIN matched m USING (doc_id)
+        """,
+        # host_cap: per-host quota — row_number over the identical
+        # md5-derived rank hash (parser/selection drift mismatches)
+        "host_cap": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       'https://h' ||
+                       (CASE WHEN doc_id % 2 = 0 THEN '0'
+                             ELSE ((doc_id % 9) + 1)::VARCHAR END) ||
+                       '.example/p' || doc_id::VARCHAR AS url,
+                       CASE WHEN doc_id % 2 = 0 THEN 0
+                            ELSE (doc_id % 9) + 1 END AS hostid
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, url, hostid,
+                       {_md5h64_sql("'hostcap-42-' || CAST(doc_id AS VARCHAR)")} AS h
+                FROM d
+            ),
+            r AS (
+                SELECT doc_id, url,
+                       row_number() OVER (
+                           PARTITION BY hostid ORDER BY h, doc_id
+                       ) AS rn
+                FROM t
+            )
+            SELECT doc_id, url FROM r WHERE rn <= {HOST_CAP}
         """,
         # session windows: gaps-and-islands with the INCLUSIVE gap
         # boundary (break strictly greater than gap)

@@ -87,6 +87,7 @@ def curate(
     normalize: bool = False,
     host_ranks=None,
     min_host_rank: float = 0.0,
+    host_cap: int | None = None,
 ):
     """documents DataFrame → curated DataFrame (same columns).
 
@@ -114,7 +115,11 @@ def curate(
     ``(node, rank)``) drops docs whose url host ranks below
     ``min_host_rank`` — the centrality-weighted spam-host cut. Docs
     without a url host or whose host is absent from the graph are
-    KEPT (absence of link evidence is not negative evidence)."""
+    KEPT (absence of link evidence is not negative evidence).
+
+    ``host_cap`` keeps at most that many docs per url host
+    (deterministic md5-rank selection, ``cap_per_host``) — applied
+    before the shingle stages so a mega-host cannot dominate them."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -153,6 +158,16 @@ def curate(
             )
             .drop("_rank_host", "_host_rank")
         )
+    # 0c. per-host quota (C4's "no host dominates"): trims over-cap
+    #     hosts to their host_cap deterministic keepers BEFORE the
+    #     expensive shingle stages — the mega-host's boilerplate is
+    #     exactly what MinHash would otherwise grind through.
+    if host_cap is not None:
+        from mecab_ko_lucene_analyzer_spark.functions.curation import (
+            cap_per_host,
+        )
+
+        docs = cap_per_host(docs, int(host_cap))
     # 1. exact: keep each identical-text group's min-doc_id member.
     #    min(doc_id) OVER (PARTITION BY md5(text)) + filter — ONE hash
     #    shuffle, no second relation, nothing broadcast (a duplicate-
@@ -458,6 +473,13 @@ def main() -> None:
         "url host ranks below --min-host-rank (unknown hosts kept)",
     )
     ap.add_argument("--min-host-rank", type=float, default=0.0)
+    ap.add_argument(
+        "--host-cap",
+        type=int,
+        default=0,
+        help="keep at most this many docs per url host (0 = off); "
+        "deterministic md5-rank selection, mega-host skew-safe",
+    )
     args = ap.parse_args()
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
@@ -515,6 +537,7 @@ def main() -> None:
             read_table(spark, args.host_ranks) if args.host_ranks else None
         ),
         min_host_rank=args.min_host_rank,
+        host_cap=(args.host_cap or None),
     ).observe(obs, F.count(F.lit(1)).alias("n_out"))
     write_table(kept, args.output)
     n_out = obs.get["n_out"]

@@ -40,6 +40,7 @@ __all__ = [
     "blocklist_stats",
     "blocklist_filter",
     "domain_stats",
+    "cap_per_host",
     "host_of",
     "canonical_url",
     "canonicalize_urls",
@@ -229,6 +230,106 @@ def domain_stats(
             "n_short"
         ),
     )
+
+
+def cap_per_host(
+    docs: DataFrame,
+    cap: int,
+    host: Column | str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    precut: bool = True,
+) -> DataFrame:
+    """Per-host document quota — the C4/CC-Net "no host dominates the
+    corpus" stage: keep at most ``cap`` documents per host, selected
+    deterministically as the ``cap`` smallest md5-derived hashes of
+    ``(seed, doc id)`` (ties broken by id). Like
+    :func:`..text.stratified_sample`, the keep decision is a pure
+    function of the row — reruns, retries, and different partitionings
+    all keep the SAME documents, and the law is exactly replicable in
+    an oracle (``row_number() over (partition by host order by hash,
+    id) <= cap``).
+
+    ``host`` defaults to :func:`host_of` over a ``url`` column; pass a
+    column/name for pre-extracted hosts. Returns ``docs`` filtered,
+    columns unchanged.
+
+    Scale shape (the mega-host is the whole point of this operator):
+    a naive per-host ``row_number`` window puts a 10^8-page host in
+    ONE task. Instead:
+
+    1. one map-side-combined count finds the OVER-cap hosts (a tiny
+       relation at any scale — it broadcasts);
+    2. under-cap hosts' docs pass through UNTOUCHED on a broadcast
+       anti join (narrow — the bulk of the corpus never shuffles);
+    3. over-cap hosts' ``(id, host, hash)`` projection takes a
+       partition-local pre-cut (``mapInPandas`` keeping the ≤``cap``
+       best candidates per host per input partition — a superset of
+       the global winners, so the result stays exact), bounding the
+       final exact window to ≤ cap·P rows per host;
+    4. the kept ids semi-join back against the over-cap slice only.
+
+    ``precut=False`` skips step 3 (plain window over the over-cap
+    slice) — useful for plan comparisons in tests."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import Window
+
+    from .hashing import md5_h64
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = (
+        host_of("url")
+        if host is None
+        else (F.col(host) if isinstance(host, str) else host)
+    )
+    hcol = h.alias("_host")
+    rank_h = md5_h64(
+        F.concat(F.lit(f"hostcap-{seed}-"), F.col(id_col).cast("string"))
+    )
+    over = (
+        docs.select(hcol)
+        .groupBy("_host")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > int(cap))
+        .select("_host")
+    )
+    with_host = docs.withColumn("_host", h)
+    under_docs = with_host.join(over, "_host", "left_anti").drop("_host")
+    over_docs = with_host.join(over, "_host", "left_semi")
+    cand = over_docs.select(
+        F.col(id_col).alias("_id"), "_host", rank_h.alias("_h")
+    )
+    if precut:
+
+        def local_topcap(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            acc: pd.DataFrame | None = None
+            for pdf in batches:
+                acc = pdf if acc is None else pd.concat([acc, pdf])
+                # trim between batches so partition state stays
+                # ≤ hosts_in_partition × cap rows
+                acc = (
+                    acc.sort_values(["_host", "_h", "_id"])
+                    .groupby("_host", sort=False)
+                    .head(int(cap))
+                )
+            if acc is not None:
+                yield acc
+
+        cand = cand.mapInPandas(
+            local_topcap, f"_id {dict(docs.dtypes)[id_col]}, _host string, _h long"
+        )
+    w = Window.partitionBy("_host").orderBy(F.asc("_h"), F.asc("_id"))
+    keep_ids = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(cap))
+        .select(F.col("_id").alias(id_col))
+    )
+    kept_over = over_docs.drop("_host").join(keep_ids, id_col, "left_semi")
+    return under_docs.unionByName(kept_over)
 
 
 def host_of(url: Column | str = "url") -> Column:

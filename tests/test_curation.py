@@ -127,7 +127,120 @@ def test_domain_stats_mega_host_partial_aggregation(spark):
     assert len(rows) == 1 + 97
 
 
-def test_domain_stats_over_cc_shaped_corpus(spark):
+def test_cap_per_host_exact_and_deterministic(spark):
+    """cap_per_host keeps exactly the cap smallest (hash, id) docs of
+    each over-cap host, everything from under-cap hosts, and the SAME
+    set under precut on/off and different partitionings."""
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        cap_per_host,
+    )
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import md5_h64
+
+    n = 300
+    docs = spark.range(n, numPartitions=7).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"),
+            # host 0 gets half the corpus (over cap); 9 others small
+            F.when(F.col("id") % 2 == 0, F.lit("0"))
+            .otherwise((F.col("id") % 9 + 1).cast("string")),
+            F.lit(".example/p"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.lit("text body").alias("text"),
+    )
+    cap = 10
+    kept = cap_per_host(docs, cap)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # reference: rank by the same hash law in-driver
+    rows = docs.select(
+        "doc_id",
+        F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host"),
+        md5_h64(
+            F.concat(F.lit("hostcap-42-"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).collect()
+    byhost: dict = {}
+    for r in rows:
+        byhost.setdefault(r["host"], []).append((r["h"], r["doc_id"]))
+    want = []
+    for hst, lst in byhost.items():
+        lst.sort()
+        keep = lst if len(lst) <= cap else lst[:cap]
+        want += [d for _, d in keep]
+    assert ids == sorted(want)
+    # per-host counts: over-cap host trimmed to cap, others intact
+    counts = {
+        r["host"]: r["c"]
+        for r in kept.select(
+            F.regexp_extract("url", r"https://(h\d+)\.", 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert counts["h0"] == cap
+    assert all(v <= cap for v in counts.values())
+    # precut off and a different partitioning select the SAME ids
+    ids2 = sorted(
+        r["doc_id"]
+        for r in cap_per_host(docs.repartition(3), cap, precut=False)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids2 == ids
+    # columns unchanged
+    assert kept.columns == docs.columns
+
+
+def test_cap_per_host_under_cap_is_identity_and_validates(spark):
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        cap_per_host,
+    )
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 10).cast("string"), F.lit(".x/p")
+        ).alias("url"),
+    )
+    assert cap_per_host(docs, 5).count() == 20  # 2 docs/host, all kept
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_host(docs, 0)
+
+
+def test_cap_per_host_corpus_bulk_never_shuffles(spark):
+    """Plan pin: the under-cap bulk of the corpus passes through on a
+    broadcast anti join — the window/semi-join machinery only ever
+    sees the over-cap slice. No CartesianProduct, no row-at-a-time
+    Python; the over-host relation reaches its joins via broadcast."""
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        cap_per_host,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 5).cast("string"), F.lit(".x/p"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    out = cap_per_host(docs, 10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    nodes = _re.findall(r"\(\d+\) ([A-Za-z][A-Za-z0-9_]*)", plan)
+    assert "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes
+    assert nodes.count("BroadcastExchange") >= 2  # anti + semi host joins
     """domain_stats accepts a host EXPRESSION over the (url, warc_ts,
     html, text, lang) corpus shape — the CC-scale usage."""
     from mecab_ko_lucene_analyzer_spark.functions.curation import host_of

@@ -209,6 +209,11 @@ SHUFFLE_CEILING = {
     # Gumbel sampler adds arithmetic only — same ceiling.
     "dsir_logratio": 4,
     "dsir_sample": 4,
+    # host_cap: over-host count agg (map-side combined) + the pre-cut
+    # candidates' window exchange + the keep-id semi join's pair — the
+    # under-cap BULK of the corpus rides broadcast anti/semi host
+    # joins and never shuffles
+    "host_cap": 4,
     # robots: plain host-keyed rules join (Catalyst broadcasts from
     # SIZE STATS at sf — never a forced hint; shuffle join at scale) +
     # ONE per-doc decision agg + the no-match left join back (both
