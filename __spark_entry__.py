@@ -1881,6 +1881,66 @@ def _q_significant_terms(spark, sf_dir):
     ).select("term", "fg_df", "bg_df", F.round("score", 6).alias("score"))
 
 
+#: sampler agg: foreground = top-N matched docs by (rounded) BM25
+SAMPLER_SIZE = 50
+#: rare_terms agg bounds — the synthetic corpus's whitespace
+#: vocabulary is tiny (31 terms, min df 25), so the contract query
+#: injects a genuine long tail: one `zz<doc_id//3>` token per doc
+#: (df = 3, with one df-2 remainder group). max_df 3 makes the cut
+#: non-trivial at every sf.
+RARE_MAX_DF = 3
+RARE_K = 15
+
+
+def _q_sampler_sigterms(spark, sf_dir):
+    """ES ``sampler`` + ``significant_terms`` sub-agg (``query/aggs.py
+    ::sampler_significant_terms``): significance over the top
+    SAMPLER_SIZE BM25-ranked matching docs — the documented
+    corpus-scale cost bound for significance. The BM25 rank key
+    rounds to 6 before the cut so the sample boundary is identical
+    across engines; JLH arithmetic and ordering as in
+    ``significant_terms``."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import (
+        sampler_significant_terms,
+    )
+
+    return sampler_significant_terms(
+        _ws_index(spark, sf_dir),
+        BM25_QUERY,
+        sample_size=SAMPLER_SIZE,
+        k=SIGTERMS_K,
+        score_round=6,
+    ).select("term", "fg_df", "bg_df", F.round("score", 6).alias("score"))
+
+
+def _q_rare_terms(spark, sf_dir):
+    """ES ``rare_terms`` (``query/aggs.py::rare_terms_agg``): the
+    exact long-tail vocabulary — terms with df ≤ RARE_MAX_DF, df asc /
+    term asc, first RARE_K (documented deviation: ES is approximate
+    via CuckooFilter; this is the exact answer off term_stats). The
+    vocabulary gets a synthetic ``zz<doc_id//3>`` tail token per doc
+    (see RARE_MAX_DF note) so the cut selects real rows at every
+    sf."""
+    from mecab_ko_lucene_analyzer_spark.index.build import InvertedIndex
+    from mecab_ko_lucene_analyzer_spark.query.aggs import rare_terms_agg
+
+    tail = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("zz"),
+            F.floor(F.col("doc_id") / 3).cast("long").cast("string"),
+        ).alias("term"),
+    )
+    posts = (
+        _tokens(spark, sf_dir)
+        .unionByName(tail.select("doc_id", "term"))
+        .distinct()
+    )
+    term_stats = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idx = InvertedIndex(posts, term_stats, term_stats, term_stats)
+    return rare_terms_agg(idx, max_df=RARE_MAX_DF, k=RARE_K)
+
+
 def _q_top_hits(spark, sf_dir):
     """ES ``terms`` + ``top_hits`` sub-aggregation (``query/aggs.py::
     top_hits_agg``): the top TOPHITS_BUCKETS ``documents.source``
@@ -2821,6 +2881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_topk": _q_regexp_topk,
         "filtered_topk": _q_filtered_topk,
         "significant_terms": _q_significant_terms,
+        "sampler_sigterms": _q_sampler_sigterms,
+        "rare_terms": _q_rare_terms,
         "top_hits": _q_top_hits,
         "rescore_topk": _q_rescore_topk,
         "percolate": _q_percolate,
@@ -4397,6 +4459,85 @@ def oracle_sql() -> dict[str, str]:
                      * ((fg.fg_df / sizes.fg_size) / (s.df / corpus.n_docs))
                      DESC, fg.term ASC
             LIMIT {SIGTERMS_K}
+        """,
+        # sampler + significant_terms: the BM25 rank key rounds to 6
+        # BEFORE the sample cut on both engines (summation-order-proof
+        # boundary); JLH over the sample, background df off the corpus
+        "sampler_sigterms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            posts AS (SELECT DISTINCT term, doc_id FROM toks),
+            stats AS (SELECT term, count(*) AS df FROM posts GROUP BY 1),
+            corpus AS (
+                SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM toks
+            ),
+            dl AS (
+                SELECT doc_id, count(*)::DOUBLE AS doc_len
+                FROM toks GROUP BY 1
+            ),
+            co2 AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+            tfs AS (
+                SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY 1),
+            scored AS (
+                SELECT tfs.doc_id,
+                       round(sum(
+                           ln(1 + (co2.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * dl.doc_len / co2.avgdl))
+                       ), 6) AS score
+                FROM tfs
+                JOIN dfs ON tfs.term = dfs.term
+                JOIN dl ON tfs.doc_id = dl.doc_id
+                CROSS JOIN co2
+                GROUP BY tfs.doc_id
+            ),
+            sample AS (
+                SELECT doc_id FROM scored
+                ORDER BY score DESC, doc_id ASC
+                LIMIT {SAMPLER_SIZE}
+            ),
+            fg AS (
+                SELECT p.term, count(*) AS fg_df
+                FROM posts p JOIN sample m USING (doc_id)
+                WHERE p.term NOT IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+                GROUP BY 1
+            ),
+            sizes AS (SELECT count(*)::DOUBLE AS fg_size FROM sample)
+            SELECT fg.term,
+                   fg.fg_df::BIGINT AS fg_df,
+                   s.df::BIGINT AS bg_df,
+                   round(
+                       (fg.fg_df / sizes.fg_size - s.df / corpus.n_docs)
+                       * ((fg.fg_df / sizes.fg_size) / (s.df / corpus.n_docs))
+                   , 6) AS score
+            FROM fg
+            JOIN stats s ON fg.term = s.term
+            CROSS JOIN sizes CROSS JOIN corpus
+            ORDER BY (fg.fg_df / sizes.fg_size - s.df / corpus.n_docs)
+                     * ((fg.fg_df / sizes.fg_size) / (s.df / corpus.n_docs))
+                     DESC, fg.term ASC
+            LIMIT {SIGTERMS_K}
+        """,
+        # rare_terms: the exact long-tail cut off the vocabulary, with
+        # the injected zz<doc_id//3> tail replayed identically
+        "rare_terms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            tail AS (
+                SELECT doc_id,
+                       'zz' || (doc_id // 3)::VARCHAR AS term
+                FROM documents
+            ),
+            posts AS (
+                SELECT DISTINCT term, doc_id
+                FROM (SELECT * FROM toks UNION ALL SELECT doc_id, term FROM tail)
+            )
+            SELECT term, count(*)::BIGINT AS df
+            FROM posts GROUP BY 1
+            HAVING count(*) <= {RARE_MAX_DF}
+            ORDER BY df ASC, term ASC
+            LIMIT {RARE_K}
         """,
         "top_hits": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -799,7 +799,10 @@ class SearchEngine:
         Supported kinds: ``terms``, ``stats``, ``extended_stats``,
         ``percentiles``, ``cardinality``, ``value_count``,
         ``weighted_avg``, ``histogram``, ``range``, ``missing``,
-        ``filters``, ``adjacency_matrix``, ``significant_terms``.
+        ``filters``, ``adjacency_matrix``, ``significant_terms``,
+        ``rare_terms`` (``max_doc_count``/``size``), and ``sampler``
+        with a ``significant_terms`` sub-agg (``shard_size`` bounds
+        the foreground — the corpus-scale significance cut).
         Fields resolve against ``attrs`` when given (any ``(doc_id,
         ...)`` DataFrame), else the built-ins: ``host`` (url host from
         the doc_map) and ``doc_len`` (from doc_stats). Aggs evaluate
@@ -935,6 +938,44 @@ class SearchEngine:
                         "bg_df": r["bg_df"],
                         "score": r["score"],
                     }
+                    for r in rows
+                ]
+            elif kind == "sampler":
+                # ES sampler + significant_terms sub-agg: the only
+                # supported sub-agg (the scale-bounding combination)
+                ((sub_name, sub),) = body.get("aggs", {}).items()
+                ((sub_kind, sub_body),) = sub.items()
+                if sub_kind != "significant_terms":
+                    raise ValueError(
+                        "sampler supports a significant_terms sub-agg "
+                        f"only, got {sub_kind!r}"
+                    )
+                rows = A.sampler_significant_terms(
+                    idx,
+                    terms,
+                    sample_size=int(body.get("shard_size", 100)),
+                    k=int(sub_body.get("size", 10)),
+                    score_round=6,
+                ).collect()
+                out[name] = {
+                    sub_name: [
+                        {
+                            "term": r["term"],
+                            "fg_df": r["fg_df"],
+                            "bg_df": r["bg_df"],
+                            "score": r["score"],
+                        }
+                        for r in rows
+                    ]
+                }
+            elif kind == "rare_terms":
+                rows = A.rare_terms_agg(
+                    idx,
+                    max_df=int(body.get("max_doc_count", 1)),
+                    k=int(body.get("size", 10)),
+                ).collect()
+                out[name] = [
+                    {"term": r["term"], "doc_count": r["df"]}
                     for r in rows
                 ]
             else:

@@ -44,6 +44,8 @@ __all__ = [
     "sort_topk",
     "collapse_topk",
     "significant_terms",
+    "sampler_significant_terms",
+    "rare_terms_agg",
     "top_hits_agg",
     "range_key",
     "range_agg",
@@ -384,6 +386,7 @@ def significant_terms(
     min_doc_count: int = 1,
     min_should_match: int = 0,
     exclude_query_terms: bool = True,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """ES ``significant_terms`` aggregation: the vocabulary terms most
     DISTINCTIVE of the matched doc set vs the whole corpus, scored
@@ -408,10 +411,11 @@ def significant_terms(
     term-pruned — significance needs every term in the matched docs —
     so the scan is proportional to the match set's token volume, never
     to the corpus; at 10^12 docs ES itself bounds this with shard
-    sampling (``sample`` agg), the same cut a caller applies here by
-    passing a sampled match set."""
+    sampling (``sample`` agg) — :func:`sampler_significant_terms` IS
+    that cut, or pass your own sampled ``matched`` set."""
     spark = index.postings.sparkSession
-    matched = matching_docs(index, query_terms, min_should_match)
+    if matched is None:
+        matched = matching_docs(index, query_terms, min_should_match)
     fg_size = matched.count()
     if fg_size == 0:
         return spark.createDataFrame(
@@ -446,6 +450,87 @@ def significant_terms(
             score.alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def sampler_significant_terms(
+    index: InvertedIndex,
+    query_terms: list[str],
+    sample_size: int = 100,
+    k: int = 10,
+    min_doc_count: int = 1,
+    exclude_query_terms: bool = True,
+    k1: float | None = None,
+    b: float | None = None,
+    score_round: int | None = None,
+) -> DataFrame:
+    """ES ``sampler`` aggregation wrapping ``significant_terms`` — the
+    documented cost bound for significance at corpus scale: the
+    foreground is the top ``sample_size`` matching docs by BM25 score
+    (ties doc_id asc — fully deterministic), not the whole match set,
+    so the un-pruned postings semi-join touches ≤ sample_size docs'
+    tokens no matter how big the match set is. This is exactly the
+    shard-sampling cut ES applies (``sampler`` + ``significant_terms``
+    sub-agg) and the one :func:`significant_terms`'s docstring points
+    to for 10^12-doc use.
+
+    Same output/ranking contract as :func:`significant_terms`
+    (``fg_df`` counts within the sample; ``score`` is JLH with
+    ``fg_size = |sample|``). ``score_round`` rounds the BM25 rank key
+    before the cut — set it (e.g. 6) when the sample must be
+    reproducible across engines/summation orders; float sums at full
+    precision can permute near-tied docs at the sample boundary."""
+    from ..index.build import B as _B
+    from ..index.build import K1 as _K1
+    from .bm25 import bm25_scored
+
+    scored = bm25_scored(
+        index,
+        query_terms,
+        k1 if k1 is not None else _K1,
+        b if b is not None else _B,
+    )
+    if score_round is not None:
+        scored = scored.withColumn(
+            "score", F.round("score", int(score_round))
+        )
+    sample = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(sample_size))
+        .select("doc_id")
+    )
+    return significant_terms(
+        index,
+        query_terms,
+        k=k,
+        min_doc_count=min_doc_count,
+        exclude_query_terms=exclude_query_terms,
+        matched=sample,
+    )
+
+
+def rare_terms_agg(
+    index: InvertedIndex, max_df: int = 1, k: int = 10
+) -> DataFrame:
+    """ES ``rare_terms`` bucket aggregation: the long-tail vocabulary —
+    terms whose document frequency is at most ``max_df``, ranked df
+    asc / term asc, first ``k``. The training-pipeline reading: the
+    hapax/near-hapax terms that flag OCR noise, encoding damage, and
+    spam salting. Returns ``(term, df)``.
+
+    Deviation from ES, for determinism: ES computes this with a
+    CuckooFilter (approximate, no total order); this is the EXACT
+    answer — one pushed filter over the |vocab|-sized ``term_stats``
+    relation + TakeOrdered, no postings scan at all."""
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    return (
+        index.term_stats.select(
+            "term", F.col("df").cast("long").alias("df")
+        )
+        .filter(F.col("df") <= int(max_df))
+        .orderBy(F.asc("df"), F.asc("term"))
         .limit(int(k))
     )
 

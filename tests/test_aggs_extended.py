@@ -283,3 +283,52 @@ def test_missing_counts_null_and_absent_rows(spark):
     row = missing_agg(idx, ["a", "b", "c"], attrs, "a").first()
     # matching docs 1..5: missing = doc2 (NULL) + docs 4, 5 (absent)
     assert row["missing_count"] == 3
+
+
+def test_rare_terms_exact_long_tail(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import rare_terms_agg
+
+    idx = _hand_index(spark)
+    rows = [(r["term"], r["df"]) for r in rare_terms_agg(idx, max_df=2).collect()]
+    assert rows == [("c", 2)]  # a,b have df 3
+    rows = [
+        (r["term"], r["df"])
+        for r in rare_terms_agg(idx, max_df=3, k=2).collect()
+    ]
+    assert rows == [("c", 2), ("a", 3)]  # df asc, term asc, k cut
+    with pytest.raises(ValueError, match="max_df"):
+        rare_terms_agg(idx, max_df=0)
+
+
+def test_sampler_significant_terms_bounds_the_foreground(spark):
+    """sample_size large = identical to plain significant_terms;
+    sample_size 1 restricts the foreground to the single best BM25 doc
+    (doc3: matches a+b+c), changing fg counts exactly as the JLH over
+    that one-doc sample says."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import (
+        sampler_significant_terms,
+        significant_terms,
+    )
+
+    idx = _hand_index(spark)
+    full = significant_terms(
+        idx, ["a"], k=10, exclude_query_terms=True
+    ).collect()
+    sampled_all = sampler_significant_terms(
+        idx, ["a"], sample_size=100, k=10, score_round=6
+    ).collect()
+    assert [tuple(r) for r in sampled_all] == [tuple(r) for r in full]
+    one = sampler_significant_terms(
+        idx, ["a"], sample_size=1, k=10, score_round=6
+    ).collect()
+    # best 'a' doc by BM25 is doc1 (tf 2, same doc_len): fg = {a};
+    # query term excluded => empty frame
+    assert one == []
+    # with exclusion off the sample's own vocabulary surfaces
+    one_raw = sampler_significant_terms(
+        idx, ["a"], sample_size=1, k=10,
+        exclude_query_terms=False, score_round=6,
+    ).collect()
+    assert [(r["term"], r["fg_df"], r["bg_df"]) for r in one_raw] == [
+        ("a", 1, 3)
+    ]

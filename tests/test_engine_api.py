@@ -682,3 +682,31 @@ def test_engine_aggregate_unknown_field_raises(engine):
 
     with _pytest.raises(ValueError):
         engine.aggregate("검색", {"x": {"stats": {"field": "nope"}}})
+
+
+def test_engine_aggregate_sampler_and_rare_terms(engine):
+    """Round-5 kinds: sampler+significant_terms (the scale-bounding
+    cut — with shard_size above the match set it equals the plain
+    significance list) and rare_terms (exact long-tail)."""
+    import pytest as _pytest
+
+    out = engine.aggregate(
+        "검색 엔진",
+        {
+            "sig": {"significant_terms": {"size": 5}},
+            "sampled": {
+                "sampler": {
+                    "shard_size": 10_000,
+                    "aggs": {"sig": {"significant_terms": {"size": 5}}},
+                }
+            },
+            "tail": {"rare_terms": {"max_doc_count": 3, "size": 5}},
+        },
+    )
+    assert out["sampled"]["sig"] == out["sig"]
+    assert all(b["doc_count"] <= 3 for b in out["tail"])
+    with _pytest.raises(ValueError, match="significant_terms sub-agg"):
+        engine.aggregate(
+            "검색",
+            {"s": {"sampler": {"aggs": {"t": {"terms": {"field": "host"}}}}}},
+        )

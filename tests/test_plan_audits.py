@@ -82,6 +82,14 @@ SHUFFLE_CEILING = {
     # exchanges (ES bounds this with shard sampling at scale; callers
     # pass a sampled match set — see the docstring)
     "significant_terms": 5,
+    # sampler-bounded significance: the bm25_scored chain feeding the
+    # ≤SAMPLER_SIZE sample (its 5) + the sample semi join's pair + the
+    # fg term agg + the vocab join — every relation after the cut is
+    # sample-bounded, the postings semi-join included
+    "sampler_sigterms": 9,
+    # exact long-tail cut: the (tokens ∪ synthetic tail) distinct +
+    # the |vocab|-sized df agg, then a pushed filter + TakeOrdered
+    "rare_terms": 2,
     # buckets (facet, tiny, broadcast back) + the scored chain + ONE
     # per-bucket window exchange — grouped top-k, never a global sort
     "top_hits": 9,
