@@ -1760,6 +1760,34 @@ DSIR_K = 30
 DSIR_SEED = 7
 
 
+#: NB quality classifier feature dim (hashed unigram+bigram buckets)
+NB_DIM = 2048
+
+
+def _q_nb_quality(spark, sf_dir):
+    """Supervised quality-classifier scores (``functions/curation.py::
+    nb_quality_scores`` — the in-engine stand-in for the GPT-3/CCNet
+    fasttext filter): multinomial-NB log-odds over hashed
+    unigram+bigram buckets, trained on label = (lang == 'en') and
+    scoring every doc. Closed-form (two aggregations, no iterations)
+    precisely so the oracle can replay every number: identical md5
+    bucket hashing, smoothed-log weight arithmetic, and doc-prior
+    bias."""
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        nb_quality_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").alias("label")
+    )
+    return nb_quality_scores(
+        docs.select("doc_id", "text"), labels, dim=NB_DIM
+    ).select(
+        "doc_id", "n_feats", F.round("nb_score", 6).alias("nb_score")
+    )
+
+
 def _q_dsir_logratio(spark, sf_dir):
     """DSIR importance scores (``functions/curation.py::
     dsir_logratio``, Xie et al. 2023): per-doc log importance weight
@@ -2908,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_stats": _q_streaming_window_stats,
         "session_stats": _q_session_stats,
         "dsir_logratio": _q_dsir_logratio,
+        "nb_quality": _q_nb_quality,
         "dsir_sample": _q_dsir_sample,
         "robots_allowed": _q_robots_allowed,
         "host_cap": _q_host_cap,
@@ -5011,6 +5040,56 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logratio": f"""{_DSIR_CORE_SQL}
             SELECT doc_id, n_feats, round(logratio, 6) AS logratio
             FROM scores
+        """,
+        # NB quality classifier: identical md5 feature buckets, per-
+        # class smoothed-log weights, doc-count prior — every number
+        # replayed (training labels = every doc, label = lang='en')
+        "nb_quality": f"""
+            WITH toks AS (
+                SELECT doc_id, (lang = 'en') AS lab,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, lab, unnest(t) AS tok,
+                       generate_subscripts(t, 1) AS p
+                FROM toks
+            ),
+            feats AS (
+                SELECT doc_id, lab, tok AS f FROM pos
+                UNION ALL
+                SELECT a.doc_id, a.lab, a.tok || ' ' || b.tok AS f
+                FROM pos a JOIN pos b
+                  ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            ),
+            fb AS (
+                SELECT doc_id, lab,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % {NB_DIM} AS bucket
+                FROM feats
+            ),
+            counts AS (
+                SELECT bucket,
+                       sum(CASE WHEN lab THEN 1 ELSE 0 END)::DOUBLE AS cp,
+                       sum(CASE WHEN lab THEN 0 ELSE 1 END)::DOUBLE AS cn
+                FROM fb GROUP BY 1
+            ),
+            tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM counts),
+            nd AS (
+                SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS np,
+                       sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::DOUBLE AS nn
+                FROM documents
+            ),
+            weights AS (
+                SELECT bucket,
+                       ln((cp + 1) / (tot.tp + {NB_DIM}))
+                       - ln((cn + 1) / (tot.tn + {NB_DIM})) AS w
+                FROM counts CROSS JOIN tot
+            )
+            SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                   round(ln(nd.np) - ln(nd.nn) + sum(w.w), 6) AS nb_score
+            FROM fb
+            JOIN weights w USING (bucket)
+            CROSS JOIN nd
+            GROUP BY fb.doc_id, nd.np, nd.nn
         """,
         "dsir_sample": f"""{_DSIR_CORE_SQL}
             SELECT doc_id,

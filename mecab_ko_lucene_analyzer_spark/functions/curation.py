@@ -51,6 +51,7 @@ __all__ = [
     "contamination",
     "decontaminate",
     "pack_manifest",
+    "nb_quality_scores",
     "unigram_logprob",
     "normalize_text",
     "EMAIL_RE",
@@ -1047,6 +1048,99 @@ def dsir_logratio(
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.sum("lp").alias("logratio"),
+        )
+    )
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    labels: DataFrame,
+    text: str = "text",
+    dim: int = 2048,
+    alpha: float = 1.0,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Supervised quality-classifier scores — the labeled cousin of
+    :func:`dsir_logratio` and the in-engine stand-in for the
+    fasttext-style filter the GPT-3/CCNet pipelines train (positives =
+    a curated corpus, negatives = raw crawl): per-doc multinomial
+    Naive-Bayes log-odds over hashed unigram+bigram word features::
+
+        nb_score = ln(n_pos/n_neg)                      (doc prior)
+                 + Σ_f [ ln((c⁺(b)+α)/(T⁺+α·dim))
+                       − ln((c⁻(b)+α)/(T⁻+α·dim)) ]     (per feature)
+
+    ``labels`` is ``(doc_id, label boolean)`` — the training seed
+    (keep it a SAMPLE at crawl scale; the classifier exists so you
+    don't label the corpus). Positive scores read "looks like the
+    positive class"; threshold or rank for the keep decision. Returns
+    ``(doc_id, n_feats, nb_score)`` for EVERY doc in ``docs`` with at
+    least one token (docs with no tokens emit no row); scoring uses
+    only the model, so unlabeled docs score fine.
+
+    Naive Bayes rather than logistic regression deliberately: the
+    closed form is two aggregations — no iterations, no learning rate
+    — and every number is exactly replicable in an oracle SQL, which
+    is the contract this engine holds all its operators to.
+
+    Plan at crawl scale: the per-class bucket-count tables are
+    ``dim``-bounded (map-side combined, ≤ dim rows each) and the
+    weight table BROADCASTS legitimately (fixed dim, never
+    corpus-proportional — the same justification as DSIR); the big
+    relations see one feature explode + one per-doc aggregate. The
+    labeled slice is one semi-join of the seed ids against docs.
+    Buckets unseen in training fall back to the closed-form OOV
+    weight via ``coalesce`` (no lost rows)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    lab = labels.select(
+        "doc_id", F.col("label").cast("boolean").alias("_lab")
+    )
+    fb = docs.select(
+        "doc_id",
+        F.explode(_hashed_ngram_buckets(text, dim, hash_impl)).alias(
+            "bucket"
+        ),
+    )
+    tb = fb.join(lab, "doc_id")
+    counts = (
+        tb.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_lab"), 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(F.col("_lab"), 0).otherwise(1)).alias("cn"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")
+    ).first()
+    tp, tn = float(tot["tp"] or 0), float(tot["tn"] or 0)
+    nd = lab.groupBy("_lab").agg(F.count(F.lit(1)).alias("n")).collect()
+    n_docs = {bool(r["_lab"]): r["n"] for r in nd}
+    if not n_docs.get(True) or not n_docs.get(False):
+        raise ValueError(
+            "labels must contain BOTH classes (got "
+            f"{n_docs.get(True, 0)} positive / {n_docs.get(False, 0)} "
+            "negative docs)"
+        )
+    bias = math.log(n_docs[True]) - math.log(n_docs[False])
+    a, ad = float(alpha), float(alpha) * dim
+    # identical IEEE expression order on both engines: difference of
+    # two smoothed log-probs (the dsir_logratio discipline)
+    w = F.log(
+        (F.col("cp").cast("double") + a) / F.lit(tp + ad)
+    ) - F.log((F.col("cn").cast("double") + a) / F.lit(tn + ad))
+    oov = math.log(a / (tp + ad)) - math.log(a / (tn + ad))
+    weights = counts.select("bucket", w.alias("w"))
+    return (
+        fb.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (
+                F.lit(bias)
+                + F.sum(F.coalesce(F.col("w"), F.lit(oov)))
+            ).alias("nb_score"),
         )
     )
 

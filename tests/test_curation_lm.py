@@ -356,3 +356,86 @@ def test_curate_dsir_stage(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert len(kept) == 2
     assert set(kept) <= {0, 2}  # the wiki-like docs dominate
+
+
+# ------------------------------------------------------------ naive bayes
+
+
+def test_nb_quality_scores_hand_model(spark):
+    """Hand-replay of the multinomial-NB log-odds on a 4-doc corpus:
+    positives say 'good', negatives say 'spam'; an unlabeled doc mixing
+    both scores between them; unseen buckets take the OOV weight."""
+    import math
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        nb_quality_scores,
+    )
+    from mecab_ko_lucene_analyzer_spark.functions.hashing import md5_h64
+
+    DIM = 64
+    docs = spark.createDataFrame(
+        [
+            (0, "good text here"),
+            (1, "good stuff here"),
+            (2, "spam junk"),
+            (3, "good spam mix"),  # unlabeled — scored by the model only
+        ],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(0, True), (1, True), (2, False)], "doc_id long, label boolean"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality_scores(docs, labels, dim=DIM).collect()
+    }
+    # replay: features = unigrams + bigrams, bucket = md5h64 % DIM
+    import pyspark.sql.functions as F
+
+    def feats(s):
+        ws = s.split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    bucket_of = {}
+    allf = sorted({f for _, s in [(0, "good text here"), (1, "good stuff here"), (2, "spam junk"), (3, "good spam mix")] for f in feats(s)})
+    rows = spark.createDataFrame([(f,) for f in allf], "f string").select(
+        "f", (md5_h64(F.col("f")) % DIM).alias("b")
+    ).collect()
+    bucket_of = {r["f"]: r["b"] for r in rows}
+    texts = {0: "good text here", 1: "good stuff here", 2: "spam junk", 3: "good spam mix"}
+    cp, cn = {}, {}
+    for d, lab in [(0, True), (1, True), (2, False)]:
+        for f in feats(texts[d]):
+            (cp if lab else cn)[bucket_of[f]] = (cp if lab else cn).get(bucket_of[f], 0) + 1
+    tp, tn = sum(cp.values()), sum(cn.values())
+    bias = math.log(2) - math.log(1)
+
+    def w(b):
+        return math.log((cp.get(b, 0) + 1) / (tp + DIM)) - math.log(
+            (cn.get(b, 0) + 1) / (tn + DIM)
+        )
+
+    for d in range(4):
+        fs = feats(texts[d])
+        want = bias + sum(w(bucket_of[f]) for f in fs)
+        assert out[d]["n_feats"] == len(fs)
+        assert out[d]["nb_score"] == pytest.approx(want, abs=1e-9), d
+    assert out[0]["nb_score"] > 0 > out[2]["nb_score"]
+    assert out[2]["nb_score"] < out[3]["nb_score"] < out[0]["nb_score"]
+
+
+def test_nb_quality_requires_both_classes(spark):
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        nb_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c d")], "doc_id long, text string"
+    )
+    one_class = spark.createDataFrame(
+        [(0, True), (1, True)], "doc_id long, label boolean"
+    )
+    with pytest.raises(ValueError, match="BOTH classes"):
+        nb_quality_scores(docs, one_class)
+    with pytest.raises(ValueError, match="alpha"):
+        nb_quality_scores(docs, one_class, alpha=0.0)

@@ -217,6 +217,10 @@ SHUFFLE_CEILING = {
     # Gumbel sampler adds arithmetic only — same ceiling.
     "dsir_logratio": 4,
     "dsir_sample": 4,
+    # NB classifier: labeled-features agg (dim-bounded) + the label
+    # join + the per-doc score agg; the weight table broadcasts
+    # legitimately (fixed dim — the DSIR justification)
+    "nb_quality": 3,
     # host_cap: over-host count agg (map-side combined) + the pre-cut
     # candidates' window exchange + the keep-id semi join's pair — the
     # under-cap BULK of the corpus rides broadcast anti/semi host
