@@ -749,3 +749,49 @@ def test_canonical_url_is_idempotent(spark):
     twice = df.withColumn("again", canonical_url("canon_url"))
     for r in twice.collect():
         assert r.again == r.canon_url, r
+
+
+def test_cap_per_host_matches_brute_force_reference(spark):
+    """Randomized (seeded) check of cap_per_host against a pure-Python
+    replay of the md5-rank law: 5 corpus shapes × caps, each compared
+    id-for-id. The hash is hashlib-replicable, so the reference shares
+    no code with the implementation."""
+    import hashlib
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mecab_ko_lucene_analyzer_spark.functions.curation import (
+        cap_per_host,
+    )
+
+    def h(doc_id, seed=42):
+        s = f"hostcap-{seed}-{doc_id}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(2026)
+    for trial in range(5):
+        n = rng.randint(20, 120)
+        n_hosts = rng.randint(1, 6)
+        cap = rng.randint(1, 8)
+        assignment = {i: rng.randrange(n_hosts) for i in range(n)}
+        docs = spark.createDataFrame(
+            [
+                (i, f"https://t{assignment[i]}.x/p{i}")
+                for i in range(n)
+            ],
+            "doc_id long, url string",
+        ).repartition(rng.randint(1, 5))
+        got = sorted(
+            r["doc_id"]
+            for r in cap_per_host(docs, cap).select("doc_id").collect()
+        )
+        byhost: dict = {}
+        for i in range(n):
+            byhost.setdefault(assignment[i], []).append((h(i), i))
+        want = sorted(
+            i
+            for lst in byhost.values()
+            for _, i in sorted(lst)[:cap]
+        )
+        assert got == want, (trial, n, n_hosts, cap)

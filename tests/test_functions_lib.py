@@ -681,3 +681,30 @@ def test_percolate_modes(spark):
     }
     assert (2, 0) in msm  # doc2 has 'spark' but not 'query'
     assert not [q for d, q in msm if q in (2, 3)]
+
+
+def test_curate_host_cap_stage(spark):
+    """--host-cap through the curate pipeline: the quota applies before
+    dedup, urls drive the host key, and the under-cap hosts are
+    untouched."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path("jobs").resolve().parent / "jobs"))
+    from curate import curate
+
+    rows = [
+        (i, f"unique text number {i} " + " ".join(f"w{i}x{j}" for j in range(10)),
+         "ko", f"https://{'mega' if i < 30 else 'tiny'}.x/p{i}")
+        for i in range(36)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+    out = curate(docs, dedup="exact", host_cap=8).collect()
+    hosts = {}
+    for r in out:
+        h = "mega" if r.doc_id < 30 else "tiny"
+        hosts[h] = hosts.get(h, 0) + 1
+    assert hosts["mega"] == 8  # 30 docs capped to 8
+    assert hosts["tiny"] == 6  # under cap: all kept

@@ -281,3 +281,40 @@ def test_robots_never_broadcasts_the_rules_side(spark):
     # the only ResolvedHint allowed would be on a literal/tiny side;
     # robots_allowed adds none at all
     assert "ResolvedHint" not in plan
+
+
+def test_rule_regex_java_python_parity_bulk(spark):
+    """The compiled rule regex must mean the same thing to Java
+    (regexp_like, the decision path) and Python (re, the test
+    reference): 400 generated (pattern, path) pairs over a hostile
+    alphabet — wildcards, anchors, regex metachars as literals —
+    evaluated on both engines."""
+    import re as _re
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    pieces = ["/a", "/bb", ".", "*", "$", "+", "(x)", "[y]", "?", "/"]
+    pats = set()
+    for n in (1, 2, 3):
+        for combo in itertools.product(pieces, repeat=n):
+            pats.add("/" + "".join(combo).lstrip("/"))
+            if len(pats) >= 80:
+                break
+        if len(pats) >= 80:
+            break
+    paths = ["/a", "/abb", "/bb.x", "/a.pdf", "/x+y", "/(x)", "/[y]",
+             "/a$b", "/aa/bb", "/"]
+    pairs = [
+        (p, rule_regex(p), path)
+        for p in sorted(pats)
+        for path in paths
+        if rule_regex(p) is not None
+    ][:400]
+    assert pairs, "generator must produce wildcard patterns"
+    df = spark.createDataFrame(
+        pairs, "pattern string, rx string, path string"
+    ).withColumn("jhit", F.regexp_like(F.col("path"), F.col("rx")))
+    for r in df.collect():
+        phit = bool(_re.search(r["rx"], r["path"]))
+        assert phit == r["jhit"], (r["pattern"], r["rx"], r["path"])
