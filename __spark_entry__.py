@@ -1941,6 +1941,19 @@ def _q_sampler_sigterms(spark, sf_dir):
     ).select("term", "fg_df", "bg_df", F.round("score", 6).alias("score"))
 
 
+def _q_multi_terms(spark, sf_dir):
+    """ES ``multi_terms`` (``query/aggs.py::multi_terms_agg``): top
+    composite ``(source, lang)`` buckets by matching-doc count over
+    the BM25_QUERY match set — doc_count desc, then each key component
+    asc (the ES tie law); docs missing either key are skipped."""
+    from mecab_ko_lucene_analyzer_spark.query.aggs import multi_terms_agg
+
+    attrs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return multi_terms_agg(
+        _ws_index(spark, sf_dir), BM25_QUERY, attrs, ["source", "lang"], k=8
+    )
+
+
 def _q_rare_terms(spark, sf_dir):
     """ES ``rare_terms`` (``query/aggs.py::rare_terms_agg``): the
     exact long-tail vocabulary — terms with df ≤ RARE_MAX_DF, df asc /
@@ -2911,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "sampler_sigterms": _q_sampler_sigterms,
         "rare_terms": _q_rare_terms,
+        "multi_terms": _q_multi_terms,
         "top_hits": _q_top_hits,
         "rescore_topk": _q_rescore_topk,
         "percolate": _q_percolate,
@@ -4567,6 +4581,20 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) <= {RARE_MAX_DF}
             ORDER BY df ASC, term ASC
             LIMIT {RARE_K}
+        """,
+        # multi_terms: composite-key facet, doc_count desc / keys asc
+        "multi_terms": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            matched AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+            )
+            SELECT d.source, d.lang, count(*)::BIGINT AS doc_count
+            FROM documents d JOIN matched m USING (doc_id)
+            WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY doc_count DESC, d.source ASC, d.lang ASC
+            LIMIT 8
         """,
         "top_hits": f"""
             WITH toks AS ({_TOKS_SQL}),

@@ -800,9 +800,11 @@ class SearchEngine:
         ``percentiles``, ``cardinality``, ``value_count``,
         ``weighted_avg``, ``histogram``, ``range``, ``missing``,
         ``filters``, ``adjacency_matrix``, ``significant_terms``,
-        ``rare_terms`` (``max_doc_count``/``size``), and ``sampler``
-        with a ``significant_terms`` sub-agg (``shard_size`` bounds
-        the foreground — the corpus-scale significance cut).
+        ``rare_terms`` (``max_doc_count``/``size``), ``multi_terms``
+        (``terms: [{field}, ...]`` composite-key buckets), and
+        ``sampler`` with a ``significant_terms`` sub-agg
+        (``shard_size`` bounds the foreground — the corpus-scale
+        significance cut).
         Fields resolve against ``attrs`` when given (any ``(doc_id,
         ...)`` DataFrame), else the built-ins: ``host`` (url host from
         the doc_map) and ``doc_len`` (from doc_stats). Aggs evaluate
@@ -968,6 +970,23 @@ class SearchEngine:
                         for r in rows
                     ]
                 }
+            elif kind == "multi_terms":
+                flds = [t["field"] for t in body["terms"]]
+                rel = rel_for(flds[0])
+                for fcol in flds[1:]:
+                    if fcol not in rel.columns:
+                        rel = rel.join(rel_for(fcol), "doc_id")
+                rows = A.multi_terms_agg(
+                    idx, terms, rel, flds,
+                    k=int(body.get("size", 10)),
+                ).collect()
+                out[name] = [
+                    {
+                        "key": [r[fcol] for fcol in flds],
+                        "doc_count": r["doc_count"],
+                    }
+                    for r in rows
+                ]
             elif kind == "rare_terms":
                 rows = A.rare_terms_agg(
                     idx,

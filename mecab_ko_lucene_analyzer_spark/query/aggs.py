@@ -46,6 +46,7 @@ __all__ = [
     "significant_terms",
     "sampler_significant_terms",
     "rare_terms_agg",
+    "multi_terms_agg",
     "top_hits_agg",
     "range_key",
     "range_agg",
@@ -507,6 +508,43 @@ def sampler_significant_terms(
         min_doc_count=min_doc_count,
         exclude_query_terms=exclude_query_terms,
         matched=sample,
+    )
+
+
+def multi_terms_agg(
+    index: InvertedIndex,
+    query_terms: list[str],
+    doc_attrs: DataFrame,
+    fields: list[str],
+    k: int = 10,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """ES ``multi_terms`` bucket aggregation: top-``k`` COMPOSITE key
+    buckets — one bucket per distinct tuple of the ``fields`` values
+    among matching docs, ranked doc_count desc then key asc (each
+    component ascending, the ES tie law). Docs missing ANY key field
+    are skipped (ES drops them from multi_terms buckets; the
+    single-field ``missing`` story lives in :func:`missing_agg`).
+    Returns ``(*fields, doc_count)``.
+
+    Unlike :func:`composite_agg` (exhaustive keyset pagination in key
+    order), multi_terms is a RANKED top-k — the facet panel over a
+    field pair. Plan: the :func:`facet_terms` shape with a composite
+    group-by key — match-set agg + one doc_id join + a map-side-
+    combined count per tuple into TakeOrdered."""
+    if not fields:
+        raise ValueError("multi_terms_agg needs at least one field")
+    docs = matching_docs(index, query_terms, min_should_match)
+    joined = docs.join(doc_attrs.select("doc_id", *fields), "doc_id")
+    cond = F.lit(True)
+    for f in fields:
+        cond = cond & F.col(f).isNotNull()
+    return (
+        joined.filter(cond)
+        .groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(f) for f in fields])
+        .limit(int(k))
     )
 
 

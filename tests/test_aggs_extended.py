@@ -332,3 +332,44 @@ def test_sampler_significant_terms_bounds_the_foreground(spark):
     assert [(r["term"], r["fg_df"], r["bg_df"]) for r in one_raw] == [
         ("a", 1, 3)
     ]
+
+
+def test_multi_terms_composite_buckets(spark):
+    from mecab_ko_lucene_analyzer_spark.query.aggs import multi_terms_agg
+
+    idx = _hand_index(spark)
+    rows = [
+        tuple(r)
+        for r in multi_terms_agg(
+            idx, ["a", "b", "c"], _nums(spark), ["source", "lang"]
+        ).collect()
+    ]
+    # docs 1..5 all match; (news,en) x2 {1,3}; singles sorted by key
+    assert rows == [
+        ("news", "en", 2),
+        ("blog", "ko", 1),
+        ("news", "ko", 1),
+        ("shop", "ko", 1),
+    ]
+    # k cut keeps the count-desc head
+    assert [
+        tuple(r)
+        for r in multi_terms_agg(
+            idx, ["a", "b", "c"], _nums(spark), ["source", "lang"], k=1
+        ).collect()
+    ] == [("news", "en", 2)]
+    # docs with a NULL key component are skipped
+    import pyspark.sql.functions as F
+
+    attrs = _nums(spark).withColumn(
+        "lang", F.when(F.col("doc_id") == 1, None).otherwise(F.col("lang"))
+    )
+    rows2 = [
+        tuple(r)
+        for r in multi_terms_agg(
+            idx, ["a", "b", "c"], attrs, ["source", "lang"]
+        ).collect()
+    ]
+    assert ("news", "en", 1) in rows2  # doc3 only; doc1 skipped
+    with pytest.raises(ValueError, match="at least one field"):
+        multi_terms_agg(idx, ["a"], _nums(spark), [])

@@ -705,6 +705,16 @@ def test_engine_aggregate_sampler_and_rare_terms(engine):
     )
     assert out["sampled"]["sig"] == out["sig"]
     assert all(b["doc_count"] <= 3 for b in out["tail"])
+    pairs = engine.aggregate(
+        "검색 엔진",
+        {"hl": {"multi_terms": {
+            "terms": [{"field": "host"}, {"field": "doc_len"}],
+            "size": 5,
+        }}},
+    )["hl"]
+    assert pairs and all(len(b["key"]) == 2 for b in pairs)
+    counts = [b["doc_count"] for b in pairs]
+    assert counts == sorted(counts, reverse=True)
     with _pytest.raises(ValueError, match="significant_terms sub-agg"):
         engine.aggregate(
             "검색",

@@ -59,6 +59,9 @@ SHUFFLE_CEILING = {
     # histogram's +1 is its bucket agg (facet's value agg folds into
     # the TakeOrdered's local sort at this size).
     "facet_terms": 2,
+    # composite-key facet: same shape as facet_terms (matched agg +
+    # the attr join + one map-side-combined tuple count TakeOrdered)
+    "multi_terms": 2,
     "date_histogram": 3,
     # stats' 2 = the postings/matched aggs; the global stats row is a
     # partial-combined single-row gather
