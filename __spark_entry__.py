@@ -95,10 +95,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) fanned out across the cores: the sf tables are
+    single-row-group parquet files, which a byte-range scan cannot
+    split — without the (size-gated, no-op-at-scale) repartition every
+    explode/aggregate/Python stage downstream runs as ONE task
+    (guide §2.2/§6). Order-independent consumers only; the streaming
+    queries that derive docIDs from file row order keep using
+    :func:`_docs`."""
+    from mecab_ko_lucene_analyzer_spark.functions.partitioning import fan_out
+
+    return fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token table (doc_id, term) — shared tokenization for
     the oracle-checked index/query operators."""
-    return _docs(spark, sf_dir).select(
+    return _docs_narrow(spark, sf_dir).select(
         "doc_id",
         F.explode(
             F.filter(F.split("text", " "), lambda x: x != F.lit(""))
@@ -176,41 +189,63 @@ def _q_corpus_stats(spark, sf_dir):
 
 
 def _q_bm25_topk(spark, sf_dir):
-    # fully lazy single-job formulation: the (n, avgdl) corpus scalars
-    # ride a broadcast 1-row cross-join instead of a separate eager
-    # .first() job, so the driver pays ONE job latency and Spark's
-    # ReuseExchange dedupes the shared doc_len aggregation subtree
-    toks = _tokens(spark, sf_dir)
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("doc_len"))
-    scalars = dl.agg(
-        F.count("*").cast("double").alias("n"), F.avg("doc_len").alias("avgdl")
+    # Single-pass "wide" formulation (round-6 optimization; same rows
+    # as the oracle, verified by the driver's hash compare): ONE
+    # explode+aggregate over the corpus computes doc_len AND the
+    # per-query-term tfs as pivot columns, a 1-row broadcast derives
+    # (n, avgdl, df_i) from that same aggregate, and the score is a
+    # closed-form column — the previous formulation re-ran the full
+    # token aggregation for the scalars broadcast AND the dl join side
+    # (two extra corpus passes), then shuffled a join. The token scan
+    # stays un-fanned: the aggregation is one tight codegen pass whose
+    # broadcast subtrees would each replay a fan-out exchange
+    # (measured slower with fan_out at 10x: 1.7 s -> 3.8 s; this
+    # shape: 1.25 s).
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("term"),
     )
-    tfs = (
-        toks.filter(F.col("term").isin(BM25_QUERY))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").cast("double").alias("tf"))
+    nq = len(BM25_QUERY)
+    wide = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("doc_len"),
+        *[
+            F.count(F.when(F.col("term") == q, 1)).cast("double").alias(f"tf{i}")
+            for i, q in enumerate(BM25_QUERY)
+        ],
     )
-    dfs = tfs.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        tfs.join(F.broadcast(dfs), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(scalars))
-        .withColumn(
-            "idf",
-            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    scal = wide.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).cast("double").alias(f"df{i}")
+            for i in range(nq)
+        ],
+    )
+    matched = wide.filter(
+        " or ".join(f"tf{i} > 0" for i in range(nq))
+    ).crossJoin(F.broadcast(scal))
+    partials = []
+    for i in range(nq):
+        idf = F.log1p(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
         )
-        .withColumn(
-            "partial",
-            F.col("idf")
-            * F.col("tf")
-            / (F.col("tf") + K1 * (1 - B + B * F.col("doc_len") / F.col("avgdl"))),
+        p = (
+            idf
+            * F.col(f"tf{i}")
+            / (
+                F.col(f"tf{i}")
+                + K1 * (1 - B + B * F.col("doc_len") / F.col("avgdl"))
+            )
         )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        partials.append(F.when(F.col(f"tf{i}") > 0, p).otherwise(F.lit(0.0)))
+    score = F.round(sum(partials[1:], partials[0]), 6)
+    return (
+        matched.select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
-    return scored
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -2176,10 +2211,12 @@ def _q_stats_agg(spark, sf_dir):
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles."""
+    """Near-dup candidates: doc pairs sharing >= 5 distinct 3-gram shingles.
+    ``pack_ids=True``: docIDs here are dense row numbers < 2^31, so the
+    pair aggregation runs on single-long packed keys (same rows)."""
     from mecab_ko_lucene_analyzer_spark.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), min_common=5)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), min_common=5, pack_ids=True)
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -2190,7 +2227,9 @@ def _q_dedup_clusters(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
-    return dedup_clusters(ngram_jaccard_pairs(_docs(spark, sf_dir), min_common=5))
+    return dedup_clusters(
+        ngram_jaccard_pairs(_docs(spark, sf_dir), min_common=5, pack_ids=True)
+    )
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -2809,10 +2848,14 @@ def _q_streaming_postings_tf(spark, sf_dir):
 
 def _q_analyze_ko_tokens(spark, sf_dir):
     """Korean analysis chain over the documents table via the Arrow UDF
-    (rows-only: tokenization semantics are pytest-golden-gated)."""
+    (rows-only: tokenization semantics are pytest-golden-gated).
+    The narrow projection is fanned out so the pure-Python lattice
+    parse uses every core instead of the input file's single split."""
     from mecab_ko_lucene_analyzer_spark.functions import tokens_table
 
-    return tokens_table(_docs(spark, sf_dir), "doc_id", "text", "standard", 3)
+    return tokens_table(
+        _docs_narrow(spark, sf_dir), "doc_id", "text", "standard", 3
+    )
 
 
 def _q_product_tokens(spark, sf_dir):

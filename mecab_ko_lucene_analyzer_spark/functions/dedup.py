@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .hashing import P31, h64, perm_coeffs
+from .partitioning import fan_out
 from .text import whitespace_tokens
 
 __all__ = [
@@ -74,6 +75,7 @@ def ngram_jaccard_pairs(
     text: str = "text",
     prefilter: bool = True,
     hash_impl: str = "md5",
+    pack_ids: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing >= min_common distinct
     n-gram shingle HASHES (the oracle baseline; use LSH at scale).
@@ -137,16 +139,56 @@ def ngram_jaccard_pairs(
     sh = _token_hash_arrays(docs, text, hash_impl).mapInArrow(
         _distinct_rows, "doc_id bigint, shingle bigint"
     )
+    # The pair stages are where the exact-baseline's quadratic law
+    # actually bills: at 10x corpus the expansion is ~1.3e8 mostly-
+    # DISTINCT pair rows, so (measured, stage metrics in
+    # OPTIMIZATION_r06.md) (a) map-side partial aggregation reduces
+    # nothing and just pays an extra 16-byte-key hash probe per row,
+    # and (b) AQE sizes the post-bucket stage by the SMALL compressed
+    # bucket-list exchange (~32 MB), coalescing the 100x-exploding
+    # expansion stage down to fewer tasks than cores. Both fixes are
+    # explicit partitioning: bucket lists land on pair_parts
+    # partitions (explicit counts are exempt from AQE coalescing), and
+    # the packed path exchanges raw pairs then aggregates ONCE in
+    # complete mode.
+    spark = docs.sparkSession
+    pair_parts = 8 * spark.sparkContext.defaultParallelism
     grouped = (
-        sh.groupBy("shingle")
+        sh.repartition(pair_parts, "shingle")
+        .groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    return (
+    pairs = (
         grouped.select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_b") > F.col("doc_a"))
-        .groupBy("doc_a", "doc_b")
+    )
+    if pack_ids:
+        # caller asserts 0 <= doc_id < 2^31 (true for the index
+        # builder's dense docIDs): the pair becomes ONE 62-bit key, so
+        # the exchange row and the aggregation probe are half the
+        # width, and the single complete-mode aggregate replaces the
+        # partial+final pair (the partial pass reduced nothing).
+        counted = (
+            pairs.select(
+                (F.col("doc_a") * F.lit(1 << 31) + F.col("doc_b")).alias("pk")
+            )
+            .repartition(pair_parts, "pk")
+            .groupBy("pk")
+            .agg(F.count("*").alias("common_shingles"))
+            .filter(F.col("common_shingles") >= min_common)
+        )
+        return counted.select(
+            F.shiftright("pk", 31).alias("doc_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 31) - 1)).alias("doc_b"),
+            "common_shingles",
+        )
+    # generic-id path: keep map-side partial aggregation — corpora with
+    # hot near-dup pairs DO combine map-side, and nothing is known
+    # about the id range
+    return (
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common_shingles"))
         .filter(F.col("common_shingles") >= min_common)
     )
@@ -199,11 +241,16 @@ def _token_hash_arrays(
 ) -> DataFrame:
     """(doc_id, th) projection for the Arrow shingle stages — null text
     coalesces to an empty array so list offsets are well-defined in the
-    Arrow buffers (a null list slot's offsets are unspecified)."""
-    return docs.select(
+    Arrow buffers (a null list slot's offsets are unspecified).
+
+    The narrow (doc_id, text) source is fanned out BEFORE the per-token
+    hashing expression so both the hash transform and the downstream
+    Arrow fold use every core even on an under-split input file
+    (``fan_out`` is a size-gated no-op at real scale)."""
+    return fan_out(docs.select("doc_id", F.col(text).alias("_t"))).select(
         "doc_id",
         F.coalesce(
-            token_hashes(text, hash_impl), F.array().cast("array<bigint>")
+            token_hashes(F.col("_t"), hash_impl), F.array().cast("array<bigint>")
         ).alias("th"),
     )
 
@@ -437,9 +484,14 @@ def simhash(docs: DataFrame, text: str = "text", hash_impl: str = "md5") -> Data
     import numpy as np
     import pyarrow as pa
 
-    toks = whitespace_tokens(text)
-    hashed = docs.select(
-        "doc_id", F.transform(toks, lambda t: h64(t, hash_impl)).alias("h")
+    # fan the narrow source out before the per-token hash transform so
+    # both it and the Arrow majority-vote hop use every core (no-op at
+    # real scale — see partitioning.fan_out)
+    hashed = fan_out(docs.select("doc_id", F.col(text).alias("_t"))).select(
+        "doc_id",
+        F.transform(
+            whitespace_tokens(F.col("_t")), lambda t: h64(t, hash_impl)
+        ).alias("h"),
     )
     bits = np.arange(SIMHASH_BITS, dtype=np.uint64)[:, None]
 

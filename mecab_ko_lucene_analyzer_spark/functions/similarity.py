@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import hyperplane_components, md5_h64
+from .partitioning import fan_out
 
 __all__ = [
     "cosine_topk",
@@ -72,9 +73,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k. ``queries``: (query_id, qv array<float>) —
     must be small (broadcast)."""
-    pairs = emb.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    pairs = fan_out(emb.select("vec_id", "embedding")).crossJoin(
+        F.broadcast(queries)
+    ).filter(F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )
@@ -106,7 +107,9 @@ def lsh_bucket_topk(
             b = b * 2 + (_dot(vec, comp) > 0).cast("int")
         return b
 
-    e = emb.withColumn("bucket", bucket(F.col("embedding")))
+    e = fan_out(emb.select("vec_id", "embedding")).withColumn(
+        "bucket", bucket(F.col("embedding"))
+    )
     q = queries.withColumn("bucket", bucket(F.col("qv")))
     pairs = e.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("embedding"), F.col("qv")) / (
@@ -150,7 +153,7 @@ def lsh_near_dup_pairs(
             b = b * 2 + (_dot(vec, comp) > 0).cast("int")
         return b
 
-    e = emb.select(
+    e = fan_out(emb.select("vec_id", "embedding")).select(
         F.col("vec_id").alias("doc_id"),
         "embedding",
         bucket(F.col("embedding")).alias("bucket"),
@@ -219,7 +222,7 @@ def ivf_topk(
             )
         return out
 
-    assigned = emb.withColumn(
+    assigned = fan_out(emb.select("vec_id", "embedding")).withColumn(
         "centroid_id",
         (-F.array_max(F.array(*_cent_structs(F.col("embedding"))))["nid"]).cast("long"),
     )

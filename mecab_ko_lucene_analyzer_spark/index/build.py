@@ -636,6 +636,60 @@ def _write_corpus_stats(spark, path: str, n_docs: int, avgdl: float) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+#: column schemas of the build's own parquet tables: reads inside
+#: build_and_write/load_index pin these so spark.read never runs a
+#: schema-inference footer job — each such job is a full driver
+#: scheduling round trip (~25 ms), and a build pays for 7+ of them
+#: (pure fixed cost that the N->4N scaling ratio is most sensitive to)
+_READ_SCHEMAS = {
+    "partials": (
+        "term string, salt bigint, first_doc bigint, n_docs int, "
+        "doc_deltas binary, tfs binary, pos_deltas binary, doc_lens binary"
+    ),
+    "term_stats": "term string, df bigint",
+    "doc_stats": "doc_id bigint, doc_len bigint",
+    "corpus_stats": "n_docs bigint, avgdl double",
+    "postings": (
+        "term string, doc_id bigint, tf int, positions binary, doc_len int"
+    ),
+    "blocks": (
+        "term string, first_doc bigint, n_docs int, doc_deltas binary, "
+        "tfs binary, pos_deltas binary, doc_lens binary, "
+        "block_max_tf int, block_max_impact double"
+    ),
+    "doc_map": "doc_id bigint, url string",
+}
+
+
+def _read_stage_table(spark: SparkSession, base_path: str, name: str) -> DataFrame:
+    return spark.read.schema(_READ_SCHEMAS[name]).parquet(f"{base_path}/{name}")
+
+
+def _is_local_path(path: str) -> bool:
+    return not ("://" in path and not path.startswith("file://"))
+
+
+def _footer_row_count(spark: SparkSession, path: str, name: str) -> int:
+    """Row count from parquet footers. Local paths: driver-side pyarrow
+    metadata read (zero Spark jobs — a .count() is a scheduling round
+    trip even when it only scans footers); remote paths fall back to
+    the Spark metadata-only count."""
+    if _is_local_path(path):
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            p = path[len("file://"):] if path.startswith("file://") else path
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(f"{p}/*.parquet")
+            )
+        except ImportError:  # pragma: no cover
+            pass
+    return _read_stage_table(spark, path.rsplit("/", 1)[0], name).count()
+
+
 def _stats_from_postings(postings: DataFrame):
     term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
     if "doc_len" in postings.columns:
@@ -847,10 +901,10 @@ def build_and_write(
         from pyspark.sql import Observation
 
         if fused:
-            partials = spark.read.parquet(f"{base_path}/partials")
+            partials = _read_stage_table(spark, base_path, "partials")
             term_stats, doc_stats = _stats_from_partials(partials)
         else:
-            postings = spark.read.parquet(f"{base_path}/postings")
+            postings = _read_stage_table(spark, base_path, "postings")
             term_stats, doc_stats, _ = _stats_from_postings(postings)
         # corpus stats ride the doc_stats write via Observation — exact
         # under task retries / speculation (observed metrics are action-
@@ -899,7 +953,7 @@ def build_and_write(
         def stage():
             from pyspark.sql import Observation
 
-            doc_map = spark.read.parquet(f"{base_path}/doc_map")
+            doc_map = _read_stage_table(spark, base_path, "doc_map")
             postings_maker(doc_map).write.mode("overwrite").parquet(
                 f"{base_path}/{name}_postings"
             )
@@ -967,7 +1021,7 @@ def build_and_write(
             )
             from ..functions.webgraph import doc_boost_table
 
-            doc_map = spark.read.parquet(f"{base_path}/doc_map")
+            doc_map = _read_stage_table(spark, base_path, "doc_map")
             parts = []
             if host_ranks is not None:
                 parts.append(doc_boost_table(doc_map, host_ranks))
@@ -1003,8 +1057,8 @@ def build_and_write(
         def stage_blocks():
             from .blocks import SALT_SHIFT, build_blocks_from_partials
 
-            partials = spark.read.parquet(f"{base_path}/partials")
-            term_stats = spark.read.parquet(f"{base_path}/term_stats")
+            partials = _read_stage_table(spark, base_path, "partials")
+            term_stats = _read_stage_table(spark, base_path, "term_stats")
             # corpus stats come from the stats stage's manifest counters
             # (present even on resume); parquet is the fallback for
             # manifests written before these counters existed
@@ -1027,9 +1081,11 @@ def build_and_write(
             # sorted within partitions, so parquet row-group min/max
             # stats prune term-filtered scans
             blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
-            # footer-only count (metadata scan) for the lineage counter
+            # footer-only count (driver-side on local paths — no job)
             return {
-                "blocks_written": spark.read.parquet(f"{base_path}/blocks").count()
+                "blocks_written": _footer_row_count(
+                    spark, f"{base_path}/blocks", "blocks"
+                )
             }
 
         with _build_confs():
@@ -1062,6 +1118,12 @@ def load_index(spark: SparkSession, base_path: str) -> InvertedIndex:
         has_postings = fs.exists(jpath)
     else:
         has_postings = spark.catalog.tableExists(f"{base_path}.postings")
+    if sep == "/":
+        # schema-pinned reads: no schema-inference job per table (4-5
+        # scheduling round trips of pure fixed cost per build/load)
+        read = lambda p: _read_stage_table(  # noqa: E731
+            spark, base_path, p.rsplit(sep, 1)[-1]
+        )
     if has_postings:
         postings = read(f"{base_path}{sep}postings")
     else:
