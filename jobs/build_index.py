@@ -68,6 +68,14 @@ def main() -> None:
         "title_weight / jobs/query.py --title-weight",
     )
     ap.add_argument(
+        "--with-forward",
+        action="store_true",
+        help="also build the doc-keyed forward table (doc_id -> sorted "
+        "(term, tf) array; the Lucene term-vectors analogue) — makes "
+        "by-doc access (more-like-this seed fetch) a doc_id-pruned "
+        "row-group lookup instead of a full postings scan",
+    )
+    ap.add_argument(
         "--host-ranks",
         default="",
         help="host_ranks table from jobs/webgraph.py: also write the "
@@ -139,6 +147,7 @@ def main() -> None:
         with_anchors=args.with_anchors,
         anchor_external_only=args.anchor_external_only,
         with_titles=args.with_titles,
+        with_forward=args.with_forward,
         host_ranks=(
             read_table(spark, args.host_ranks) if args.host_ranks else None
         ),

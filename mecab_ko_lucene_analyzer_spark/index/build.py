@@ -658,6 +658,7 @@ _READ_SCHEMAS = {
         "block_max_tf int, block_max_impact double"
     ),
     "doc_map": "doc_id bigint, url string",
+    "forward": "doc_id bigint, terms array<struct<term:string,tf:int>>",
 }
 
 
@@ -711,12 +712,19 @@ def _stats_from_postings(postings: DataFrame):
 
 @dataclass
 class InvertedIndex:
-    """The queryable index: four DataFrames (≙ Iceberg tables)."""
+    """The queryable index: four DataFrames (≙ Iceberg tables), plus
+    an optional doc-keyed ``forward`` projection (``doc_id → sorted
+    array<struct<term,tf>>``) for by-document access — the Lucene
+    term-vectors analogue. Without it, fetching ONE document's terms
+    means filtering the term-keyed postings by ``doc_id``, which
+    min/max row-group stats cannot prune (docIDs spread across every
+    term's row groups) — a full postings scan at 100x scale."""
 
     postings: DataFrame  # term, doc_id, tf, positions array<int>
     term_stats: DataFrame  # term, df
     doc_stats: DataFrame  # doc_id, doc_len
     corpus_stats: DataFrame  # n_docs, avgdl
+    forward: DataFrame | None = None  # doc_id, terms array<struct<term,tf>>
 
     def cache(self) -> "InvertedIndex":
         # caching postings makes the derived stats single-pass too
@@ -769,6 +777,7 @@ def build_and_write(
     with_titles: bool = False,
     host_ranks: DataFrame | None = None,
     freshness_half_life: float | None = None,
+    with_forward: bool = False,
 ) -> InvertedIndex:
     """Materialize the index with per-stage checkpoints (I6):
 
@@ -851,6 +860,7 @@ def build_and_write(
             "with_blocks": with_blocks,
             "hot_min_df": hot_min_df,
             "salt_shift": salt_shift,
+            "with_forward": with_forward,
         },
     )
 
@@ -1091,6 +1101,56 @@ def build_and_write(
         with _build_confs():
             run_stage(manifest, "blocks", f"{base_path}/blocks", stage_blocks)
 
+    if with_forward:
+
+        def stage_forward():
+            """Doc-keyed forward projection (``doc_id → sorted
+            array<struct<term,tf>>``) — the Lucene term-vectors
+            analogue that makes by-doc access (MoreLikeThis seed
+            fetch, ``query/expand.py::mlt_seed_terms``) an O(1)
+            doc_id-pruned lookup instead of a full scan of the
+            term-keyed postings. Range-partitioned and sorted by
+            doc_id so parquet min/max stats prune single-doc fetches
+            to one row group. Opt-in: it costs one postings-sized
+            shuffle + write, which builds that never serve by-doc
+            access should not pay."""
+            if fused:
+                rows = postings_from_partials(
+                    _read_stage_table(spark, base_path, "partials")
+                ).select("doc_id", "term", "tf")
+            else:
+                rows = _read_stage_table(spark, base_path, "postings").select(
+                    "doc_id", "term", "tf"
+                )
+            agg = rows.groupBy("doc_id").agg(
+                F.sort_array(F.collect_list(F.struct("term", "tf"))).alias(
+                    "terms"
+                )
+            )
+            # persist before repartitionByRange: its range-sampling job
+            # re-executes the upstream plan (decode + aggregate) a
+            # second time otherwise
+            agg = agg.persist()
+            try:
+                (
+                    agg.repartitionByRange(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite")
+                    .parquet(f"{base_path}/forward")
+                )
+            finally:
+                agg.unpersist()
+            return {
+                "forward_docs": _footer_row_count(
+                    spark, f"{base_path}/forward", "forward"
+                )
+            }
+
+        with _build_confs():
+            run_stage(manifest, "forward", f"{base_path}/forward", stage_forward)
+
     return load_index(spark, base_path)
 
 
@@ -1130,9 +1190,17 @@ def load_index(spark: SparkSession, base_path: str) -> InvertedIndex:
         # fused build: row postings were never materialized — serve the
         # decoded view over the partial blocks (row-identical)
         postings = postings_from_partials(read(f"{base_path}{sep}partials"))
+    forward = None
+    if sep == "/":
+        fwd_fs, fwd_jpath, _ = _fs_and_path(spark, f"{base_path}/forward")
+        if fwd_fs.exists(fwd_jpath):
+            forward = read(f"{base_path}/forward")
+    elif spark.catalog.tableExists(f"{base_path}.forward"):
+        forward = read(f"{base_path}.forward")
     return InvertedIndex(
         postings,
         read(f"{base_path}{sep}term_stats"),
         read(f"{base_path}{sep}doc_stats"),
         read(f"{base_path}{sep}corpus_stats"),
+        forward=forward,
     )

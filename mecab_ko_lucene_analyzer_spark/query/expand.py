@@ -46,16 +46,44 @@ __all__ = [
 
 
 def mlt_seed_terms(
-    index: InvertedIndex, seed_doc_id: int, m_terms: int = 10
+    index: InvertedIndex,
+    seed_doc_id: int,
+    m_terms: int = 10,
+    seed_postings: DataFrame | None = None,
 ) -> list[str]:
     """The seed doc's top ``m_terms`` terms by tf·idf (Lucene
     ``MoreLikeThis.retrieveInterestingTerms`` semantics; its default
     ``maxQueryTerms`` is 25). Deterministic tie-break: tf·idf desc,
-    term asc. One doc_id-pruned postings fetch joined to term_stats —
-    the collect is ≤ ``m_terms`` rows."""
+    term asc. The collect is ≤ ``m_terms`` rows.
+
+    Seed fetch, in priority order:
+
+    1. ``seed_postings`` — a caller-supplied ``(term, tf)`` relation
+       for the seed doc (e.g. a doc_id-pruned re-analysis of the
+       source document);
+    2. ``index.forward`` — the doc-keyed forward projection written by
+       ``build_and_write(with_forward=True)``: a doc_id equality
+       filter on a range-partitioned, doc-sorted table prunes to ONE
+       row group (the Lucene term-vectors path);
+    3. fallback: ``doc_id`` filter on the term-keyed postings — kept
+       for indexes built without a forward table, but NOT a scale
+       path: docIDs spread across every term's row groups, so min/max
+       stats prune nothing and the filter reads the whole relation.
+    """
     corpus = index.corpus_stats.first()
     n_docs = corpus["n_docs"]
-    seed = index.postings.filter(F.col("doc_id") == seed_doc_id).select("term", "tf")
+    if seed_postings is not None:
+        seed = seed_postings.select("term", "tf")
+    elif index.forward is not None:
+        seed = (
+            index.forward.filter(F.col("doc_id") == seed_doc_id)
+            .select(F.explode("terms").alias("t"))
+            .select(F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+        )
+    else:
+        seed = index.postings.filter(
+            F.col("doc_id") == seed_doc_id
+        ).select("term", "tf")
     ranked = (
         seed.join(index.term_stats.select("term", "df"), "term")
         .withColumn(

@@ -52,12 +52,14 @@ INDEX_TABLES = (
     "doc_stats",
     "corpus_stats",
     "blocks",
+    "forward",
 )
 
 #: members a build may legitimately lack: with_blocks=False builds have
 #: no blocks/partials; fused builds (with_blocks=True) materialize
-#: partials instead of row postings
-_OPTIONAL_TABLES = frozenset({"blocks", "partials", "postings"})
+#: partials instead of row postings; forward is the opt-in doc-keyed
+#: projection (with_forward=True)
+_OPTIONAL_TABLES = frozenset({"blocks", "partials", "postings", "forward"})
 
 
 def iceberg_available(spark: SparkSession) -> bool:
