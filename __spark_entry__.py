@@ -95,7 +95,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _docs_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_narrow(
+    spark: SparkSession, sf_dir: str, bytes_per_part: int | None = None
+) -> DataFrame:
     """(doc_id, text) fanned out across the cores: the sf tables are
     single-row-group parquet files, which a byte-range scan cannot
     split — without the (size-gated, no-op-at-scale) repartition every
@@ -105,13 +107,23 @@ def _docs_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_docs`."""
     from mecab_ko_lucene_analyzer_spark.functions.partitioning import fan_out
 
-    return fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
+    return fan_out(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        bytes_per_part=bytes_per_part,
+    )
+
+
+#: byte-proportional fan-out for the JVM explode+aggregate consumers of
+#: the token relation: measured optima (postings-family aggregation)
+#: sit at 8-16 partitions for 0.5-6 MB inputs — far below 2x cores,
+#: where per-task overhead dominates (see partitioning.fan_out)
+_TOKENS_BYTES_PER_PART = 256 * 1024
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token table (doc_id, term) — shared tokenization for
     the oracle-checked index/query operators."""
-    return _docs_narrow(spark, sf_dir).select(
+    return _docs_narrow(spark, sf_dir, bytes_per_part=_TOKENS_BYTES_PER_PART).select(
         "doc_id",
         F.explode(
             F.filter(F.split("text", " "), lambda x: x != F.lit(""))

@@ -51,7 +51,14 @@ def _normalize(v):
 
 
 def _value_set(rows, cols):
-    return sorted(tuple(_normalize(r[c]) for c in cols) for r in rows)
+    # key=repr: a NULL next to a number yields None vs ("i", x) tuple
+    # positions that are not mutually orderable — plain sorted() raises
+    # TypeError and records a spurious FAIL (r5 advice). repr is a
+    # total, deterministic order over the normalized forms; equality of
+    # the sorted lists is unchanged for equal multisets.
+    return sorted(
+        (tuple(_normalize(r[c]) for c in cols) for r in rows), key=repr
+    )
 
 
 def main() -> int:

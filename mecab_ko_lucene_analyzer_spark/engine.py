@@ -945,7 +945,13 @@ class SearchEngine:
             elif kind == "sampler":
                 # ES sampler + significant_terms sub-agg: the only
                 # supported sub-agg (the scale-bounding combination)
-                ((sub_name, sub),) = body.get("aggs", {}).items()
+                sub_aggs = body.get("aggs", {})
+                if len(sub_aggs) != 1:
+                    raise ValueError(
+                        "sampler requires exactly one sub-agg "
+                        f"(significant_terms), got {len(sub_aggs)}"
+                    )
+                ((sub_name, sub),) = sub_aggs.items()
                 ((sub_kind, sub_body),) = sub.items()
                 if sub_kind != "significant_terms":
                     raise ValueError(

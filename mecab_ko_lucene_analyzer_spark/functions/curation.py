@@ -255,6 +255,15 @@ def cap_per_host(
     column/name for pre-extracted hosts. Returns ``docs`` filtered,
     columns unchanged.
 
+    NULL hosts (unparseable / missing URL) pass through UNCAPPED: a
+    NULL key never equals itself in the over-cap semi/anti joins, so
+    such docs are never grouped into a quota — the same
+    absence-of-evidence convention as ``min_host_rank`` (no host ⇒ no
+    host-level judgement). Callers that want the null-host pool capped
+    as one group should coalesce to a sentinel first, e.g.
+    ``cap_per_host(docs, cap, host=F.coalesce(host_of("url"),
+    F.lit("<nohost>")))``.
+
     Scale shape (the mega-host is the whole point of this operator):
     a naive per-host ``row_number`` window puts a 10^8-page host in
     ONE task. Instead:

@@ -42,6 +42,34 @@ def test_small_file_input_is_fanned_out(spark, tmp_path):
     assert sorted(r["id"] for r in out.collect()) == list(range(1000))
 
 
+def test_bytes_per_part_sizing(spark, tmp_path):
+    """byte-proportional mode: partitions = clamp(bytes / bytes_per_part,
+    min(8, cores), parts_per_core x cores)."""
+    path = str(tmp_path / "bp.parquet")
+    spark.range(0, 2000).select(
+        "id", F.concat(F.lit("x"), F.col("id").cast("string")).alias("text")
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(f"{path}/{f}")
+        for f in _os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    cores = spark.sparkContext.defaultParallelism
+    # huge bytes_per_part -> floor of min(8, cores)
+    out = fan_out(df, bytes_per_part=1 << 30)
+    assert out.rdd.getNumPartitions() == min(8, cores)
+    # tiny bytes_per_part -> ceiling of parts_per_core * cores
+    out = fan_out(df, bytes_per_part=1)
+    assert out.rdd.getNumPartitions() == 2 * cores
+    # in-between: ceil(total / bpp)
+    bpp = max(1, total // 10)
+    expect = max(min(8, cores), min(2 * cores, -(-total // bpp)))
+    assert fan_out(df, bytes_per_part=bpp).rdd.getNumPartitions() == expect
+
+
 def test_large_input_passes_through(spark, tmp_path):
     path = str(tmp_path / "big.parquet")
     spark.range(0, 100).coalesce(1).write.parquet(path)
