@@ -447,13 +447,21 @@ def _bucket_pairs(
     if payload is None:
         grouped = (
             rows.groupBy(*keys)
-            .agg(F.collect_list("doc_id").alias("ds"))
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
             .filter(F.size("ds") > 1)
         )
+        # triangular expansion over the sorted member list (the
+        # ngram_jaccard_pairs shape): s(s-1)/2 rows instead of s^2
+        # generated + half filtered; members are distinct per bucket,
+        # so doc_b > doc_a holds by construction
         return (
-            grouped.select(F.explode("ds").alias("doc_a"), "ds")
-            .select("doc_a", F.explode("ds").alias("doc_b"))
-            .filter(F.col("doc_b") > F.col("doc_a"))
+            grouped.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+            .select(
+                "doc_a",
+                F.explode(
+                    F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))
+                ).alias("doc_b"),
+            )
             .distinct()
         )
     grouped = (
