@@ -75,7 +75,8 @@ def curate(
     blocklist: list[str] | None = None,
     max_blocked_frac: float = 0.0,
     gopher: bool = False,
-    gopher_lang: str = "en",
+    gopher_lang: str | None = None,
+    gopher_counts: dict | None = None,
     min_bigram_logprob: float | None = None,
     dsir_target=None,
     dsir_keep: int = 0,
@@ -262,6 +263,16 @@ def curate(
             gopher_rules,
         )
 
+        if gopher_lang is None:
+            # r5 advisory: the silent English default dropped every
+            # Korean document — the battery's language must be an
+            # explicit decision
+            raise ValueError(
+                "gopher=True requires an explicit gopher_lang: 'ko' "
+                "(Unicode letters + Korean stopwords), 'en' (Rae et "
+                "al.'s English battery — drops pure-Korean docs), or "
+                "'any' (Unicode letters, stopword rule off)"
+            )
         if gopher_lang == "en":
             gopher_kw = {}
         elif gopher_lang == "ko":
@@ -278,11 +289,23 @@ def curate(
             raise ValueError(
                 f"gopher_lang must be en|ko|any, got {gopher_lang!r}"
             )
-        keep = (
-            gopher_rules(docs, **gopher_kw)
-            .filter("gopher_pass")
-            .select("doc_id")
-        )
+        rules = gopher_rules(docs, **gopher_kw)
+        if gopher_counts is not None:
+            # per-rule kill counters for the job summary (one extra
+            # map-side-combined aggregate, only when the caller asks)
+            flag_cols = [
+                c for c in rules.columns if c.startswith("rule_")
+            ] + ["gopher_pass"]
+            row = rules.agg(
+                *[
+                    F.count(F.when(~F.col(c), 1)).alias(c)
+                    for c in flag_cols
+                ]
+            ).first()
+            gopher_counts.update(
+                {c: int(row[c]) for c in flag_cols}
+            )
+        keep = rules.filter("gopher_pass").select("doc_id")
         docs = docs.join(keep, "doc_id", "left_semi")
     # 4a1b. bigram-LM perplexity cut: corpus-trained add-one bigram
     #       model; docs below the log-prob floor (word salad) drop, as
@@ -420,10 +443,12 @@ def main() -> None:
     ap.add_argument(
         "--gopher-lang",
         choices=("en", "ko", "any"),
-        default="en",
-        help="letter class + stopword list for --gopher: en = Rae et "
-        "al.'s English battery; ko = Unicode letters + Korean "
-        "function words; any = Unicode letters, stopword rule off",
+        default=None,
+        help="letter class + stopword list for --gopher (REQUIRED "
+        "with --gopher — the old silent 'en' default dropped every "
+        "Korean doc): en = Rae et al.'s English battery; ko = Unicode "
+        "letters + Korean function words; any = Unicode letters, "
+        "stopword rule off",
     )
     ap.add_argument(
         "--dsir-target",
@@ -481,6 +506,12 @@ def main() -> None:
         "deterministic md5-rank selection, mega-host skew-safe",
     )
     args = ap.parse_args()
+    if args.gopher and args.gopher_lang is None:
+        ap.error(
+            "--gopher requires --gopher-lang {en,ko,any} (the battery's "
+            "language is an explicit decision: 'en' drops every "
+            "pure-Korean document)"
+        )
 
     from mecab_ko_lucene_analyzer_spark.plans import get_spark
     from mecab_ko_lucene_analyzer_spark.sources import read_table, write_table
@@ -495,6 +526,7 @@ def main() -> None:
     # footers when the input is a parquet path (driver-side metadata
     # read, no job). Neither triggers a re-scan of either table.
     obs = Observation("curate_out")
+    gopher_counts: dict = {}
     kept = curate(
         docs,
         dedup=args.dedup,
@@ -518,6 +550,7 @@ def main() -> None:
         max_blocked_frac=args.max_blocked_frac,
         gopher=args.gopher,
         gopher_lang=args.gopher_lang,
+        gopher_counts=(gopher_counts if args.gopher else None),
         min_bigram_logprob=args.min_bigram_logprob,
         dsir_target=(
             read_table(spark, args.dsir_target) if args.dsir_target else None
@@ -545,6 +578,17 @@ def main() -> None:
     print(f"curated {n_in if n_in is not None else '?'} -> {n_out} docs "
           f"({args.dedup} dedup"
           + (f", sample {args.sample}" if args.sample else "") + ")")
+    if gopher_counts:
+        kills = ", ".join(
+            f"{k.removeprefix('rule_')}={v}"
+            for k, v in gopher_counts.items()
+            if k != "gopher_pass"
+        )
+        print(
+            f"gopher[{args.gopher_lang}] killed "
+            f"{gopher_counts.get('gopher_pass', 0)} docs "
+            f"(per-rule fails: {kills})"
+        )
     spark.stop()
 
 

@@ -226,13 +226,29 @@ def test_curate_gopher_and_lm_stages(spark):
         (2, "solo", "en"),  # <2 tokens: unscorable by the LM
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    counts: dict = {}
     out = curate(
-        docs, dedup="exact", gopher=True, min_bigram_logprob=-20.0
+        docs,
+        dedup="exact",
+        gopher=True,
+        gopher_lang="en",
+        gopher_counts=counts,
+        min_bigram_logprob=-20.0,
     )
     assert [r["doc_id"] for r in out.collect()] == [0]
+    # per-rule kill counters (r5 verdict ask #5): docs 1 and 2 both
+    # fail the word-count rule; the summary dict carries every rule
+    assert counts["rule_word_count"] == 2
+    assert counts["gopher_pass"] == 2  # total killed
     # LM floor alone: doc 1 survives (no gopher), doc 2 still dies
     out2 = curate(docs, dedup="exact", min_bigram_logprob=-20.0)
     assert sorted(r["doc_id"] for r in out2.collect()) == [0, 1]
+    # --gopher without an explicit language must ERROR, not silently
+    # apply the English battery (it drops every pure-Korean doc)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gopher_lang"):
+        curate(docs, dedup="exact", gopher=True).collect()
 
 
 # ---------------------------------------------------------------- DSIR
