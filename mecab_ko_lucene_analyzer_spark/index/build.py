@@ -949,8 +949,95 @@ def build_and_write(
         _write_corpus_stats(spark, f"{base_path}/corpus_stats", n_docs, avgdl)
         return {"n_docs": n_docs, "avgdl": avgdl}
 
+    def stats_blocks_overlapped():
+        """Fresh fused build: overlap the stats-stage writes with the
+        blocks stage (guide §2.6 — concurrent independent jobs). Only
+        ``avgdl`` (the Observation riding the doc_stats write) is on
+        the blocks stage's critical path; the term_stats write and the
+        driver-side corpus write are not, so they run while the blocks
+        exchange/re-block executes. The blocks join consumes the
+        CACHED term_stats DataFrame (same rows the parquet write
+        persists), so it neither waits for that write nor re-reads it.
+        Both stages are recorded in the manifest only after every sink
+        (incl. the threaded term_stats write) has its ``_SUCCESS`` —
+        a crash mid-way records nothing and the sequential resume path
+        re-runs from the last completed stage, byte-identical."""
+        import threading
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        from .blocks import SALT_SHIFT, build_blocks_from_partials
+
+        t0 = _time.perf_counter()
+        partials = _read_stage_table(spark, base_path, "partials")
+        term_stats, doc_stats = _stats_from_partials(partials)
+        ts = term_stats.persist()
+        ts_err: list[BaseException] = []
+
+        def _write_terms():
+            try:
+                ts.write.mode("overwrite").parquet(f"{base_path}/term_stats")
+            except BaseException as e:
+                ts_err.append(e)
+
+        th = threading.Thread(target=_write_terms, daemon=True)
+        th.start()
+        obs = Observation("corpus")
+        doc_stats = doc_stats.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("dl_sum"),
+        )
+        doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
+        vals = obs.get
+        n_docs = int(vals["n_docs"])
+        avgdl = (vals["dl_sum"] or 0) / n_docs if n_docs else 0.0
+        _write_corpus_stats(spark, f"{base_path}/corpus_stats", n_docs, avgdl)
+        t_stats = _time.perf_counter()
+        blocks = build_blocks_from_partials(
+            partials,
+            ts,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            hot_min_df=hot_min_df,
+            salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
+        )
+        blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
+        th.join()
+        ts.unpersist()
+        if ts_err:
+            raise ts_err[0]
+        manifest.record(
+            "stats",
+            f"{base_path}/term_stats",
+            {"n_docs": n_docs, "avgdl": avgdl},
+            t_stats - t0,
+        )
+        manifest.record(
+            "blocks",
+            f"{base_path}/blocks",
+            {
+                "blocks_written": _footer_row_count(
+                    spark, f"{base_path}/blocks", "blocks"
+                )
+            },
+            _time.perf_counter() - t_stats,
+        )
+
+    import os as _os
+
+    fresh_fused = (
+        fused
+        and _os.environ.get("SPARK_GRAFT_FUSED_OVERLAP", "1") != "0"
+        and not manifest.stage_complete("stats")
+        and not manifest.stage_complete("blocks")
+    )
     with _build_confs():
-        run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
+        if fresh_fused:
+            stats_blocks_overlapped()
+        else:
+            run_stage(manifest, "stats", f"{base_path}/term_stats", stage_stats)
 
     def _field_stage(name: str, postings_maker):
         """Extra-field stage (``index/anchors.py`` tables): postings
