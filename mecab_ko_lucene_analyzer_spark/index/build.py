@@ -983,29 +983,31 @@ def build_and_write(
 
         th = threading.Thread(target=_write_terms, daemon=True)
         th.start()
-        obs = Observation("corpus")
-        doc_stats = doc_stats.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_len").alias("dl_sum"),
-        )
-        doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
-        vals = obs.get
-        n_docs = int(vals["n_docs"])
-        avgdl = (vals["dl_sum"] or 0) / n_docs if n_docs else 0.0
-        _write_corpus_stats(spark, f"{base_path}/corpus_stats", n_docs, avgdl)
-        t_stats = _time.perf_counter()
-        blocks = build_blocks_from_partials(
-            partials,
-            ts,
-            n_docs=n_docs,
-            avgdl=avgdl,
-            hot_min_df=hot_min_df,
-            salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
-        )
-        blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
-        th.join()
-        ts.unpersist()
+        try:
+            obs = Observation("corpus")
+            doc_stats = doc_stats.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_len").alias("dl_sum"),
+            )
+            doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
+            vals = obs.get
+            n_docs = int(vals["n_docs"])
+            avgdl = (vals["dl_sum"] or 0) / n_docs if n_docs else 0.0
+            _write_corpus_stats(spark, f"{base_path}/corpus_stats", n_docs, avgdl)
+            t_stats = _time.perf_counter()
+            blocks = build_blocks_from_partials(
+                partials,
+                ts,
+                n_docs=n_docs,
+                avgdl=avgdl,
+                hot_min_df=hot_min_df,
+                salt_shift=salt_shift if salt_shift is not None else SALT_SHIFT,
+            )
+            blocks.write.mode("overwrite").parquet(f"{base_path}/blocks")
+        finally:
+            th.join()
+            ts.unpersist()
         if ts_err:
             raise ts_err[0]
         manifest.record(
